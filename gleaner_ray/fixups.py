@@ -1,0 +1,232 @@
+"""JSON-LD context / id fixups — byte-level parity with the reference.
+
+Re-implements the reference's normalization chain
+(``/root/reference/internal/summoner/acquire/jsonutils.go``):
+
+- ``fix_context_string``  (M14, jsonutils.go:130-139)
+- ``fix_context_array``   (M15, jsonutils.go:176-186 + 231-280)
+- ``fix_context_url``     (M16, jsonutils.go:144-171)
+- ``fix_id``              (M17, jsonutils.go:192-227)
+- ``process_json``        (M18, jsonutils.go:299-338)
+- ``is_graph_array`` / ``add_to_json_list_if_valid`` (M13, jsonutils.go:25-66)
+
+All edits are surgical string splices (jsonpatch) so untouched bytes are
+preserved exactly; replacement values are marshaled Go-style (gojson).
+Known reference quirks reproduced deliberately:
+
+- a valid top-level graph array yields its re-marshaled elements *plus*
+  the original string appended (jsonutils.go:29-31);
+- ``fix_context_url`` stringifies non-string context members via gjson
+  ``Result.String()`` (raw JSON text) before re-setting them as strings;
+- the ``len(context) < 20`` heuristic for bare schema.org URLs;
+- ``@vocab`` insertion always uses the https context constant
+  regardless of the per-source scheme option (jsonutils.go:148).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from . import jsonpatch
+from .config import ContextOption
+from .gojson import marshal
+
+__all__ = [
+    "HTTP_CONTEXT",
+    "HTTPS_CONTEXT",
+    "STANDARD_HTTPS_CONTEXT",
+    "STANDARD_HTTP_CONTEXT",
+    "fix_context_string",
+    "fix_context_array",
+    "fix_context_url",
+    "fix_id",
+    "standardize_context",
+    "get_options",
+    "process_json",
+]
+
+HTTP_CONTEXT = "http://schema.org/"
+HTTPS_CONTEXT = "https://schema.org/"
+
+# jsonutils.go:231-248
+STANDARD_HTTPS_CONTEXT = {
+    "@vocab": "https://schema.org/",
+    "adms": "https://www.w3.org/ns/adms#",
+    "dcat": "https://www.w3.org/ns/dcat#",
+    "dct": "https://purl.org/dc/terms/",
+    "foaf": "https://xmlns.com/foaf/0.1/",
+    "gsp": "https://www.opengis.net/ont/geosparql#",
+    "locn": "https://www.w3.org/ns/locn#",
+    "owl": "https://www.w3.org/2002/07/owl#",
+    "rdf": "https://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "https://www.w3.org/2000/01/rdf-schema#",
+    "schema": "https://schema.org/",
+    "skos": "https://www.w3.org/2004/02/skos/core#",
+    "spdx": "https://spdx.org/rdf/terms#",
+    "time": "https://www.w3.org/2006/time",
+    "vcard": "https://www.w3.org/2006/vcard/ns#",
+    "xsd": "https://www.w3.org/2001/XMLSchema#",
+}
+
+# jsonutils.go:250-267
+STANDARD_HTTP_CONTEXT = {k: v.replace("https://", "http://", 1) for k, v in STANDARD_HTTPS_CONTEXT.items()}
+
+
+def fix_context_string(jsonld: str) -> str:
+    """If the top-level @context is a string, wrap it as {"@vocab": s}."""
+    node = jsonpatch.get_node(jsonld, ["@context"])
+    if node is not None and node.kind == "string":
+        return jsonpatch.set_raw(jsonld, ["@context"], marshal({"@vocab": node.value}))
+    return jsonld
+
+
+def fix_context_array(jsonld: str, option: ContextOption = ContextOption.HTTPS) -> str:
+    """If the top-level @context is an array, replace it wholesale with the
+    standardized https context map (the reference always standardizes to
+    https here regardless of ``option`` — jsonutils.go:181)."""
+    node = jsonpatch.get_node(jsonld, ["@context"])
+    if node is not None and node.kind == "array":
+        return standardize_context(jsonld, ContextOption.STANDARDIZED_HTTPS)
+    return jsonld
+
+
+def standardize_context(jsonld: str, option: ContextOption) -> str:
+    if option is ContextOption.STANDARDIZED_HTTPS:
+        return jsonpatch.set_raw(jsonld, ["@context"], marshal(STANDARD_HTTPS_CONTEXT))
+    if option is ContextOption.STANDARDIZED_HTTP:
+        return jsonpatch.set_raw(jsonld, ["@context"], marshal(STANDARD_HTTP_CONTEXT))
+    return jsonld
+
+
+def fix_context_url(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str:
+    """Normalize schema.org context member URLs; ensure @vocab exists."""
+    node = jsonpatch.get_node(jsonld, ["@context"])
+    members: list[tuple[str, object]] = []
+    if node is not None and node.kind == "object":
+        members = [(k, v) for k, _, v in node.members]
+    has_vocab = any(k == "@vocab" for k, _ in members)
+    if not has_vocab:
+        # always the https constant, independent of ctx (jsonutils.go:148)
+        jsonld = jsonpatch.set_raw(jsonld, ["@context", "@vocab"], marshal(HTTPS_CONTEXT))
+    for ns, vnode in members:
+        context = vnode.gjson_string()
+        if "schema.org" in context:
+            if "www." in context:  # fix www.schema.org
+                i = context.index("schema.org")
+                context = ctx + context[i:]
+            if len(context) < 20:  # len("https://schema.org/") == 19
+                context = ctx
+        jsonld = jsonpatch.set_raw(jsonld, ["@context", ns], marshal(context))
+    return jsonld
+
+
+def _url_scheme(s: str) -> str:
+    try:
+        return urlparse(s).scheme
+    except ValueError:
+        return ""
+
+
+def fix_id(jsonld: str) -> str:
+    """Rewrite relative @id values to file:// URLs when no @base exists.
+
+    Applies to top-level ``@type == "Dataset"`` (the @id itself) and
+    ``@type == "ItemList"`` (every itemListElement.N.item.@id), exactly
+    as jsonutils.go:192-227. Operates tolerantly on malformed JSON the
+    same way gjson does (the reference's own fixtures are malformed).
+    """
+    try:
+        root = jsonpatch.parse(jsonld)
+    except jsonpatch.ParseError:
+        return jsonld
+    base_node = jsonpatch.get_node(jsonld, ["@context", "@base"], root=root)
+    if base_node is not None and base_node.gjson_string() != "":
+        return jsonld
+    type_node = jsonpatch.get_node(jsonld, ["@type"], root=root)
+    top_type = type_node.gjson_string() if type_node is not None else ""
+    if top_type == "Dataset":
+        targets = [["@id"]]
+    elif top_type == "ItemList":
+        ile = jsonpatch.get_node(jsonld, ["itemListElement"], root=root)
+        count = len(ile.members) if ile is not None and ile.kind == "array" else 0
+        targets = [["itemListElement", i, "item", "@id"] for i in range(count)]
+    else:
+        return jsonld
+    for path in targets:
+        node = jsonpatch.get_node(jsonld, path)
+        if node is None or node.kind != "string":
+            continue
+        ident = node.value
+        if _url_scheme(ident) == "":  # relative URL and no @base in context
+            jsonld = jsonpatch.set_raw(jsonld, path, marshal("file://" + ident))
+    return jsonld
+
+
+def is_graph_array(jsonld: str, validator) -> tuple[bool, list[str]]:
+    """jsonutils.go:41-66 — explode a top-level JSON array into its valid
+    elements, each re-marshaled Go-style (sorted keys, compact, HTML-safe
+    escapes). Returns (is_valid_graph_array, elements)."""
+    import json as _json
+
+    jsonlds: list[str] = []
+    try:
+        arr = _json.loads(jsonld)
+    except ValueError:
+        return False, jsonlds
+    if not isinstance(arr, list) or not all(isinstance(x, dict) for x in arr):
+        return False, jsonlds
+    for element in arr:
+        text = marshal(element)  # Go json.Marshal re-serialization (go:51)
+        valid, err = validator.is_valid(text)
+        if valid and err is None:
+            jsonlds.append(text)
+    return (len(jsonlds) > 0), jsonlds
+
+
+def add_to_json_list_if_valid(jsonlds: list[str], new_json: str, validator) -> tuple[list[str], str | None]:
+    """jsonutils.go:25-39 — append ``new_json`` when valid; on validation
+    *error*, try the graph-array path, which (reference quirk) returns the
+    exploded elements PLUS the original string, replacing the running list
+    (jsonutils.go:29-31). Returns (list, error_message_or_None)."""
+    valid, err = validator.is_valid(new_json)
+    if err is not None:
+        ok, arr = is_graph_array(new_json, validator)
+        if ok:
+            return arr + [new_json], None
+        return jsonlds, "error checking for valid json: %s" % err
+    if not valid:
+        return jsonlds, "invalid json; continuing"
+    return jsonlds + [new_json], None
+
+
+def get_options(ctx_option: ContextOption) -> tuple[ContextOption, str]:
+    """jsonutils.go:283-296 — collapse per-source option to (mode, scheme)."""
+    if ctx_option is not ContextOption.STRICT:
+        if ctx_option in (ContextOption.HTTPS, ContextOption.STANDARDIZED_HTTPS):
+            ctx_string = HTTPS_CONTEXT
+        else:
+            ctx_string = HTTP_CONTEXT
+        return ContextOption.HTTPS, ctx_string
+    return ContextOption.STRICT, HTTPS_CONTEXT
+
+
+def process_json(
+    jsonld: str,
+    fix_context_option: ContextOption = ContextOption.HTTPS,
+    context_strict: bool = False,
+) -> str:
+    """ProcessJson (jsonutils.go:299-331) minus the SHA step.
+
+    Fixups are skipped only when the run-level ``context.strict`` is true
+    AND the source option resolves to STRICT (the Go condition
+    ``!(ok && strict=="true") || (srcFixOption != Strict)`` at :310).
+    Returns the (possibly) fixed-up document text; identity is computed
+    separately (identifier.generate_file_sha).
+    """
+    src_fix_option, src_http_option = get_options(fix_context_option)
+    if (not context_strict) or (src_fix_option is not ContextOption.STRICT):
+        jsonld = fix_context_string(jsonld)
+        jsonld = fix_context_array(jsonld, src_fix_option)
+        jsonld = fix_context_url(jsonld, src_http_option)
+        jsonld = fix_id(jsonld)
+    return jsonld

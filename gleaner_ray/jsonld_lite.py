@@ -1,0 +1,295 @@
+"""Lightweight JSON-LD validation and N-Quads conversion.
+
+The reference validates every candidate document by running it through
+json-gold's ``proc.ToRDF`` and rejecting on error (``isValid``,
+/root/reference/internal/summoner/acquire/jsonutils.go:69-96), and
+converts org graphs to n-quads the same way (``JLD2nq``,
+internal/common/jld2nq.go:13-33). No JSON-LD library ships in this
+environment, so this module implements the subset that determines
+accept/reject for the corpus the engine processes:
+
+``validate``:
+- text must parse as JSON and the top level must be an object
+  (Go ``json.Unmarshal`` into ``map[string]interface{}``);
+- ``@context`` values must be structurally valid (string / object /
+  array of those; term definitions string-or-object with string @id);
+- remote context URLs must be resolvable: with no network, only URLs
+  covered by the configured context maps (ldproc.go:17-21) or the
+  built-in schema.org set are considered loadable — mirroring json-gold
+  with the reference's preloaded document cache;
+- ``@id`` must be a string, ``@type`` a string or array of strings,
+  ``@value`` a scalar; ``@list``/``@set``/``@graph`` must be arrays or
+  objects. Violations are what makes json-gold's expansion error.
+
+``to_nquads``: a small expansion + serialization (``@vocab`` and prefix
+resolution, node objects, blank-node counters, string and typed
+literals, ``@graph``) sufficient for the org / prov template shapes
+(internal/organizations/org.go:20-35, acquire/prov.go:31-79). Output
+lines are sorted, as json-gold's dataset serializer does.
+
+``is_graph_array`` lives in fixups.py; this module is their validator.
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = ["ValidationError", "Validator", "to_nquads"]
+
+# context URLs the reference resolves through its shipped document cache
+# (assets/schemaorg-current-https.jsonld + contextmaps, ldproc.go:17-21)
+DEFAULT_RESOLVABLE = (
+    "http://schema.org",
+    "http://schema.org/",
+    "https://schema.org",
+    "https://schema.org/",
+    "http://www.schema.org",
+    "https://www.schema.org",
+    "http://www.w3.org/ns/prov#",
+    "https://www.w3.org/ns/prov#",
+)
+
+_KEYWORDS = {
+    "@context", "@id", "@type", "@value", "@language", "@list", "@set",
+    "@graph", "@base", "@vocab", "@container", "@reverse", "@index",
+    "@nest", "@prefix", "@version", "@protected", "@direction", "@import",
+    "@propagate", "@json", "@included",
+}
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class Validator:
+    """Structural JSON-LD validator; build once per actor (ST1 state)."""
+
+    def __init__(self, context_maps: dict[str, str] | None = None, resolvable: tuple[str, ...] = DEFAULT_RESOLVABLE):
+        extra = tuple((context_maps or {}).keys())
+        self.resolvable = tuple(set(resolvable) | set(extra))
+
+    # -- public ------------------------------------------------------------
+    def is_valid(self, jsonld: str) -> tuple[bool, str | None]:
+        """(valid, error) — mirrors isValid(): False + error message on any
+        parse or structural failure, (True, None) otherwise."""
+        try:
+            obj = json.loads(jsonld)
+        except (ValueError, RecursionError) as e:
+            return False, "error in unmarshaling json: %s" % e
+        if not isinstance(obj, dict):
+            return False, "error in unmarshaling json: cannot unmarshal into map"
+        try:
+            self._check_node(obj, depth=0)
+        except ValidationError as e:
+            return False, "error in JSON-LD to RDF call: %s" % e
+        return True, None
+
+    # -- internals ----------------------------------------------------------
+    def _resolvable_url(self, url: str) -> bool:
+        return url in self.resolvable or any(url.startswith(r) for r in self.resolvable if r.endswith("/"))
+
+    def _check_context(self, ctx, depth: int) -> None:
+        if ctx is None:
+            return
+        if isinstance(ctx, str):
+            if ctx.startswith(("http://", "https://")) and not self._resolvable_url(ctx):
+                raise ValidationError("loading remote context failed: %s" % ctx)
+            return
+        if isinstance(ctx, list):
+            for c in ctx:
+                self._check_context(c, depth + 1)
+            return
+        if isinstance(ctx, dict):
+            for term, defn in ctx.items():
+                if defn is None or isinstance(defn, str):
+                    continue
+                if isinstance(defn, dict):
+                    tid = defn.get("@id")
+                    if tid is not None and not isinstance(tid, str):
+                        raise ValidationError("invalid IRI mapping for term %s" % term)
+                    tt = defn.get("@type")
+                    if tt is not None and not isinstance(tt, str):
+                        raise ValidationError("invalid type mapping for term %s" % term)
+                    continue
+                if isinstance(defn, (int, float, bool)):
+                    raise ValidationError("invalid term definition for %s" % term)
+            return
+        raise ValidationError("invalid local context")
+
+    def _check_node(self, node, depth: int) -> None:
+        if depth > 200:
+            raise ValidationError("context overflow")
+        if isinstance(node, list):
+            for item in node:
+                self._check_node(item, depth + 1)
+            return
+        if not isinstance(node, dict):
+            return
+        if "@context" in node:
+            self._check_context(node["@context"], depth)
+        if "@id" in node and not isinstance(node["@id"], str):
+            raise ValidationError("invalid @id value")
+        if "@type" in node:
+            t = node["@type"]
+            if isinstance(t, list):
+                if not all(isinstance(x, str) for x in t):
+                    raise ValidationError("invalid type value")
+            elif not isinstance(t, str):
+                raise ValidationError("invalid type value")
+        if "@value" in node:
+            v = node["@value"]
+            if isinstance(v, (dict, list)):
+                raise ValidationError("invalid value object value")
+            bad = set(node) - {"@value", "@type", "@language", "@index", "@context", "@direction"}
+            if bad:
+                raise ValidationError("invalid value object: %s" % sorted(bad))
+            if "@type" in node and "@language" in node:
+                raise ValidationError("invalid value object: both @type and @language")
+        for k, v in node.items():
+            if k == "@context":
+                continue
+            if isinstance(v, (dict, list)):
+                self._check_node(v, depth + 1)
+
+
+# ---------------------------------------------------------------------------
+# mini expansion -> N-Quads (enough for the org / prov template shapes)
+# ---------------------------------------------------------------------------
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _escape_literal(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+class _Ctx:
+    def __init__(self, vocab: str = "", prefixes: dict | None = None, base: str = ""):
+        self.vocab = vocab
+        self.prefixes = prefixes or {}
+        self.base = base
+
+    @classmethod
+    def from_doc(cls, ctx) -> "_Ctx":
+        vocab, prefixes, base = "", {}, ""
+        items = ctx if isinstance(ctx, list) else [ctx]
+        for c in items:
+            if isinstance(c, str):
+                if "schema.org" in c:
+                    vocab = c if c.endswith("/") else c + "/"
+            elif isinstance(c, dict):
+                for term, defn in c.items():
+                    if term == "@vocab" and isinstance(defn, str):
+                        vocab = defn
+                    elif term == "@base" and isinstance(defn, str):
+                        base = defn
+                    elif isinstance(defn, str):
+                        prefixes[term] = defn
+                    elif isinstance(defn, dict) and isinstance(defn.get("@id"), str):
+                        prefixes[term] = defn["@id"]
+        return cls(vocab, prefixes, base)
+
+    def expand_iri(self, term: str, as_property: bool = False) -> str | None:
+        if term.startswith(("http://", "https://", "file://", "urn:", "mailto:", "_:")):
+            return term
+        if ":" in term:
+            prefix, _, suffix = term.partition(":")
+            if prefix in self.prefixes:
+                return self.prefixes[prefix] + suffix
+            return term  # absolute-ish IRI with unknown scheme
+        if term in self.prefixes:
+            return self.prefixes[term]
+        if as_property and self.vocab:
+            return self.vocab + term
+        if not as_property and self.base:
+            return self.base.rstrip("/") + "/" + term
+        if not as_property and self.vocab:
+            return self.vocab + term
+        return None
+
+
+def to_nquads(jsonld: str, graph_name: str | None = None) -> str:
+    """Convert a (template-shaped) JSON-LD document to sorted N-Quads."""
+    doc = json.loads(jsonld)
+    quads: list[str] = []
+    counter = [0]
+    ctx = _Ctx.from_doc(doc.get("@context", {}))
+
+    def bnode() -> str:
+        b = "_:b%d" % counter[0]
+        counter[0] += 1
+        return b
+
+    def fmt_term(t: str) -> str:
+        return t if t.startswith("_:") else "<%s>" % t
+
+    def emit(s: str, p: str, o: str) -> None:
+        g = " <%s>" % graph_name if graph_name else ""
+        quads.append("%s <%s> %s%s ." % (fmt_term(s), p, o, g))
+
+    def node_subject(node: dict, local_ctx: _Ctx) -> str:
+        nid = node.get("@id")
+        if isinstance(nid, str):
+            iri = local_ctx.expand_iri(nid)
+            return iri if iri else bnode()
+        return bnode()
+
+    def walk(node, local_ctx: _Ctx) -> str | None:
+        if isinstance(node, list):
+            for item in node:
+                walk(item, local_ctx)
+            return None
+        if not isinstance(node, dict):
+            return None
+        if "@context" in node:
+            local_ctx = _Ctx.from_doc(node["@context"])
+        if "@graph" in node and len([k for k in node if k not in ("@context", "@graph")]) == 0:
+            walk(node["@graph"], local_ctx)
+            return None
+        subj = node_subject(node, local_ctx)
+        types = node.get("@type", [])
+        for t in [types] if isinstance(types, str) else types:
+            t_iri = local_ctx.expand_iri(t, as_property=True)
+            if t_iri:
+                emit(subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", fmt_term(t_iri))
+        for key, value in node.items():
+            if key in ("@context", "@id", "@type", "@graph"):
+                continue
+            pred = local_ctx.expand_iri(key, as_property=True)
+            if pred is None:
+                continue
+            for v in value if isinstance(value, list) else [value]:
+                if isinstance(v, dict):
+                    if "@value" in v:
+                        lit = v["@value"]
+                        dt = v.get("@type")
+                        dt_iri = local_ctx.expand_iri(dt, as_property=True) if dt else None
+                        o = '"%s"' % _escape_literal(str(lit))
+                        if dt_iri and dt_iri != _XSD_STRING:
+                            o += "^^<%s>" % dt_iri
+                        elif v.get("@language"):
+                            o += "@%s" % v["@language"]
+                        emit(subj, pred, o)
+                    elif set(v) == {"@id"} and isinstance(v.get("@id"), str):
+                        o_iri = local_ctx.expand_iri(v["@id"])
+                        if o_iri:
+                            emit(subj, pred, fmt_term(o_iri))
+                    else:
+                        child = walk(v, local_ctx)
+                        if child:
+                            emit(subj, pred, fmt_term(child))
+                elif isinstance(v, bool):
+                    emit(subj, pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#boolean>' % str(v).lower())
+                elif isinstance(v, (int, float)):
+                    if isinstance(v, int):
+                        emit(subj, pred, '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>' % v)
+                    else:
+                        emit(subj, pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#double>' % repr(v))
+                elif isinstance(v, str):
+                    emit(subj, pred, '"%s"' % _escape_literal(v))
+        return subj
+
+    walk(doc, ctx)
+    return "".join(q + "\n" for q in sorted(set(quads)))
