@@ -1,0 +1,38 @@
+"""URL canonicalization helpers for frontier partitioning.
+
+The frontier is hash-partitioned by canonicalized host (SURVEY §7.3);
+mega-hosts are salted into sub-buckets for order-insensitive stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlparse
+
+__all__ = ["canonical_host", "host_bucket", "sha_shard"]
+
+
+def canonical_host(url: str) -> str:
+    """Lowercased netloc with default ports stripped; '' on parse failure."""
+    try:
+        parsed = urlparse(url)
+    except ValueError:
+        return ""
+    host = (parsed.netloc or "").lower()
+    if host.endswith(":80") and parsed.scheme == "http":
+        host = host[:-3]
+    elif host.endswith(":443") and parsed.scheme == "https":
+        host = host[:-4]
+    return host
+
+
+def host_bucket(host: str, url: str, n_buckets: int) -> int:
+    """Salted sub-bucket for mega-host skew mitigation: stages that don't
+    need per-host ordering key on (host, bucket) instead of host."""
+    h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little") % max(1, n_buckets)
+
+
+def sha_shard(sha: str, n_shards: int) -> int:
+    """Stable shard id for the seen-set actor pool: hash(sha) % shards."""
+    return int(sha[:8], 16) % max(1, n_shards)
