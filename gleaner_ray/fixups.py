@@ -107,7 +107,14 @@ def fix_context_url(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str:
     has_vocab = any(k == "@vocab" for k, _ in members)
     if not has_vocab:
         # always the https constant, independent of ctx (jsonutils.go:148)
-        jsonld = jsonpatch.set_raw(jsonld, ["@context", "@vocab"], marshal(HTTPS_CONTEXT))
+        try:
+            jsonld = jsonpatch.set_raw(jsonld, ["@context", "@vocab"], marshal(HTTPS_CONTEXT))
+        except jsonpatch.ParseError:
+            # reference quirk: sjson.Set on a non-object root (e.g. the
+            # original string a graph array appends, jsonutils.go:29-31)
+            # errors and returns "" — the empty document then flows to
+            # SHA/upload (ProcessJson logs and continues, jsonutils.go:322)
+            return ""
     for ns, vnode in members:
         context = vnode.gjson_string()
         if "schema.org" in context:

@@ -1,0 +1,285 @@
+"""The summon pipeline — Gleaner's crawl, restated Ray-Data-first.
+
+Phases (SURVEY §3.4), one streaming Dataset graph end to end:
+
+A. seed expansion -> frontier (driver-side Arrow table, or Parquet at
+   10^10 scale);
+B. frontier ⨝ pages on ``url`` + extract/validate actor pool;
+C. normalize + SHA (stateless tasks);
+D. first-writer dedup (sharded cuckoo actors — no shuffle) + sinks
+   (results Parquet always; summoned/prov/org objects in parity mode).
+
+Scale notes
+-----------
+- join strategy "broadcast": the frontier fits the object store
+  (config-listed sitemap sources — even 10^8 urls × ~100B is 10 GB
+  spread over nodes; below that it's a ray.put once, read per actor).
+  "hash": both sides large -> ``Dataset.join`` hash-partitioned on url.
+- no full materialization: pages stream through extract -> normalize ->
+  dedup -> write_parquet with backpressure; html is dropped at the
+  extract stage boundary.
+- dedup is an actor probe, not a groupby: the only all-to-all in the
+  whole pipeline is the optional hash join.
+- results are written partitioned by source; the run manifest carries
+  per-source metrics + input lineage; a re-run preloads the seen set
+  from prior results and skips existing objects (the reference's
+  idempotency semantics, jsonutils.go:383-388).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import GleanerConfig
+from ..org import org_nq, org_object_name
+from ..prov import prov_graph, prov_object_name
+from ..state.seen import create_seen_shards
+from ..stages.dedup_stage import SeenFilter, dedup_exact
+from ..stages.extract_stage import ExtractValidate
+from ..stages.normalize_stage import make_normalizer
+from ..sources.frontier import build_frontier
+
+__all__ = ["summon", "AttachFrontier", "ObjectSink"]
+
+
+class AttachFrontier:
+    """Broadcast semi-join: keep page rows whose url is in the frontier and
+    attach (source, seq, host, headless). The frontier dict travels via
+    ray.put ONCE; each actor materializes it in __init__ (never per
+    batch). Frontier rows without a page behave like HTTP errors
+    (dropped, SURVEY §2.4); pages not in any sitemap are not crawled."""
+
+    def __init__(self, frontier_ref):
+        self.lookup = ray.get(frontier_ref) if isinstance(frontier_ref, ray.ObjectRef) else frontier_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        lookup = self.lookup
+        keep_idx, sources, hosts, seqs = [], [], [], []
+        for i, url in enumerate(urls):
+            hit = lookup.get(url)
+            if hit is None:
+                continue
+            keep_idx.append(i)
+            sources.append(hit[0])
+            hosts.append(hit[1])
+            seqs.append(hit[2])
+        out = batch.take(pa.array(keep_idx, pa.int32())) if len(keep_idx) < len(urls) else batch
+        out = out.append_column("source", pa.array(sources, pa.string()))
+        out = out.append_column("host", pa.array(hosts, pa.string()))
+        out = out.append_column("seq", pa.array(seqs, pa.int64()))
+        return out
+
+
+class ObjectSink:
+    """Parity-mode object store writer (map_batches pass-through).
+
+    Per accepted doc row: the prov graph is written for EVERY row —
+    before the dedup check, as the reference does (jsonutils.go:378-386)
+    — and ``summoned/<source>/<sha>.jsonld`` only for first writers,
+    never overwriting an existing object (StatObject-then-Put
+    semantics). Local-fs object root; swap for fsspec/S3 in deployment."""
+
+    def __init__(self, root: str, bucket: str, source_info: dict, run_date: str):
+        self.root = os.path.join(root, bucket)
+        self.bucket = bucket
+        self.source_info = source_info  # name -> Source-like namespace
+        self.run_date = run_date
+        os.makedirs(self.root, exist_ok=True)
+
+    def _write(self, object_name: str, text: str, overwrite: bool) -> bool:
+        path = os.path.join(self.root, object_name)
+        if not overwrite and os.path.exists(path):
+            return False
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)  # atomic publish
+        return True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sources = batch.column("source").to_pylist()
+        urls = batch.column("url").to_pylist()
+        shas = batch.column("sha").to_pylist()
+        names = batch.column("object_name").to_pylist()
+        docs = batch.column("jsonld").to_pylist()
+        firsts = batch.column("seen_first").to_pylist()
+        srcs = list(self.source_info.values())
+        for source, url, sha, name, doc, first in zip(sources, urls, shas, names, docs, firsts):
+            if not name:
+                continue  # zero-candidate marker row
+            prov = prov_graph(self.bucket, source, sha, url, srcs, self.run_date)
+            self._write(prov_object_name(source, prov), prov, overwrite=True)
+            if first:
+                self._write(name, doc, overwrite=False)
+        return batch
+
+
+def _frontier_lookup(frontier: pa.Table) -> dict:
+    urls = frontier.column("url").to_pylist()
+    sources = frontier.column("source").to_pylist()
+    hosts = frontier.column("host").to_pylist()
+    orders = frontier.column("sitemap_order").to_pylist()
+    return {u: (s, h, o) for u, s, h, o in zip(urls, sources, hosts, orders)}
+
+
+def summon(
+    cfg: GleanerConfig,
+    pages_path: str,
+    out_dir: str,
+    run_date: str = "2026-01-01",
+    fetch=None,
+    frontier: pa.Table | None = None,
+    write_objects: bool = True,
+    dedup: str = "streaming",  # "streaming" (actor probe) | "exact" (sha shuffle)
+    n_seen_shards: int = 8,
+    concurrency=None,
+    batch_size: int = 512,
+    resume: bool = False,
+    pages_read_kwargs: dict | None = None,
+) -> dict:
+    """Run the crawl; returns the run manifest (also written to disk)."""
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    # Per-stage pool sizing: the extract pool is the heavy stage (~60% of
+    # CPUs); attach/dedup/sink are light half-CPU actors; the remainder
+    # stays free for the elastic read/normalize/write tasks so no stage
+    # starves another (see ray_guide "actor pools" pitfall).
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    if concurrency is None:
+        concurrency = max(1, int(total_cpus * 0.6)) if total_cpus >= 8 else 1
+    io_concurrency = max(1, total_cpus // 8)
+
+    # -- Phase A: frontier --------------------------------------------------
+    errors: list[str] = []
+    if frontier is None:
+        from ..sources.frontier import default_fetch
+
+        frontier, errors = build_frontier(cfg, fetch or default_fetch)
+    lookup_ref = ray.put(_frontier_lookup(frontier))
+
+    # results are versioned per run: resume unions prior runs' shas while
+    # metrics only ever read the current run's table
+    all_results = os.path.join(out_dir, "results")
+    os.makedirs(all_results, exist_ok=True)
+    prior_runs = sorted(d for d in os.listdir(all_results) if os.path.isdir(os.path.join(all_results, d)))
+    run_id = "run-%04d" % len(prior_runs)
+    results_dir = os.path.join(all_results, run_id)
+
+    # -- seen set -----------------------------------------------------------
+    shards = create_seen_shards(n_seen_shards)
+    if resume and prior_runs:
+        import pyarrow.compute as pc
+
+        prior = rd.read_parquet(
+            [os.path.join(all_results, d) for d in prior_runs], columns=["sha", "seen_first"]
+        ).map_batches(lambda t: t.filter(pc.field("seen_first")).select(["sha"]), batch_format="pyarrow")
+        shas = [r["sha"] for r in prior.take_all() if r["sha"]]
+        from ..state.seen import _shard_of
+
+        by_shard: dict[int, list[str]] = {}
+        for sha in shas:
+            by_shard.setdefault(_shard_of(sha, n_seen_shards), []).append(sha)
+        ray.get([shards[k].preload.remote(v) for k, v in by_shard.items()])
+
+    # -- Phases B-D: one streaming graph ------------------------------------
+    pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **(pages_read_kwargs or {}))
+    joined = pages.map_batches(
+        AttachFrontier, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", batch_size=batch_size,
+        concurrency=io_concurrency, num_cpus=0.5,
+    )
+    extracted = joined.map_batches(
+        ExtractValidate,
+        fn_constructor_args=(cfg.context.contextmaps,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
+    normalized = extracted.map_batches(
+        make_normalizer(fix_options, cfg.context.strict), batch_format="pyarrow", batch_size=batch_size
+    )
+    if dedup == "exact":
+        deduped = dedup_exact(normalized)
+    else:
+        deduped = normalized.map_batches(
+            SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
+            concurrency=io_concurrency, num_cpus=0.5,
+        )
+    if write_objects:
+        source_info = {s.name: s for s in cfg.sources}
+        deduped = deduped.map_batches(
+            ObjectSink,
+            fn_constructor_args=(os.path.join(out_dir, "objects"), cfg.minio.bucket_name(), source_info, run_date),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=io_concurrency, num_cpus=0.5,
+        )
+    deduped.write_parquet(results_dir, partition_cols=["source"])
+
+    # -- org graphs (tiny, driver-side; root.go:159 runs them every time) ---
+    org_errors: list[str] = []
+    if write_objects:
+        obj_root = os.path.join(out_dir, "objects", cfg.minio.bucket_name())
+        for source in cfg.sources:
+            try:
+                nq = org_nq(source)
+            except ValueError as e:
+                org_errors.append(str(e))
+                continue
+            path = os.path.join(obj_root, org_object_name(source.name))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(nq)
+
+    # -- metrics + manifest (north rule: per-partition metrics + lineage) ---
+    results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
+    import pandas as pd
+
+    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # fetched: one row per visited page (doc_index <= 0 by construction:
+        # first doc or zero-candidate marker); sums are cross-batch safe
+        return batch.groupby("source", as_index=False).agg(
+            fetched=("doc_index", lambda s: int((s <= 0).sum())),
+            valid=("doc_index", lambda s: int((s >= 0).sum())),
+            uploaded=("seen_first", "sum"),
+        )
+
+    partials = results.map_batches(_counts, batch_format="pandas").to_pandas()
+    by_source = (
+        partials.groupby("source", as_index=False).sum(numeric_only=True)
+        if len(partials)
+        else partials
+    )
+    manifest = {
+        "run_id": run_id,
+        "results_dir": results_dir,
+        "run_date": run_date,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "pages_path": os.path.abspath(pages_path),
+        "frontier_size": frontier.num_rows,
+        "frontier_errors": errors,
+        "org_errors": org_errors,
+        "dedup": dedup,
+        "per_source": {
+            str(r["source"]): {
+                "fetched": int(r["fetched"]),
+                "valid": int(r["valid"]),
+                "uploaded": int(r["uploaded"]),
+            }
+            for _, r in by_source.iterrows()
+        },
+        "seen_stats": [ray.get(s.stats.remote()) for s in shards],
+    }
+    state_dir = os.path.join(out_dir, "state")
+    ray.get([s.snapshot.remote(state_dir) for s in shards])
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

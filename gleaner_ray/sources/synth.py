@@ -1,0 +1,343 @@
+"""Deterministic synthetic crawl corpus (pages + sitemaps + robots).
+
+``BASELINE.json``'s input_hint mandates a Common-Crawl-style Parquet
+pages table; no external data is allowed, so the corpus is synthesised
+deterministically from the driver-provided ``documents`` table of a
+scale-factor directory (seeded, byte-stable across runs). Page classes
+cycle through every fixture family the reference's tests exercise
+(FIXTURES.md §1): canonical JSON-LD, duplicate content, string/array/
+http contexts, relative @ids, ItemLists, graph arrays, @graph wrapping,
+invalid JSON-LD, no-JSON-LD, .jsonld raw bodies, multi-script pages,
+robots-disallowed paths, and sitemap URLs with no page (HTTP-error
+analogue).
+
+Skew is explicit: one mega-host receives ~50% of all URLs (north rule's
+"single-host sitemap indexes" case); its sitemap is an index of child
+sitemaps, the small hosts use flat sitemaps, and one source advertises
+its sitemap only through robots.txt (``robots`` sourcetype).
+
+URL shape encodes the fixture class — ``https://<host>/ref/<class>/<i>``
+— so a DuckDB oracle can filter classes with a LIKE and reproduce the
+extraction byte-for-byte for the SQL-expressible families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import GleanerConfig, MinioConfig, Source, SummonerConfig
+
+__all__ = ["CLASSES", "generate_corpus", "corpus_config", "corpus_dir_for"]
+
+CLASSES = [
+    "canon",  # canonical, fixup-stable, SQL-extractable
+    "dup",  # byte-identical payload per source (dedup path)
+    "ctxstring",  # @context is a string
+    "ctxarray",  # @context is an array -> standardized
+    "httpurl",  # @vocab http://schema.org (no slash)
+    "relid",  # Dataset with relative @id
+    "itemlist",  # ItemList with relative item ids
+    "grapharray",  # top-level JSON array of docs
+    "atgraph",  # @graph wrapped, canonical-stable
+    "invalid",  # broken JSON in the script tag
+    "nojsonld",  # page without any JSON-LD
+    "jsonext",  # url ends .jsonld, raw JSON body
+    "multi",  # two script tags
+    "private",  # robots-disallowed path
+]
+
+MEGA_HOST = "big.example.org"
+HOSTS = {
+    "geo0": MEGA_HOST,
+    "hydro1": "h1.example.org",
+    "wq2": "h2.example.org",
+    "head3": "h3.example.org",
+    "robo4": "h4.example.org",
+}
+SOURCE_NAMES = list(HOSTS)
+
+_HTML_PREFIX = '<!DOCTYPE html><html><head><meta charset="utf-8"><title>%s</title>\n<script type="application/ld+json">'
+_HTML_SUFFIX = "</script>\n</head><body><p>%s</p></body></html>"
+
+
+def _clean(text: str, limit: int = 160) -> str:
+    """Description text safe for embedding (no tag-breaking '<', no quotes-breaking handled by json)."""
+    return text.replace("<", " ").replace(">", " ")[:limit].strip()
+
+
+def _payload(cls: str, url: str, name: str, desc: str) -> str:
+    canon = (
+        '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","@id":%s,"name":%s,"description":%s}'
+        % (json.dumps(url), json.dumps(name), json.dumps(desc))
+    )
+    if cls in ("canon", "multi", "jsonext", "private"):
+        return canon
+    if cls == "dup":
+        # per-source constant payload: every dup page serves identical bytes
+        return canon
+    if cls == "ctxstring":
+        return '{"@context": "http://schema.org/", "@type": "Dataset", "@id": %s, "name": %s}' % (
+            json.dumps(url),
+            json.dumps(name),
+        )
+    if cls == "ctxarray":
+        return (
+            '{"@context": ["https://schema.org/", {"dct": "https://purl.org/dc/terms/"}], '
+            '"@type": "Dataset", "@id": %s, "name": %s}' % (json.dumps(url), json.dumps(name))
+        )
+    if cls == "httpurl":
+        return '{"@context": {"@vocab": "http://schema.org"}, "@type": "Dataset", "@id": %s, "name": %s}' % (
+            json.dumps(url),
+            json.dumps(name),
+        )
+    if cls == "relid":
+        return '{"@context": {"@vocab": "https://schema.org/"}, "@type": "Dataset", "@id": "dataset-%s", "name": %s}' % (
+            name.split()[-1],
+            json.dumps(name),
+        )
+    if cls == "itemlist":
+        return (
+            '{"@context": {"@vocab": "https://schema.org/"}, "@type": "ItemList", '
+            '"itemListElement": [{"@type": "ListItem", "item": {"@type": "Dataset", "@id": "item-a-%s"}}, '
+            '{"@type": "ListItem", "item": {"@type": "Dataset", "@id": "item-b-%s"}}]}'
+            % (name.split()[-1], name.split()[-1])
+        )
+    if cls == "grapharray":
+        return '[{"@type": "Dataset", "name": %s}, {"@type": "Dataset", "name": %s}]' % (
+            json.dumps(name + " part1"),
+            json.dumps(name + " part2"),
+        )
+    if cls == "atgraph":
+        return '{"@context":{"SO":"https://schema.org/"},"@graph":[{"@type":"SO:Dataset","SO:name":%s}]}' % json.dumps(
+            name
+        )
+    if cls == "invalid":
+        return "{ INCORRECTSYNTAX %s" % name
+    return canon
+
+
+def _page_html(cls: str, payload: str, name: str, desc: str) -> tuple[bytes, str]:
+    if cls == "jsonext":
+        return payload.encode(), payload
+    if cls == "nojsonld":
+        html = "<!DOCTYPE html><html><head><title>%s</title></head><body><p>%s</p></body></html>" % (name, desc)
+        return html.encode(), "%s %s" % (name, desc)
+    body = (_HTML_PREFIX % name) + payload + (_HTML_SUFFIX % desc)
+    if cls == "multi":
+        second = '{"@context": "http://schema.org/", "@type": "Dataset", "name": %s}' % json.dumps(name + " second")
+        body = body.replace(
+            "</script>\n</head>",
+            '</script>\n<script type="application/ld+json">%s</script>\n</head>' % second,
+            1,
+        )
+    return body.encode(), "%s %s" % (name, desc)
+
+
+def _assign_source(i: int) -> str:
+    # deterministic skew: even i -> mega host (50%); odd spread over the rest
+    if i % 2 == 0:
+        return "geo0"
+    return SOURCE_NAMES[1 + (i // 2) % 4]
+
+
+def corpus_dir_for(sf_dir: str, root: str = "/tmp/gleaner_ray_corpus") -> str:
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def generate_corpus(
+    sf_dir: str,
+    out_dir: str | None = None,
+    pages_per_doc: int = 2,
+    rows_per_file: int = 25_000,
+    force: bool = False,
+) -> str:
+    """Generate the corpus for a scale dir; returns the corpus directory.
+
+    Deterministic: same sf_dir -> same bytes. Skips generation when the
+    output manifest already matches (cheap re-entry for queries()).
+    """
+    out_dir = out_dir or corpus_dir_for(sf_dir)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
+    n_pages = docs.num_rows * pages_per_doc
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "pages_per_doc": pages_per_doc, "version": 3}
+    if not force and os.path.exists(manifest_path):
+        try:
+            if json.load(open(manifest_path)) == stamp:
+                return out_dir
+        except (ValueError, OSError):
+            pass
+    os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "sitemaps"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "robots"), exist_ok=True)
+
+    doc_texts = docs.column("text").to_pylist()
+    n_docs = len(doc_texts)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    sitemap_urls: dict[str, list[str]] = {s: [] for s in SOURCE_NAMES}
+    part = 0
+    base_ts = 1700000000000  # fixed epoch ms
+
+    def flush():
+        nonlocal part, urls, tss, htmls, texts, langs
+        if not urls:
+            return
+        table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("ms")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(out_dir, "pages", "part-%05d.parquet" % part))
+        part += 1
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+
+    for i in range(n_pages):
+        cls = CLASSES[i % len(CLASSES)]
+        source = _assign_source(i)
+        host = HOSTS[source]
+        suffix = ".jsonld" if cls == "jsonext" else ""
+        if cls == "private":
+            url = "https://%s/private/%d%s" % (host, i, suffix)
+        else:
+            url = "https://%s/ref/%s/%d%s" % (host, cls, i, suffix)
+        doc_text = doc_texts[i % n_docs]
+        name = "Dataset %d" % i
+        desc = _clean(doc_text)
+        if cls == "dup":
+            # constant per source -> byte-identical duplicate content
+            payload = _payload("dup", "https://%s/ref/dup/master" % host, "Master %s" % source, "shared")
+        else:
+            payload = _payload(cls, url, name, desc)
+        html, text = _page_html(cls, payload, name, desc)
+        urls.append(url)
+        tss.append(base_ts + i * 1000)
+        htmls.append(html)
+        texts.append(text)
+        langs.append("en" if i % 7 else "de")
+        sitemap_urls[source].append(url)
+        if len(urls) >= rows_per_file:
+            flush()
+    flush()
+
+    # every ~97th frontier URL additionally exists only in the sitemap
+    # (no page row): the HTTP-error analogue, dropped by the join
+    for s in SOURCE_NAMES:
+        extra = ["https://%s/ref/missing/%d" % (HOSTS[s], k) for k in range(max(1, len(sitemap_urls[s]) // 97))]
+        sitemap_urls[s].extend(extra)
+
+    _write_sitemaps(out_dir, sitemap_urls)
+    _write_robots(out_dir)
+    with open(manifest_path, "w") as f:
+        json.dump(stamp, f)
+    return out_dir
+
+
+def _urlset(urls: list[str]) -> str:
+    items = "".join("  <url><loc>%s</loc></url>\n" % u for u in urls)
+    return '<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n%s</urlset>\n' % items
+
+
+def _write_sitemaps(out_dir: str, sitemap_urls: dict[str, list[str]]) -> None:
+    sm_dir = os.path.join(out_dir, "sitemaps")
+    for source, urls in sitemap_urls.items():
+        if source == "geo0":
+            # mega host: a sitemap index of child files (10k urls each)
+            chunk = 10_000
+            children = [urls[i : i + chunk] for i in range(0, len(urls), chunk)] or [[]]
+            child_names = []
+            for k, child in enumerate(children):
+                nm = "geo0_child_%03d.xml" % k
+                child_names.append(nm)
+                with open(os.path.join(sm_dir, nm), "w") as f:
+                    f.write(_urlset(child))
+            idx = "".join(
+                "  <sitemap><loc>file://%s/%s</loc></sitemap>\n" % (sm_dir, nm) for nm in child_names
+            )
+            with open(os.path.join(sm_dir, "geo0.xml"), "w") as f:
+                f.write(
+                    '<?xml version="1.0" encoding="UTF-8"?>\n<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n%s</sitemapindex>\n'
+                    % idx
+                )
+        else:
+            with open(os.path.join(sm_dir, "%s.xml" % source), "w") as f:
+                f.write(_urlset(urls))
+
+
+def _write_robots(out_dir: str) -> None:
+    rb_dir = os.path.join(out_dir, "robots")
+    for source, host in HOSTS.items():
+        lines = ["User-agent: *", "Disallow: /private/"]
+        if source == "hydro1":
+            lines.append("Crawl-delay: 1")
+        if source == "robo4":
+            lines.append("Sitemap: file://%s/sitemaps/robo4.xml" % out_dir)
+        with open(os.path.join(rb_dir, "%s.txt" % host), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def corpus_fetch(out_dir: str):
+    """Fetcher for the synthetic corpus: file:// URLs read directly;
+    ``https://<host>/robots.txt`` resolves into the corpus robots dir
+    (standing in for the network the reference fetches robots from)."""
+    from urllib.parse import urlparse
+
+    def fetch(url: str) -> str:
+        parsed = urlparse(url)
+        if parsed.scheme == "file":
+            with open(parsed.path) as f:
+                return f.read()
+        if parsed.path == "/robots.txt":
+            path = os.path.join(out_dir, "robots", "%s.txt" % parsed.netloc.lower())
+            with open(path) as f:
+                return f.read()
+        raise IOError("no network access for %s" % url)
+
+    return fetch
+
+
+def corpus_config(out_dir: str) -> GleanerConfig:
+    """The GleanerConfig describing the synthetic corpus's sources."""
+    sm = os.path.join(out_dir, "sitemaps")
+    sources = []
+    for name, host in HOSTS.items():
+        sources.append(
+            Source(
+                sourcetype="robots" if name == "robo4" else "sitemap",
+                name=name,
+                url=(
+                    "file://%s/robots/%s.txt" % (out_dir, host)
+                    if name == "robo4"
+                    else "file://%s/%s.xml" % (sm, name)
+                ),
+                headless=(name == "head3"),
+                pid="https://pid.example.org/%s" % name,
+                propername="Synthetic %s" % name,
+                domain="https://%s" % host,
+            )
+        )
+    # dead sitemap source: error-isolation path (root_internal_test.go:159-191)
+    sources.append(
+        Source(
+            sourcetype="sitemap",
+            name="dead5",
+            url="file://%s/does_not_exist.xml" % sm,
+            pid="https://pid.example.org/dead5",
+            propername="Dead Source",
+            domain="https://dead.example.org",
+        )
+    )
+    return GleanerConfig(
+        minio=MinioConfig(bucket="gleaner"),
+        summoner=SummonerConfig(threads=5, delay=0, mode="full"),
+        sources=sources,
+    )

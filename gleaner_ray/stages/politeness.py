@@ -1,0 +1,90 @@
+"""Per-host politeness / admission state (ST3+ST4).
+
+The reference serializes fetches per source with a semaphore of width
+``threads`` and sleeps ``delay`` ms after each URL; any delay forces
+width 1 (/root/reference/internal/summoner/acquire/acquire.go:71-73,
+118-124,210). Crawl-delay can be raised by robots.txt
+(resources.go:173-180).
+
+In the Parquet-page data plane there is no live server to protect, so
+admission is *logical*: each host's URLs receive a strictly increasing
+``seq`` in sitemap order and a simulated admission timestamp derived
+from the politeness budget (threads, delay). The pipeline uses ``seq``
+for crawl-ordering parity (north rule); a live deployment would point
+``admit`` at a real clock and sleep.
+
+Sharding: one ``PolitenessShard`` actor owns ``hash(host) % n`` of the
+host space, so a mega-host's admission counter lives on exactly one
+actor while extraction parallelism stays unconstrained downstream.
+"""
+
+from __future__ import annotations
+
+import math
+
+import ray
+
+from ..robots import parse_robots
+
+__all__ = ["PolitenessShard", "merge_crawl_delay"]
+
+
+def merge_crawl_delay(config_delay_ms: int, robots_crawl_delay_s: float) -> int:
+    """overrideCrawlDelayFromRobots (resources.go:173-180):
+    delay = max(robots seconds, config override) — NB the reference
+    compares seconds against ms verbatim; we keep its math.Max shape
+    but in milliseconds on both sides."""
+    return int(math.ceil(max(robots_crawl_delay_s * 1000.0, float(config_delay_ms))))
+
+
+@ray.remote(num_cpus=0.25)
+class PolitenessShard:
+    def __init__(self, shard_id: int, user_agent: str = "EarthCube_DataBot/1.0"):
+        self.shard_id = shard_id
+        self.user_agent = user_agent
+        # host -> {group, delay_ms, threads, seq, clock_ms}
+        self.hosts: dict[str, dict] = {}
+
+    def configure(self, host: str, robots_txt: str | None, delay_ms: int, threads: int) -> dict:
+        group = None
+        if robots_txt is not None:
+            group = parse_robots(robots_txt).find_group(self.user_agent)
+            if group is not None and group.crawl_delay:
+                delay_ms = merge_crawl_delay(delay_ms, group.crawl_delay)
+        if delay_ms > 0:
+            threads = 1  # acquire.go:71-73
+        self.hosts[host] = {
+            "group": group,
+            "delay_ms": delay_ms,
+            "threads": max(1, threads),
+            "seq": 0,
+            "clock_ms": 0,
+        }
+        return {"host": host, "delay_ms": delay_ms, "threads": max(1, threads)}
+
+    def admit(self, host: str, urls: list[str]) -> dict:
+        """Admit URLs for one host in order. Returns per-url allow flags,
+        seq numbers, and simulated admission times (ms since host start)."""
+        state = self.hosts.get(host)
+        if state is None:
+            state = {"group": None, "delay_ms": 0, "threads": 1, "seq": 0, "clock_ms": 0}
+            self.hosts[host] = state
+        group = state["group"]
+        allowed, seqs, times = [], [], []
+        for url in urls:
+            ok = group.test(url) if group is not None else True
+            allowed.append(ok)
+            if ok:
+                seqs.append(state["seq"])
+                # with threads=t and delay d, url k clears admission at
+                # ceil((k+1)/t)*d (strictly serial when d>0 forces t=1)
+                state["clock_ms"] = ((state["seq"] // state["threads"]) + 1) * state["delay_ms"]
+                times.append(state["clock_ms"])
+                state["seq"] += 1
+            else:
+                seqs.append(-1)
+                times.append(-1)
+        return {"allowed": allowed, "seq": seqs, "admit_ms": times}
+
+    def host_stats(self) -> dict:
+        return {h: {"seq": s["seq"], "delay_ms": s["delay_ms"]} for h, s in self.hosts.items()}

@@ -1,0 +1,224 @@
+"""End-to-end summon pipeline tests over the deterministic synthetic corpus.
+
+Replays the reference's e2e invariants (cmd/root_internal_test.go):
+object counts per prefix, idempotency of a second run, dead-sitemap
+isolation, bad-JSON-LD exclusion, duplicate-content dedup — and checks
+the Ray pipeline row-for-row (byte-identical jsonld, sha, object name,
+object set) against a straight-line sequential oracle implementing the
+reference's control flow directly.
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from gleaner_ray.config import ContextOption
+from gleaner_ray.extract import extract_candidates
+from gleaner_ray.fixups import add_to_json_list_if_valid, process_json
+from gleaner_ray.identifier import get_sha
+from gleaner_ray.jsonld_lite import Validator
+from gleaner_ray.sources.frontier import build_frontier
+from gleaner_ray.sources.synth import corpus_config, corpus_fetch, generate_corpus
+
+
+def sequential_oracle(corpus: str, cfg):
+    """The reference's crawl as a single-threaded loop (SURVEY §3.2):
+    per source in config order, per URL in sitemap order: extract ->
+    validate -> fixups -> sha -> first-writer dedup via object existence."""
+    frontier, errors = build_frontier(cfg, corpus_fetch(corpus))
+    pages = {}
+    pages_dir = os.path.join(corpus, "pages")
+    for f in sorted(os.listdir(pages_dir)):
+        t = pq.read_table(os.path.join(pages_dir, f))
+        for url, html, text in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist(), t.column("text").to_pylist()
+        ):
+            pages[url] = (html, text)
+    validator = Validator()
+    seen = set()
+    rows = []
+    by_source: dict[str, list] = {}
+    for url, source, order in zip(
+        frontier.column("url").to_pylist(),
+        frontier.column("source").to_pylist(),
+        frontier.column("sitemap_order").to_pylist(),
+    ):
+        by_source.setdefault(source, []).append((order, url))
+    for source in [s.name for s in cfg.sources]:
+        for order, url in sorted(by_source.get(source, [])):
+            page = pages.get(url)
+            if page is None:
+                continue  # HTTP-error analogue
+            candidates, _ = extract_candidates(url, page[0], page[1])
+            jsonlds = []
+            for c in candidates:
+                jsonlds, _err = add_to_json_list_if_valid(jsonlds, c, validator)
+            for di, doc in enumerate(jsonlds):
+                if doc == "":
+                    continue
+                fixed = process_json(doc, ContextOption.HTTPS, False)
+                sha = get_sha(fixed)
+                first = sha not in seen
+                seen.add(sha)
+                rows.append(
+                    {
+                        "url": url,
+                        "source": source,
+                        "seq": order,
+                        "doc_index": di,
+                        "jsonld": fixed,
+                        "sha": sha,
+                        "object_name": "summoned/%s/%s.jsonld" % (source, sha),
+                        "seen_first": first,
+                    }
+                )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus("/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, corpus, tmp_path_factory):
+    from gleaner_ray.pipelines.summon import summon
+
+    out = str(tmp_path_factory.mktemp("summon"))
+    cfg = corpus_config(corpus)
+    manifest = summon(
+        cfg,
+        os.path.join(corpus, "pages"),
+        out,
+        run_date="2026-08-17",
+        fetch=corpus_fetch(corpus),
+        n_seen_shards=4,
+        concurrency=1,
+    )
+    return {"out": out, "manifest": manifest, "cfg": cfg}
+
+
+def load_results(out, run_id="run-0000"):
+    # hive-partitioned by source: read as a dataset so the partition
+    # column is reconstructed
+    df = pq.read_table(os.path.join(out, "results", run_id)).to_pandas()
+    df["source"] = df["source"].astype(str)
+    return df
+
+
+class TestSummonPipeline:
+    def test_row_level_parity_with_sequential_oracle(self, run, corpus):
+        oracle = sequential_oracle(corpus, corpus_config(corpus))
+        df = load_results(run["out"])
+        docs = df[df.doc_index >= 0]
+        o_by_key = {(r["url"], r["doc_index"]): r for r in oracle}
+        assert len(docs) == len(oracle)
+        for _, row in docs.iterrows():
+            o = o_by_key[(row["url"], row["doc_index"])]
+            assert row["jsonld"] == o["jsonld"], row["url"]  # byte-identical
+            assert row["sha"] == o["sha"]
+            assert row["object_name"] == o["object_name"]
+
+    def test_object_set_matches_oracle(self, run, corpus):
+        oracle = sequential_oracle(corpus, corpus_config(corpus))
+        expected_objects = {r["object_name"] for r in oracle if r["seen_first"]}
+        root = os.path.join(run["out"], "objects", "gleaner")
+        actual = set()
+        for dirpath, _, files in os.walk(os.path.join(root, "summoned")):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                actual.add(rel)
+        # the empty-doc quirk sha (sha1("")) is shared by every source's
+        # graph-array page; which source wins the first-writer race is
+        # nondeterministic in the reference (goroutines) and here
+        # (streaming batches) — compare modulo that object's source
+        empty_suffix = "/%s.jsonld" % get_sha("")
+        exp_empty = {o for o in expected_objects if o.endswith(empty_suffix)}
+        act_empty = {o for o in actual if o.endswith(empty_suffix)}
+        assert len(exp_empty) == len(act_empty) == 1
+        assert actual - act_empty == expected_objects - exp_empty
+
+    def test_object_contents_byte_identical(self, run, corpus):
+        oracle = sequential_oracle(corpus, corpus_config(corpus))
+        root = os.path.join(run["out"], "objects", "gleaner")
+        content_by_name = {r["object_name"]: r["jsonld"] for r in oracle}
+        checked = 0
+        for name, text in list(content_by_name.items())[:200]:
+            with open(os.path.join(root, name)) as f:
+                assert f.read() == text
+            checked += 1
+        assert checked > 0
+
+    def test_dedup_uploaded_counts(self, run, corpus):
+        oracle = sequential_oracle(corpus, corpus_config(corpus))
+        n_first = sum(1 for r in oracle if r["seen_first"])
+        per_source = run["manifest"]["per_source"]
+        assert sum(v["uploaded"] for v in per_source.values()) == n_first
+
+    def test_dead_sitemap_isolated(self, run):
+        # dead5's sitemap 404s; other sources still crawled
+        assert any("dead5" in e for e in run["manifest"]["frontier_errors"])
+        assert run["manifest"]["per_source"]["geo0"]["fetched"] > 0
+
+    def test_invalid_jsonld_excluded(self, run):
+        df = load_results(run["out"])
+        invalid_pages = df[df.url.str.contains("/ref/invalid/")]
+        # invalid pages appear only as zero-candidate markers
+        assert (invalid_pages.doc_index == -1).all()
+        assert (invalid_pages.seen_first == False).all()  # noqa: E712
+
+    def test_prov_written_for_every_valid_doc(self, run):
+        df = load_results(run["out"])
+        n_prov = sum(
+            len(files)
+            for _, _, files in os.walk(os.path.join(run["out"], "objects", "gleaner", "prov"))
+        )
+        # prov is written before the dedup check (jsonutils.go:378-386):
+        # one per (source, url, sha) triple, deduped only by identical text
+        docs = df[df.doc_index >= 0]
+        assert n_prov == len(docs[["source", "url", "sha"]].drop_duplicates())
+
+    def test_orgs_written(self, run):
+        org_dir = os.path.join(run["out"], "objects", "gleaner", "orgs")
+        names = sorted(os.listdir(org_dir))
+        assert names == ["dead5.nq", "geo0.nq", "head3.nq", "hydro1.nq", "robo4.nq", "wq2.nq"]
+
+    def test_idempotent_second_run(self, run, corpus, ray_session):
+        from gleaner_ray.pipelines.summon import summon
+
+        root = os.path.join(run["out"], "objects", "gleaner", "summoned")
+        before = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                before[p] = os.path.getmtime(p)
+        m2 = summon(
+            run["cfg"],
+            os.path.join(corpus, "pages"),
+            run["out"],
+            run_date="2026-08-18",
+            fetch=corpus_fetch(corpus),
+            n_seen_shards=4,
+            concurrency=1,
+            resume=True,
+        )
+        # no new summoned objects, none overwritten (root_internal_test.go:79-106)
+        assert sum(v["uploaded"] for v in m2["per_source"].values()) == 0
+        after = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                after[p] = os.path.getmtime(p)
+        assert before == after
+
+    def test_robots_disallowed_not_crawled(self, run):
+        df = load_results(run["out"])
+        assert not df.url.str.contains("/private/").any()
+
+    def test_graph_array_quirk_empty_doc(self, run):
+        # the original array string becomes an empty doc with sha1("")
+        df = load_results(run["out"])
+        empty_sha = get_sha("")
+        assert (df[df.doc_index >= 0].sha == empty_sha).any()

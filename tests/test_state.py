@@ -1,0 +1,114 @@
+"""Units for the cuckoo filter, seen shards, and politeness actors."""
+
+import pytest
+
+from gleaner_ray.state.cuckoo import CuckooFilter
+
+
+class TestCuckoo:
+    def test_basic_membership(self):
+        f = CuckooFilter(capacity=1000)
+        items = ["sha%d" % i for i in range(500)]
+        for it in items:
+            assert f.add(it)
+        assert all(f.contains(it) for it in items)
+
+    def test_no_false_negatives(self):
+        f = CuckooFilter(capacity=4096)
+        items = ["doc-%d" % i for i in range(3000)]
+        for it in items:
+            f.add(it)
+        assert all(f.contains(it) for it in items)
+
+    def test_low_false_positive_rate(self):
+        f = CuckooFilter(capacity=4096)
+        for i in range(3000):
+            f.add("in-%d" % i)
+        fp = sum(f.contains("out-%d" % i) for i in range(10000))
+        assert fp / 10000 < 0.05
+
+    def test_delete(self):
+        f = CuckooFilter(capacity=100)
+        f.add("x")
+        assert f.contains("x")
+        assert f.delete("x")
+        assert not f.contains("x")
+
+    def test_save_load_roundtrip(self, tmp_path):
+        f = CuckooFilter(capacity=1000)
+        for i in range(100):
+            f.add("k%d" % i)
+        f.save(str(tmp_path / "f"))
+        g = CuckooFilter.load(str(tmp_path / "f"))
+        assert all(g.contains("k%d" % i) for i in range(100))
+        assert g.count == f.count
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeenShards:
+    def test_first_writer_wins_and_order(self):
+        import ray
+
+        from gleaner_ray.state.seen import check_and_add_batched, create_seen_shards
+
+        shards = create_seen_shards(2, capacity_per_shard=1024)
+        shas = ["%040x" % i for i in [5, 7, 5, 9, 7, 5]]
+        flags = check_and_add_batched(shards, shas)
+        assert flags == [True, True, False, True, False, False]
+        # second batch: all already seen
+        assert check_and_add_batched(shards, shas) == [False] * 6
+        for s in shards:
+            ray.kill(s)
+
+    def test_snapshot_restore(self, tmp_path):
+        import ray
+
+        from gleaner_ray.state.seen import check_and_add_batched, create_seen_shards
+
+        shards = create_seen_shards(2, capacity_per_shard=1024)
+        shas = ["%040x" % i for i in range(20)]
+        check_and_add_batched(shards, shas)
+        ray.get([s.snapshot.remote(str(tmp_path)) for s in shards])
+        for s in shards:
+            ray.kill(s)
+        fresh = create_seen_shards(2, capacity_per_shard=1024)
+        ray.get([s.restore.remote(str(tmp_path)) for s in fresh])
+        assert check_and_add_batched(fresh, shas) == [False] * 20
+        for s in fresh:
+            ray.kill(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPoliteness:
+    def test_admission_ordering_and_robots(self):
+        import ray
+
+        from gleaner_ray.stages.politeness import PolitenessShard
+
+        actor = PolitenessShard.remote(0)
+        robots = "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+        conf = ray.get(actor.configure.remote("h.example.org", robots, 500, 5))
+        # crawl-delay 2s beats 500ms config; any delay forces threads=1
+        assert conf["delay_ms"] == 2000 and conf["threads"] == 1
+        out = ray.get(
+            actor.admit.remote(
+                "h.example.org",
+                ["https://h.example.org/a", "https://h.example.org/private/x", "https://h.example.org/b"],
+            )
+        )
+        assert out["allowed"] == [True, False, True]
+        assert out["seq"] == [0, -1, 1]
+        # strictly serial admission: times advance by delay per admitted url
+        assert out["admit_ms"] == [2000, -1, 4000]
+        ray.kill(actor)
+
+    def test_threads_spread_admission(self):
+        import ray
+
+        from gleaner_ray.stages.politeness import PolitenessShard
+
+        actor = PolitenessShard.remote(1)
+        ray.get(actor.configure.remote("h2", None, 0, 5))
+        out = ray.get(actor.admit.remote("h2", ["u%d" % i for i in range(7)]))
+        assert out["seq"] == list(range(7))
+        ray.kill(actor)
