@@ -1,44 +1,322 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native Gleaner engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl (summon) over the deterministic
+synthetic Common-Crawl-style corpus derived from sf0.001's documents
+table. ``queries()`` exposes every implemented operator family from
+SURVEY §2 plus the training-data ops; ``oracle_sql()`` gives DuckDB
+equivalents where ANSI SQL can express the semantics (crawl extraction
+parity included: the oracle re-extracts JSON-LD from the pages table
+with regexp and must match our pipeline's bytes).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+from gleaner_ray.sources import synth
+
+# The oracle SQL is static text and runs at sf=0.01: materialize that
+# corpus at import time (pure pyarrow, deterministic, ~2s) so the oracle
+# works regardless of query/oracle execution order.
+_SF001 = "/root/testdata/sf0.01"
+try:
+    synth.generate_corpus(_SF001)
+except Exception:
+    pass
+
+_ORACLE_PAGES = os.path.join(synth.corpus_dir_for(_SF001), "pages", "*.parquet")
+
+_SUMMON_CACHE: dict[str, str] = {}
+
+
+def _summon_results(sf_dir: str) -> str:
+    """Run the crawl once per sf_dir; return the run's results parquet dir."""
+    if sf_dir in _SUMMON_CACHE:
+        return _SUMMON_CACHE[sf_dir]
+    from gleaner_ray.pipelines.summon import summon
+
+    corpus = synth.generate_corpus(sf_dir)
+    out = os.path.join("/tmp/gleaner_ray_runs", os.path.basename(os.path.normpath(sf_dir)))
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = summon(
+        synth.corpus_config(corpus),
+        os.path.join(corpus, "pages"),
+        out,
+        run_date="2026-01-01",
+        fetch=synth.corpus_fetch(corpus),
+        write_objects=False,
+        n_seen_shards=4,
+    )
+    _SUMMON_CACHE[sf_dir] = manifest["results_dir"]
+    return manifest["results_dir"]
+
+
+def _results_df(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(_summon_results(sf_dir)).to_pandas()
+    df["source"] = df["source"].astype(str)
+    return df
+
+
+# host -> source mapping the oracle reproduces with a CASE expression
+_HOST_CASE = (
+    "CASE regexp_extract(url, 'https://([^/]+)/', 1) "
+    + " ".join("WHEN '%s' THEN '%s'" % (h, s) for s, h in synth.HOSTS.items())
+    + " END"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the summon crawl at sf0.001; returns the results table."""
+    import ray.data as rd
+
+    return rd.read_parquet(_summon_results("/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_crawl_extract_canon(sf_dir: str) -> pd.DataFrame:
+    df = _results_df(sf_dir)
+    out = df[(df.doc_index >= 0) & df.url.str.contains("/ref/canon/")][["url", "jsonld"]]
+    return out.reset_index(drop=True)
+
+
+def _q_crawl_jsonext_wholebody(sf_dir: str) -> pd.DataFrame:
+    df = _results_df(sf_dir)
+    out = df[(df.doc_index >= 0) & df.url.str.contains("/ref/jsonext/")][["url", "jsonld"]]
+    return out.reset_index(drop=True)
+
+
+def _q_crawl_fetch_counts(sf_dir: str) -> pd.DataFrame:
+    df = _results_df(sf_dir)
+    fetched = df[df.doc_index <= 0].groupby("source", as_index=False).agg(fetched=("url", "size"))
+    return fetched.sort_values("source", ignore_index=True)
+
+
+def _q_crawl_dup_dedup(sf_dir: str) -> pd.DataFrame:
+    df = _results_df(sf_dir)
+    dup = df[(df.doc_index >= 0) & df.url.str.contains("/ref/dup/")]
+    g = dup.groupby("source", as_index=False).agg(n_pages=("url", "size"), n_distinct=("sha", "nunique"))
+    return g.sort_values("source", ignore_index=True)
+
+
+def _q_crawl_results_full(sf_dir: str) -> pd.DataFrame:
+    """Rows-only check: the complete results table of the crawl."""
+    df = _results_df(sf_dir)
+    return df[df.doc_index >= 0][["url", "source", "seq", "doc_index", "sha", "object_name", "seen_first"]]
+
+
+def _knn_queries(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(4)
+    return {"qids": df["vec_id"].tolist(), "vectors": [list(v) for v in df["embedding"]]}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from gleaner_ray import relational as rel
+    from gleaner_ray.ops import dedup as dd
+    from gleaner_ray.ops import similarity as sim
+    from gleaner_ray.ops import text as tx
+
+    def docs(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def embs(sf_dir):
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    return {
+        # -- crawl pipeline (SURVEY §2/§3) ----------------------------------
+        "crawl_extract_canon": _q_crawl_extract_canon,
+        "crawl_jsonext_wholebody": _q_crawl_jsonext_wholebody,
+        "crawl_fetch_counts": _q_crawl_fetch_counts,
+        "crawl_dup_dedup": _q_crawl_dup_dedup,
+        "crawl_results_full": _q_crawl_results_full,
+        # -- relational surface ---------------------------------------------
+        "rel_filter_revenue": lambda sf: rel.filter_project(sf),
+        "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
+        "rel_join_broadcast": lambda sf: rel.broadcast_join_orders_customers(sf),
+        "rel_join_hash": lambda sf: rel.hash_join_lineitem_orders(sf).select_columns(
+            ["l_orderkey", "l_extendedprice", "o_custkey", "o_orderdate"]
+        ),
+        "rel_topk_orders": lambda sf: rel.topk_orders(sf),
+        "rel_distinct_segments": lambda sf: rel.distinct_segments(sf)
+        .to_pandas()
+        .rename(columns={"count()": "n"}),
+        "rel_window_events": lambda sf: rel.tumbling_window_events(sf),
+        "rel_asof_events_orders": lambda sf: rel.asof_join_events_orders(sf).select_columns(
+            ["event_id", "o_orderkey"]
+        ),
+        # -- text analysis ----------------------------------------------------
+        "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
+        "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
+            ["doc_id", "n_chars", "punct_ratio"]
+        ),
+        "text_fingerprint_md5": lambda sf: tx.add_text_ops(docs(sf), "fingerprint").select_columns(
+            ["doc_id", "content_md5"]
+        ),
+        "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
+        # -- dedup family ------------------------------------------------------
+        "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
+        "dedup_minhash_lsh": lambda sf: dd.minhash_lsh(docs(sf)),
+        "dedup_simhash": lambda sf: dd.simhash_dedup(docs(sf)),
+        "dedup_embedding_cosine": lambda sf: dd.embedding_near_dup(embs(sf), threshold=0.25, n_planes=4),
+        # -- similarity search -------------------------------------------------
+        "sim_knn_bruteforce": lambda sf: sim.knn_bruteforce(embs(sf), _knn_queries(sf), k=10)[
+            ["qid", "vec_id"]
+        ],
+        "sim_ivf_knn": lambda sf: sim.ivf_knn(embs(sf), _knn_queries(sf), k=10)[["qid", "vec_id"]],
+        # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
+        "media_decode_fake": _q_media_decode,
+    }
+
+
+def _q_media_decode(sf_dir: str) -> pd.DataFrame:
+    """Binary-column plumbing: wrap document texts as opaque payloads,
+    run the actor-pool decode stage (fake codec), return shape metadata."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gleaner_ray.ops.multimodal import decode_stage
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    payloads = [((s or "").encode("utf-8")) for s in t["text"].to_pylist()[:256]]
+    import pyarrow as pa
+
+    media = pa.table(
+        {
+            "media_id": t["doc_id"].to_pylist()[:256],
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(media)
+    out = decode_stage(ds, kind="image", mode="fake").to_pandas()
+    return out[["media_id", "kind", "shape", "n_bytes"]]
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for the sf tables; the crawl
+# oracles read the deterministic corpus parquet directly)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = "read_parquet('%s')" % _ORACLE_PAGES
+    return {
+        "crawl_extract_canon": f"""
+            SELECT url,
+                   regexp_extract(decode(html),
+                       '<script type="application/ld\\+json">(.*)</script>', 1) AS jsonld
+            FROM {pages}
+            WHERE url LIKE '%/ref/canon/%'
+        """,
+        "crawl_jsonext_wholebody": f"""
+            SELECT url, text AS jsonld FROM {pages} WHERE url LIKE '%/ref/jsonext/%'
+        """,
+        "crawl_fetch_counts": f"""
+            SELECT {_HOST_CASE} AS source, COUNT(*) AS fetched
+            FROM {pages}
+            WHERE url NOT LIKE '%/private/%'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "crawl_dup_dedup": f"""
+            SELECT {_HOST_CASE} AS source,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT regexp_extract(decode(html),
+                       '<script type="application/ld\\+json">(.*)</script>', 1)) AS n_distinct
+            FROM {pages}
+            WHERE url LIKE '%/ref/dup/%'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "rel_filter_revenue": """
+            SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "rel_q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_micros,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rel_join_broadcast": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "rel_join_hash": """
+            SELECT l_orderkey, l_extendedprice, o_custkey, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "rel_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rel_distinct_segments": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "rel_window_events": """
+            SELECT event_type,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rel_asof_events_orders": """
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   COALESCE(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                         / nullif(length(text), 0), 0) AS punct_ratio
+            FROM documents
+        """,
+        "text_fingerprint_md5": """
+            SELECT doc_id, md5(text) AS content_md5 FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "sim_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       ORDER BY vec_id LIMIT 4),
+                 scored AS (
+                   SELECT q.qid, e.vec_id,
+                          list_cosine_similarity(q.qv, e.embedding) AS cosine
+                   FROM q CROSS JOIN embeddings e)
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+              FROM scored) WHERE rk <= 10
+        """,
+        # rows-only (non-SQL-expressible) checks: crawl_results_full,
+        # text_langid, dedup_minhash_lsh, dedup_simhash,
+        # dedup_embedding_cosine, sim_ivf_knn, media_decode_fake
+    }

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside (the same layout the pages table uses for ``html``).
+The Ray-side plumbing — schema, actor-pool signature, batch sizing for
+large binaries, output layout — is real and tested; the actual codec
+call is STUBBED (no image/audio libraries ship in this container):
+
+- ``decode="strict"``  -> raises NotImplementedError at the codec line
+  (the marked integration point for PIL/soundfile/av);
+- ``decode="fake"``    -> a deterministic stand-in (blake2b-seeded
+  pseudo-pixels / pseudo-frames) so downstream feature stages and
+  tests exercise the full path with stable outputs.
+
+Batch sizing: binary payloads make rows wide — callers should use a
+small ``batch_size`` (e.g. 64) and let dynamic block splitting handle
+the rest (SURVEY §7.4 "very wide records").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["MediaDecode", "frame_sample", "decode_stage"]
+
+
+class MediaDecode:
+    """Actor-pool decode/feature stage for binary media columns.
+
+    Output per row: fixed-size float32 feature vector + basic shape
+    metadata. ``kind`` in {image, audio, video}; ``mode`` in
+    {strict, fake}.
+    """
+
+    FEATURE_DIM = 32
+
+    def __init__(self, kind: str = "image", mode: str = "fake", target_size: tuple = (64, 64)):
+        if kind not in ("image", "audio", "video"):
+            raise ValueError(kind)
+        self.kind = kind
+        self.mode = mode
+        self.target_size = target_size
+
+    # -- the stubbed codec boundary -----------------------------------------
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.mode == "strict":
+            # INTEGRATION POINT: PIL.Image.open / soundfile.read / av.open
+            raise NotImplementedError(
+                "no %s codec available in this environment; use mode='fake' "
+                "or install the codec library" % self.kind
+            )
+        # deterministic fake decode: payload bytes -> seeded pseudo-signal
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        if self.kind == "image":
+            return rng.integers(0, 256, size=(*self.target_size, 3)).astype(np.float32)
+        if self.kind == "audio":
+            return rng.standard_normal(16000).astype(np.float32)
+        return rng.integers(0, 256, size=(8, *self.target_size, 3)).astype(np.float32)  # video: 8 frames
+
+    def _features(self, decoded: np.ndarray) -> np.ndarray:
+        flat = decoded.reshape(-1)
+        chunks = np.array_split(flat, self.FEATURE_DIM)
+        return np.array([c.mean() for c in chunks], dtype=np.float32)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, shapes, n_bytes = [], [], []
+        for payload in batch["payload"]:
+            data = bytes(payload) if payload is not None else b""
+            decoded = self._decode(data)
+            feats.append(self._features(decoded))
+            shapes.append("x".join(map(str, decoded.shape)))
+            n_bytes.append(len(data))
+        out = pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "kind": self.kind,
+                "shape": shapes,
+                "n_bytes": n_bytes,
+                "features": feats,
+            }
+        )
+        return out
+
+
+def frame_sample(decoded_video: np.ndarray, every: int = 2) -> np.ndarray:
+    """Deterministic frame sampling for video payloads."""
+    return decoded_video[::every]
+
+
+def decode_stage(ds, kind: str = "image", mode: str = "fake", concurrency: int = 2, batch_size: int = 64):
+    """Wire the decode actor pool with binary-friendly batch sizing."""
+    return ds.map_batches(
+        MediaDecode,
+        fn_constructor_kwargs={"kind": kind, "mode": mode},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -280,6 +280,8 @@ def summon(
     }
     state_dir = os.path.join(out_dir, "state")
     ray.get([s.snapshot.remote(state_dir) for s in shards])
+    for s in shards:  # release the 0.1-CPU reservations; state is on disk
+        ray.kill(s)
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

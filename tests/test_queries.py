@@ -1,0 +1,152 @@
+"""Driver-replica correctness harness: run every queries() entry and
+compare against its oracle_sql() via DuckDB (row count + schema-ish +
+values), the way the external driver does at sf=0.01.
+
+Crawl queries run at sf0.01 (their oracle reads the sf0.01 corpus the
+module materializes at import); the rest run at sf0.001 for speed.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype) == "category":
+            df[c] = df[c].astype(str)
+    key = df.astype(str).agg("|".join, axis=1)
+    return df.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def assert_frames_match(rdf: pd.DataFrame, odf: pd.DataFrame, name: str):
+    assert len(rdf) == len(odf), "%s: row count %d != oracle %d" % (name, len(rdf), len(odf))
+    assert sorted(rdf.columns) == sorted(odf.columns), "%s: columns %s != %s" % (
+        name,
+        sorted(rdf.columns),
+        sorted(odf.columns),
+    )
+    r, o = normalize(rdf), normalize(odf)
+    for c in r.columns:
+        rv, ov = r[c], o[c]
+        if pd.api.types.is_float_dtype(rv) or pd.api.types.is_float_dtype(ov):
+            rvf = rv.astype("float64").to_numpy()
+            ovf = ov.astype("float64").to_numpy()
+            both_nan = np.isnan(rvf) & np.isnan(ovf)
+            close = np.isclose(rvf, ovf, rtol=1e-9, atol=1e-12)
+            assert (both_nan | close).all(), "%s: float column %s differs" % (name, c)
+        else:
+            eq = (rv.astype(str) == ov.astype(str)).all()
+            assert eq, "%s: column %s differs\n%s\n%s" % (name, c, rv.head(), ov.head())
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as mod
+
+    return mod
+
+
+SMALL_SF = "/root/testdata/sf0.001"
+CRAWL_SF = "/root/testdata/sf0.01"
+
+
+def _run_and_compare(contract, name: str, sf_dir: str):
+    q = contract.queries()[name]
+    sql = contract.oracle_sql()[name]
+    rdf = to_pandas(q(sf_dir))
+    odf = oracle_df(sql, sf_dir)
+    assert_frames_match(rdf, odf, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rel_filter_revenue",
+        "rel_q1_agg",
+        "rel_join_broadcast",
+        "rel_join_hash",
+        "rel_topk_orders",
+        "rel_distinct_segments",
+        "rel_window_events",
+        "rel_asof_events_orders",
+        "text_token_stats",
+        "text_quality",
+        "text_fingerprint_md5",
+        "dedup_exact",
+        "sim_knn_bruteforce",
+    ],
+)
+def test_oracle_checked_small(contract, name):
+    _run_and_compare(contract, name, SMALL_SF)
+
+
+@pytest.mark.parametrize(
+    "name", ["crawl_extract_canon", "crawl_jsonext_wholebody", "crawl_fetch_counts", "crawl_dup_dedup"]
+)
+def test_oracle_checked_crawl(contract, name):
+    _run_and_compare(contract, name, CRAWL_SF)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "crawl_results_full",
+        "text_langid",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "sim_ivf_knn",
+        "media_decode_fake",
+    ],
+)
+def test_rows_only_queries_run(contract, name):
+    q = contract.queries()[name]
+    rdf = to_pandas(q(SMALL_SF))
+    assert len(rdf) >= 0 and len(rdf.columns) > 0
+
+
+def test_entry_smoke(contract):
+    ds = contract.entry()
+    assert ds.count() > 0
+
+
+def test_every_oracle_key_has_query(contract):
+    qs = contract.queries()
+    for name in contract.oracle_sql():
+        assert name in qs, name
