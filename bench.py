@@ -1,0 +1,146 @@
+"""Benchmark driver: headline summon pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "summon_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <dir>, "num_cpus": N,
+   "pages": P, "urls_per_sec": R}
+
+`--scaling` runs the headline in two fresh processes (num_cpus=8 and 32
+— the N vs 4N CPU proxy for the two-cluster-size criterion) on the same
+input and reports both throughputs plus scaling efficiency.
+
+Corpus generation and an untimed warm read are excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from gleaner_ray.pipelines.summon import summon
+    from gleaner_ray.sources import synth
+
+    corpus = synth.generate_corpus(sf_dir)  # untimed (deterministic, cached)
+    cfg = synth.corpus_config(corpus)
+    pages_dir = os.path.join(corpus, "pages")
+
+    # warm the OS page cache so we measure compute+pipeline, not cold disk
+    import pyarrow.parquet as pq
+
+    n_pages = 0
+    for f in sorted(os.listdir(pages_dir)):
+        n_pages += pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+
+    out_dir = "/tmp/gleaner_bench_out/%s_c%d" % (os.path.basename(os.path.normpath(sf_dir)), num_cpus)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    manifest = summon(
+        cfg,
+        pages_dir,
+        out_dir,
+        run_date="2026-01-01",
+        fetch=synth.corpus_fetch(corpus),
+        write_objects=False,
+        n_seen_shards=max(4, num_cpus // 4),
+        batch_size=1024,
+    )
+    summon_sec = time.time() - t0
+    fetched = sum(v["fetched"] for v in manifest["per_source"].values())
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    from gleaner_ray import relational as rel
+    from gleaner_ray.ops import dedup as dd
+    from gleaner_ray.ops import similarity as sim
+    from gleaner_ray.ops import text as tx
+    import ray.data as rd
+
+    docs = lambda: rd.read_parquet(f"{sf_dir}/documents.parquet")  # noqa: E731
+    embs = lambda: rd.read_parquet(f"{sf_dir}/embeddings.parquet")  # noqa: E731
+
+    timed("q1_agg", lambda: rel.grouped_agg_q1(sf_dir).to_pandas())
+    timed("join_hash", lambda: rel.hash_join_lineitem_orders(sf_dir).count())
+    timed("window_events", lambda: rel.tumbling_window_events(sf_dir).to_pandas())
+    timed("text_quality", lambda: tx.add_text_ops(docs(), "quality").count())
+    timed("dedup_exact", lambda: dd.exact_dedup(docs()).count())
+    timed("dedup_minhash_lsh", lambda: dd.minhash_lsh(docs(), concurrency=max(2, num_cpus // 4)).count())
+    import pyarrow.parquet as pq2
+
+    emb_head = pq2.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id").head(4)
+    qv = {"qids": emb_head["vec_id"].tolist(), "vectors": [list(v) for v in emb_head["embedding"]]}
+    timed("knn_bruteforce", lambda: sim.knn_bruteforce(embs(), qv, k=10))
+
+    result = {
+        "metric": "summon_sec",
+        "value": round(summon_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "urls_fetched": int(fetched),
+        "urls_per_sec": round(fetched / summon_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+        )
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        out[n] = json.loads(line)
+    r_lo = out[lo]["urls_per_sec"]
+    r_hi = out[hi]["urls_per_sec"]
+    eff = (r_hi / r_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "urls_per_sec": {str(lo): r_lo, str(hi): r_hi},
+        "summon_sec": {str(lo): out[lo]["value"], str(hi): out[hi]["value"]},
+        "sf": out[hi]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

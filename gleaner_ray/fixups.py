@@ -72,19 +72,19 @@ STANDARD_HTTPS_CONTEXT = {
 STANDARD_HTTP_CONTEXT = {k: v.replace("https://", "http://", 1) for k, v in STANDARD_HTTPS_CONTEXT.items()}
 
 
-def fix_context_string(jsonld: str) -> str:
+def fix_context_string(jsonld: str, root=None) -> str:
     """If the top-level @context is a string, wrap it as {"@vocab": s}."""
-    node = jsonpatch.get_node(jsonld, ["@context"])
+    node = jsonpatch.get_node(jsonld, ["@context"], root=root)
     if node is not None and node.kind == "string":
         return jsonpatch.set_raw(jsonld, ["@context"], marshal({"@vocab": node.value}))
     return jsonld
 
 
-def fix_context_array(jsonld: str, option: ContextOption = ContextOption.HTTPS) -> str:
+def fix_context_array(jsonld: str, option: ContextOption = ContextOption.HTTPS, root=None) -> str:
     """If the top-level @context is an array, replace it wholesale with the
     standardized https context map (the reference always standardizes to
     https here regardless of ``option`` — jsonutils.go:181)."""
-    node = jsonpatch.get_node(jsonld, ["@context"])
+    node = jsonpatch.get_node(jsonld, ["@context"], root=root)
     if node is not None and node.kind == "array":
         return standardize_context(jsonld, ContextOption.STANDARDIZED_HTTPS)
     return jsonld
@@ -98,9 +98,9 @@ def standardize_context(jsonld: str, option: ContextOption) -> str:
     return jsonld
 
 
-def fix_context_url(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str:
+def fix_context_url(jsonld: str, ctx: str = HTTPS_CONTEXT, root=None) -> str:
     """Normalize schema.org context member URLs; ensure @vocab exists."""
-    node = jsonpatch.get_node(jsonld, ["@context"])
+    node = jsonpatch.get_node(jsonld, ["@context"], root=root)
     members: list[tuple[str, object]] = []
     if node is not None and node.kind == "object":
         members = [(k, v) for k, _, v in node.members]
@@ -123,8 +123,17 @@ def fix_context_url(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str:
                 context = ctx + context[i:]
             if len(context) < 20:  # len("https://schema.org/") == 19
                 context = ctx
-        jsonld = jsonpatch.set_raw(jsonld, ["@context", ns], marshal(context))
+        raw = marshal(context)
+        if raw == vnode.raw and not_changed_since(jsonld, vnode):
+            continue  # sjson.Set with identical bytes is a no-op splice
+        jsonld = jsonpatch.set_raw(jsonld, ["@context", ns], raw)
     return jsonld
+
+
+def not_changed_since(jsonld: str, node) -> bool:
+    """A node span is still valid iff the document bytes there are
+    untouched (cheap check: the raw text still sits at its span)."""
+    return jsonld[node.start : node.end] == node.raw
 
 
 def _url_scheme(s: str) -> str:
@@ -134,7 +143,7 @@ def _url_scheme(s: str) -> str:
         return ""
 
 
-def fix_id(jsonld: str) -> str:
+def fix_id(jsonld: str, root=None) -> str:
     """Rewrite relative @id values to file:// URLs when no @base exists.
 
     Applies to top-level ``@type == "Dataset"`` (the @id itself) and
@@ -142,10 +151,11 @@ def fix_id(jsonld: str) -> str:
     as jsonutils.go:192-227. Operates tolerantly on malformed JSON the
     same way gjson does (the reference's own fixtures are malformed).
     """
-    try:
-        root = jsonpatch.parse(jsonld)
-    except jsonpatch.ParseError:
-        return jsonld
+    if root is None:
+        try:
+            root = jsonpatch.parse(jsonld)
+        except jsonpatch.ParseError:
+            return jsonld
     base_node = jsonpatch.get_node(jsonld, ["@context", "@base"], root=root)
     if base_node is not None and base_node.gjson_string() != "":
         return jsonld
@@ -160,13 +170,63 @@ def fix_id(jsonld: str) -> str:
     else:
         return jsonld
     for path in targets:
-        node = jsonpatch.get_node(jsonld, path)
+        node = jsonpatch.get_node(jsonld, path, root=root)
         if node is None or node.kind != "string":
             continue
         ident = node.value
         if _url_scheme(ident) == "":  # relative URL and no @base in context
             jsonld = jsonpatch.set_raw(jsonld, path, marshal("file://" + ident))
+            try:
+                root = jsonpatch.parse(jsonld)  # spans shifted
+            except jsonpatch.ParseError:
+                root = None
     return jsonld
+
+
+def _fast_no_change(jsonld: str, ctx: str = HTTPS_CONTEXT) -> bool:
+    """True only when the fixup chain provably changes nothing.
+
+    Conservative: any escape sequence in the document, non-object
+    context, missing @vocab, schema.org-rewritable member, non-string
+    member (gjson stringification quirk), or potentially-relative @id
+    falls back to the exact splice path. The no-escape precondition
+    guarantees every string's raw bytes are '"'+value+'"', so value-level
+    checks imply byte-level no-ops."""
+    if "\\" in jsonld:
+        return False
+    import json as _json
+
+    try:
+        obj = _json.loads(jsonld)
+    except ValueError:
+        return False
+    if not isinstance(obj, dict):
+        return False
+    ctx_map = obj.get("@context")
+    if not isinstance(ctx_map, dict) or "@vocab" not in ctx_map:
+        return False
+    for v in ctx_map.values():
+        if not isinstance(v, str):
+            return False
+        if "schema.org" in v:
+            v2 = v
+            if "www." in v2:
+                v2 = ctx + v2[v2.index("schema.org") :]
+            if len(v2) < 20:
+                v2 = ctx
+            if v2 != v:
+                return False
+    base = ctx_map.get("@base")
+    if isinstance(base, str) and base != "":
+        return True  # fix_id bails out early with a non-empty @base
+    top_type = obj.get("@type")
+    if top_type == "Dataset":
+        ident = obj.get("@id")
+        if ident is not None and (not isinstance(ident, str) or _url_scheme(ident) == ""):
+            return False
+    elif top_type == "ItemList":
+        return False  # itemListElement rewrites take the exact path
+    return True
 
 
 def is_graph_array(jsonld: str, validator) -> tuple[bool, list[str]]:
@@ -232,8 +292,29 @@ def process_json(
     """
     src_fix_option, src_http_option = get_options(fix_context_option)
     if (not context_strict) or (src_fix_option is not ContextOption.STRICT):
-        jsonld = fix_context_string(jsonld)
-        jsonld = fix_context_array(jsonld, src_fix_option)
-        jsonld = fix_context_url(jsonld, src_http_option)
-        jsonld = fix_id(jsonld)
+        # fast path: a C-speed json.loads + value inspection proves the
+        # whole fixup chain is a byte-level no-op for this document
+        # (equivalence with the splice path is pinned by tests)
+        if _fast_no_change(jsonld, src_http_option):
+            return jsonld
+        # parse once; re-parse only after a fixup actually changed bytes
+        try:
+            root = jsonpatch.parse(jsonld)
+        except jsonpatch.ParseError:
+            root = None
+
+        def step(fn, *args):
+            nonlocal jsonld, root
+            new = fn(jsonld, *args, root=root)
+            if new != jsonld:
+                jsonld = new
+                try:
+                    root = jsonpatch.parse(jsonld)
+                except jsonpatch.ParseError:
+                    root = None
+
+        step(fix_context_string)
+        step(fix_context_array, src_fix_option)
+        step(fix_context_url, src_http_option)
+        step(fix_id)
     return jsonld

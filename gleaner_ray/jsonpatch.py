@@ -156,44 +156,59 @@ class _Parser:
         return node
 
     def _string(self) -> Node:
+        # fast scan: jump between quote candidates with str.find (C speed);
+        # a quote preceded by an odd number of backslashes is escaped
         s = self.s
         start = self.i
-        i = self.i + 1
+        i = start + 1
+        while True:
+            q = s.find('"', i)
+            if q < 0:
+                raise ParseError("unterminated string at %d" % start)
+            b = q - 1
+            while b >= 0 and s[b] == "\\":
+                b -= 1
+            if (q - 1 - b) % 2 == 0:
+                raw = s[start : q + 1]
+                body = raw[1:-1]
+                value = self._decode_escapes(body) if "\\" in body else body
+                self.i = q + 1
+                return Node("string", start, q + 1, value, raw=raw)
+            i = q + 1
+
+    @staticmethod
+    def _decode_escapes(body: str) -> str:
         out = []
-        while i < self.n:
-            c = s[i]
-            if c == '"':
-                i += 1
-                node = Node("string", start, i, "".join(out), raw=s[start:i])
-                self.i = i
-                return node
-            if c == "\\":
-                if i + 1 >= self.n:
+        i = 0
+        n = len(body)
+        while i < n:
+            c = body[i]
+            if c != "\\":
+                j = body.find("\\", i)
+                if j < 0:
+                    out.append(body[i:])
                     break
-                e = s[i + 1]
-                if e == "u":
-                    if i + 6 > self.n:
-                        break
-                    cp = int(s[i + 2 : i + 6], 16)
-                    # surrogate pair handling
-                    if 0xD800 <= cp <= 0xDBFF and s[i + 6 : i + 8] == "\\u":
-                        lo = int(s[i + 8 : i + 12], 16)
-                        if 0xDC00 <= lo <= 0xDFFF:
-                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
-                            out.append(chr(cp))
-                            i += 12
-                            continue
-                    out.append(chr(cp))
-                    i += 6
-                    continue
-                out.append(
-                    {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "/": "/", "\\": "\\", '"': '"'}.get(e, e)
-                )
-                i += 2
+                out.append(body[i:j])
+                i = j
                 continue
-            out.append(c)
-            i += 1
-        raise ParseError("unterminated string at %d" % start)
+            if i + 1 >= n:
+                out.append(c)
+                break
+            e = body[i + 1]
+            if e == "u" and i + 6 <= n:
+                cp = int(body[i + 2 : i + 6], 16)
+                if 0xD800 <= cp <= 0xDBFF and body[i + 6 : i + 8] == "\\u":
+                    lo = int(body[i + 8 : i + 12], 16)
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        out.append(chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)))
+                        i += 12
+                        continue
+                out.append(chr(cp))
+                i += 6
+                continue
+            out.append({"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "/": "/", "\\": "\\", '"': '"'}.get(e, e))
+            i += 2
+        return "".join(out)
 
     def _number(self) -> Node:
         s = self.s

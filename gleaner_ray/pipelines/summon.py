@@ -143,6 +143,7 @@ def summon(
     concurrency=None,
     batch_size: int = 512,
     resume: bool = False,
+    fused: bool = True,
     pages_read_kwargs: dict | None = None,
 ) -> dict:
     """Run the crawl; returns the run manifest (also written to disk)."""
@@ -190,29 +191,45 @@ def summon(
         ray.get([shards[k].preload.remote(v) for k, v in by_shard.items()])
 
     # -- Phases B-D: one streaming graph ------------------------------------
-    pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **(pages_read_kwargs or {}))
-    joined = pages.map_batches(
-        AttachFrontier, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", batch_size=batch_size,
-        concurrency=io_concurrency, num_cpus=0.5,
-    )
-    extracted = joined.map_batches(
-        ExtractValidate,
-        fn_constructor_args=(cfg.context.contextmaps,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    read_kwargs = dict(pages_read_kwargs or {})
+    read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2))
+    pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **read_kwargs)
     fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
-    normalized = extracted.map_batches(
-        make_normalizer(fix_options, cfg.context.strict), batch_format="pyarrow", batch_size=batch_size
-    )
-    if dedup == "exact":
-        deduped = dedup_exact(normalized)
+    if fused and dedup == "streaming":
+        # hot path: ReadParquet -> Fused(actor pool) -> Write — one pool,
+        # no inter-stage hops (stages/fused.py; semantics identical to the
+        # decomposed graph below, pinned by the pipeline parity tests)
+        from ..stages.fused import FusedSummon
+
+        deduped = pages.map_batches(
+            FusedSummon,
+            fn_constructor_args=(lookup_ref, shards, fix_options, cfg.context.strict, cfg.context.contextmaps),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     else:
-        deduped = normalized.map_batches(
-            SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
+        joined = pages.map_batches(
+            AttachFrontier, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", batch_size=batch_size,
             concurrency=io_concurrency, num_cpus=0.5,
         )
+        extracted = joined.map_batches(
+            ExtractValidate,
+            fn_constructor_args=(cfg.context.contextmaps,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        normalized = extracted.map_batches(
+            make_normalizer(fix_options, cfg.context.strict), batch_format="pyarrow", batch_size=batch_size
+        )
+        if dedup == "exact":
+            deduped = dedup_exact(normalized)
+        else:
+            deduped = normalized.map_batches(
+                SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
+                concurrency=io_concurrency, num_cpus=0.5,
+            )
     if write_objects:
         source_info = {s.name: s for s in cfg.sources}
         deduped = deduped.map_batches(

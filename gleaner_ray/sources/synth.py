@@ -151,21 +151,24 @@ def corpus_dir_for(sf_dir: str, root: str = "/tmp/gleaner_ray_corpus") -> str:
 def generate_corpus(
     sf_dir: str,
     out_dir: str | None = None,
-    pages_per_doc: int = 2,
+    n_pages: int | None = None,
     rows_per_file: int = 25_000,
     force: bool = False,
 ) -> str:
     """Generate the corpus for a scale dir; returns the corpus directory.
 
-    Deterministic: same sf_dir -> same bytes. Skips generation when the
-    output manifest already matches (cheap re-entry for queries()).
+    Deterministic: same sf_dir -> same bytes. The page count scales with
+    the sf (lineitem row count: ~6k/60k/600k at sf 0.001/0.01/0.1);
+    document texts cycle when the corpus outnumbers them. Skips
+    generation when the output manifest already matches.
     """
     out_dir = out_dir or corpus_dir_for(sf_dir)
     manifest_path = os.path.join(out_dir, "manifest.json")
     docs_path = os.path.join(sf_dir, "documents.parquet")
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
-    n_pages = docs.num_rows * pages_per_doc
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "pages_per_doc": pages_per_doc, "version": 3}
+    if n_pages is None:
+        n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 4}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:

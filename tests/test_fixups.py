@@ -311,3 +311,30 @@ class TestProcessJson:
         doc = '{"@context": "http://schema.org", "@type": "Dataset", "@id": "rel_id"}'
         out = fixups.process_json(doc, ContextOption.STRICT, context_strict=True)
         assert out == doc
+
+
+class TestFastPathEquivalence:
+    """The json.loads fast path must agree byte-for-byte with the exact
+    splice path on every corpus payload class."""
+
+    def test_fast_equals_slow_on_corpus_classes(self, monkeypatch):
+        from gleaner_ray.sources.synth import CLASSES, _payload
+
+        docs = []
+        for i, cls in enumerate(CLASSES):
+            url = "https://h.example.org/ref/%s/%d" % (cls, i)
+            docs.append(_payload(cls, url, "Dataset %d" % i, 'desc with "quotes" and text'))
+        docs += [
+            '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","@id":"https://x/1"}',
+            '{"@context":{"@vocab":"https://schema.org/","@base":"https://b/"},"@type":"Dataset","@id":"rel"}',
+            '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset"}',
+            '{"@type":"Thing","name":"no context"}',
+            '{"@context":{"@vocab":"https://schema.org/","x":{"@id":"schema:x"}},"@type":"Thing"}',
+            '{"@context":{"@vocab":"https://schema.org/"},"@type":["Dataset"],"@id":"rel"}',
+        ]
+        for doc in docs:
+            fast = fixups.process_json(doc, ContextOption.HTTPS, False)
+            monkeypatch.setattr(fixups, "_fast_no_change", lambda *a, **k: False)
+            slow = fixups.process_json(doc, ContextOption.HTTPS, False)
+            monkeypatch.undo()
+            assert fast == slow, doc

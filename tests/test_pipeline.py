@@ -222,3 +222,35 @@ class TestSummonPipeline:
         df = load_results(run["out"])
         empty_sha = get_sha("")
         assert (df[df.doc_index >= 0].sha == empty_sha).any()
+
+
+class TestDecomposedPath:
+    """The decomposed stage graph (fused=False) and exact-dedup variant
+    must produce the same document rows as the fused streaming path."""
+
+    def test_decomposed_exact_dedup_matches_oracle(self, run, corpus, ray_session, tmp_path_factory):
+        from gleaner_ray.pipelines.summon import summon
+
+        out = str(tmp_path_factory.mktemp("summon_dec"))
+        manifest = summon(
+            corpus_config(corpus),
+            os.path.join(corpus, "pages"),
+            out,
+            run_date="2026-08-17",
+            fetch=corpus_fetch(corpus),
+            write_objects=False,
+            dedup="exact",
+            fused=False,
+            concurrency=1,
+        )
+        df = load_results(out)
+        oracle = sequential_oracle(corpus, corpus_config(corpus))
+        docs = df[df.doc_index >= 0]
+        assert len(docs) == len(oracle)
+        o_by_key = {(r["url"], r["doc_index"]): r["jsonld"] for r in oracle}
+        sample = docs.sample(n=min(300, len(docs)), random_state=7)
+        for _, row in sample.iterrows():
+            assert row["jsonld"] == o_by_key[(row["url"], row["doc_index"])]
+        # exact dedup marks exactly one winner per distinct sha
+        assert docs[docs.seen_first].sha.nunique() == docs.sha.nunique()
+        assert docs[docs.seen_first].shape[0] == docs.sha.nunique()
