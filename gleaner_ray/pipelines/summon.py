@@ -56,20 +56,35 @@ class AttachFrontier:
     (dropped, SURVEY §2.4); pages not in any sitemap are not crawled."""
 
     def __init__(self, frontier_ref):
-        self.lookup = ray.get(frontier_ref) if isinstance(frontier_ref, ray.ObjectRef) else frontier_ref
+        from ..stages.fused import _build_lookup
+
+        self.lookup = _build_lookup(frontier_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.fused import FrontierIndex
+
         urls = batch.column("url").to_pylist()
         lookup = self.lookup
         keep_idx, sources, hosts, seqs = [], [], [], []
-        for i, url in enumerate(urls):
-            hit = lookup.get(url)
-            if hit is None:
-                continue
-            keep_idx.append(i)
-            sources.append(hit[0])
-            hosts.append(hit[1])
-            seqs.append(hit[2])
+        if isinstance(lookup, FrontierIndex):
+            hit_mask, positions = lookup.lookup_batch(urls)
+            for i in range(len(urls)):
+                if not hit_mask[i]:
+                    continue
+                source, host, seq = lookup.row(positions[i])
+                keep_idx.append(i)
+                sources.append(source)
+                hosts.append(host)
+                seqs.append(seq)
+        else:
+            for i, url in enumerate(urls):
+                hit = lookup.get(url)
+                if hit is None:
+                    continue
+                keep_idx.append(i)
+                sources.append(hit[0])
+                hosts.append(hit[1])
+                seqs.append(hit[2])
         out = batch.take(pa.array(keep_idx, pa.int32())) if len(keep_idx) < len(urls) else batch
         out = out.append_column("source", pa.array(sources, pa.string()))
         out = out.append_column("host", pa.array(hosts, pa.string()))
@@ -144,6 +159,7 @@ def summon(
     batch_size: int = 512,
     resume: bool = False,
     fused: bool = True,
+    frontier_index_ref=None,
     pages_read_kwargs: dict | None = None,
 ) -> dict:
     """Run the crawl; returns the run manifest (also written to disk)."""
@@ -155,16 +171,36 @@ def summon(
     # starves another (see ray_guide "actor pools" pitfall).
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        concurrency = max(1, int(total_cpus * 0.6)) if total_cpus >= 8 else 1
+        # proportional pool sizing so N vs 4N CPUs gives ~N vs 4N actors
+        concurrency = max(1, (total_cpus * 5) // 8) if total_cpus >= 4 else 1
     io_concurrency = max(1, total_cpus // 8)
+
+    timings: dict[str, float] = {}
+    _t = time.time()
+
+    def mark(name):
+        nonlocal _t
+        timings[name] = round(time.time() - _t, 3)
+        _t = time.time()
 
     # -- Phase A: frontier --------------------------------------------------
     errors: list[str] = []
     if frontier is None:
-        from ..sources.frontier import default_fetch
+        from ..sources.frontier import build_frontier_parallel, default_fetch
 
-        frontier, errors = build_frontier(cfg, fetch or default_fetch)
-    lookup_ref = ray.put(_frontier_lookup(frontier))
+        frontier, errors = build_frontier_parallel(cfg, fetch or default_fetch)
+    mark("frontier_build")
+    # broadcast a numpy hash index of the frontier (built once on the
+    # driver; numpy arrays deserialize as zero-copy plasma views in every
+    # actor — no per-actor dict build). Callers that crawl repeatedly
+    # (or at 10^10 scale, from a Parquet frontier) pass a prepared ref.
+    if frontier_index_ref is None:
+        from ..stages.fused import FrontierIndex
+
+        lookup_ref = ray.put(FrontierIndex.build(frontier))
+    else:
+        lookup_ref = frontier_index_ref
+    mark("frontier_index")
 
     # results are versioned per run: resume unions prior runs' shas while
     # metrics only ever read the current run's table
@@ -239,7 +275,9 @@ def summon(
             batch_size=batch_size,
             concurrency=io_concurrency, num_cpus=0.5,
         )
+    mark("setup")
     deduped.write_parquet(results_dir, partition_cols=["source"])
+    mark("pipeline_write")
 
     # -- org graphs (tiny, driver-side; root.go:159 runs them every time) ---
     org_errors: list[str] = []
@@ -257,24 +295,42 @@ def summon(
                 f.write(nq)
 
     # -- metrics + manifest (north rule: per-partition metrics + lineage) ---
-    results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
-    import pandas as pd
+    if fused and dedup == "streaming":
+        # the fused stage shipped per-batch counts to the shards inline
+        per_source_counts: dict[str, list[int]] = {}
+        for shard_counts in ray.get([s.get_counts.remote() for s in shards]):
+            for source, vals in shard_counts.items():
+                acc = per_source_counts.setdefault(source, [0, 0, 0])
+                for i, v in enumerate(vals):
+                    acc[i] += v
+        import pandas as pd
 
-    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
-        # fetched: one row per visited page (doc_index <= 0 by construction:
-        # first doc or zero-candidate marker); sums are cross-batch safe
-        return batch.groupby("source", as_index=False).agg(
-            fetched=("doc_index", lambda s: int((s <= 0).sum())),
-            valid=("doc_index", lambda s: int((s >= 0).sum())),
-            uploaded=("seen_first", "sum"),
+        by_source = pd.DataFrame(
+            [
+                {"source": k, "fetched": v[0], "valid": v[1], "uploaded": v[2]}
+                for k, v in sorted(per_source_counts.items())
+            ]
         )
+    else:
+        results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
+        import pandas as pd
 
-    partials = results.map_batches(_counts, batch_format="pandas").to_pandas()
-    by_source = (
-        partials.groupby("source", as_index=False).sum(numeric_only=True)
-        if len(partials)
-        else partials
-    )
+        def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+            # fetched: one row per visited page (doc_index <= 0 by
+            # construction); sums are cross-batch safe
+            return batch.groupby("source", as_index=False).agg(
+                fetched=("doc_index", lambda s: int((s <= 0).sum())),
+                valid=("doc_index", lambda s: int((s >= 0).sum())),
+                uploaded=("seen_first", "sum"),
+            )
+
+        partials = results.map_batches(_counts, batch_format="pandas").to_pandas()
+        by_source = (
+            partials.groupby("source", as_index=False).sum(numeric_only=True)
+            if len(partials)
+            else partials
+        )
+    mark("metrics")
     manifest = {
         "run_id": run_id,
         "results_dir": results_dir,
@@ -299,6 +355,8 @@ def summon(
     ray.get([s.snapshot.remote(state_dir) for s in shards])
     for s in shards:  # release the 0.1-CPU reservations; state is on disk
         ray.kill(s)
+    mark("snapshot")
+    manifest["timings"] = timings
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

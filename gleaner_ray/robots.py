@@ -26,12 +26,15 @@ class _Rule:
 
     def __post_init__(self):
         # Google spec: '*' matches any chars, '$' anchors end
+        self._plain = "*" not in self.path and not self.path.endswith("$")
         pat = re.escape(self.path).replace(r"\*", ".*")
         if pat.endswith(r"\$"):
             pat = pat[:-2] + "$"
         self._re = re.compile("^" + pat)
 
     def match(self, path: str) -> bool:
+        if self._plain:  # prefix rule: C-speed startswith
+            return path.startswith(self.path)
         return self._re.match(path) is not None
 
 
@@ -44,10 +47,11 @@ class RobotsGroup:
     def test(self, url_or_path: str) -> bool:
         """True if fetching is allowed (robots.Test, resources.go:162)."""
         if url_or_path.startswith(("http://", "https://")):
-            parsed = urlparse(url_or_path)
-            path = parsed.path or "/"
-            if parsed.query:
-                path += "?" + parsed.query
+            rest = url_or_path.split("://", 1)[1]
+            slash = rest.find("/")
+            path = rest[slash:] if slash >= 0 else "/"
+            if "#" in path:
+                path = path.split("#", 1)[0]
         else:
             path = url_or_path or "/"
         best_len = -1

@@ -20,6 +20,7 @@ lastmod, priority, headless).
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
@@ -56,7 +57,22 @@ def parse_sitemap_index(xml_text: str) -> list[str]:
     return out
 
 
+_LOC_FAST = re.compile(r"<loc>([^<&]*)</loc>")
+
+
 def parse_sitemap(xml_text: str) -> list[SitemapURL]:
+    # fast path for plain loc-only urlsets (the common machine-generated
+    # shape): regex extraction at C speed; any entity, CDATA, or optional
+    # per-url field falls back to the full XML parse
+    if (
+        "<urlset" in xml_text[:200]
+        and "lastmod" not in xml_text
+        and "priority" not in xml_text
+        and "changefreq" not in xml_text
+        and "<![CDATA[" not in xml_text
+        and "&" not in xml_text
+    ):
+        return [SitemapURL(loc=m.strip()) for m in _LOC_FAST.findall(xml_text)]
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:

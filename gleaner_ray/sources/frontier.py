@@ -102,6 +102,134 @@ def build_frontier(
     return pa.table(rows, schema=schema.FRONTIER), errors
 
 
+def _expand_sitemap_doc(xml_text: str, source_name: str, headless: bool, group) -> dict:
+    """Parse one sitemap document into frontier column lists (no global
+    order yet — the caller offsets by index position). Used both inline
+    and inside Ray tasks."""
+    from ..sitemaps import parse_sitemap
+
+    urls, hosts, lastmods, priorities = [], [], [], []
+    try:
+        entries = parse_sitemap(xml_text)
+    except ValueError as e:
+        return {
+            "url": urls, "host": hosts, "lastmod": lastmods, "priority": priorities,
+            "source": source_name, "headless": headless, "error": str(e),
+        }
+    for e in entries:
+        if e.loc == "":
+            continue
+        loc = e.loc.strip()
+        if " " in loc or "\n" in loc:
+            loc = loc.replace(" ", "").replace("\n", "")
+        if group is not None and not group.test(loc):
+            continue
+        urls.append(loc)
+        hosts.append(canonical_host(loc))
+        lastmods.append(e.lastmod)
+        priorities.append(e.priority)
+    return {
+        "url": urls,
+        "host": hosts,
+        "lastmod": lastmods,
+        "priority": priorities,
+        "source": source_name,
+        "headless": headless,
+        "error": None,
+    }
+
+
+def build_frontier_parallel(cfg: GleanerConfig, fetch=default_fetch) -> tuple[pa.Table, list[str]]:
+    """Seed expansion with one Ray task per sitemap document.
+
+    Index files and robots are fetched on the driver (tiny); every child
+    urlset parses + robots-filters in its own task; global
+    ``sitemap_order`` is assigned by offsetting each child's local order
+    by the post-filter counts of the children before it in index order —
+    identical output to ``build_frontier``. Falls back to the serial
+    builder when Ray isn't initialised."""
+    import ray
+
+    if not ray.is_initialized():
+        return build_frontier(cfg, fetch)
+    from ..robots import parse_robots
+    from ..sitemaps import parse_sitemap_index
+
+    expand_task = ray.remote(num_cpus=1)(_expand_sitemap_doc)
+    errors: list[str] = []
+    jobs: list = []  # (source_order, child_rank, future)
+    sources = [s for s in cfg.sources if s.active]
+
+    for s_ord, source in enumerate(sources):
+        group = None
+        sitemap_urls: list[str] = []
+        try:
+            if source.sourcetype == "robots":
+                robots_data = parse_robots(fetch(source.url))
+                group = robots_data.find_group(USER_AGENT)
+                sitemap_urls = list(robots_data.sitemaps)
+            elif source.sourcetype == "sitemap":
+                if not cfg.rude:
+                    try:
+                        group = parse_robots(fetch(source.domain.rstrip("/") + "/robots.txt")).find_group(
+                            USER_AGENT
+                        )
+                    except (IOError, OSError):
+                        group = None
+                if group is not None and group.crawl_delay:
+                    source.delay = max(int(group.crawl_delay * 1000), source.delay)
+                top = fetch(source.url)
+                try:
+                    children = parse_sitemap_index(top)
+                except ValueError as e:
+                    errors.append("%s: %s" % (source.name, e))
+                    continue
+                if children:
+                    for rank, child_url in enumerate(children):
+                        jobs.append((s_ord, rank, expand_task.remote(fetch(child_url), source.name, source.headless, group)))
+                    continue
+                jobs.append((s_ord, 0, expand_task.remote(top, source.name, source.headless, group)))
+                continue
+            else:
+                continue
+        except Exception as e:
+            errors.append("%s: %s" % (source.name, e))
+            continue
+        for rank, sm_url in enumerate(sitemap_urls):
+            try:
+                jobs.append((s_ord, rank, expand_task.remote(fetch(sm_url), source.name, source.headless, group)))
+            except Exception as e:
+                errors.append("%s: %s" % (source.name, e))
+
+    parts = []
+    results = ray.get([f for _, _, f in jobs])
+    ordered = sorted(zip([(a, b) for a, b, _ in jobs], results))
+    offsets: dict[str, int] = {}
+    for (_, _rank), res in ordered:
+        if res.get("error"):
+            errors.append("%s: %s" % (res["source"], res["error"]))
+            continue
+        n = len(res["url"])
+        base = offsets.get(res["source"], 0)
+        offsets[res["source"]] = base + n
+        parts.append(
+            pa.table(
+                {
+                    "url": pa.array(res["url"], pa.string()),
+                    "source": pa.array([res["source"]] * n, pa.string()),
+                    "host": pa.array(res["host"], pa.string()),
+                    "sitemap_order": pa.array(range(base, base + n), pa.int64()),
+                    "lastmod": pa.array(res["lastmod"], pa.string()),
+                    "priority": pa.array(res["priority"], pa.float32()),
+                    "headless": pa.array([res["headless"]] * n, pa.bool_()),
+                }
+            )
+        )
+    if not parts:
+        return pa.table({k.name: [] for k in schema.FRONTIER}, schema=schema.FRONTIER), errors
+    return pa.concat_tables(parts), errors
+
+
 def frontier_from_parquet(path: str, **read_kwargs):
     """10^10-scale path: the frontier is itself a Parquet table."""
     import ray.data as rd

@@ -27,7 +27,75 @@ from ..fixups import add_to_json_list_if_valid, process_json
 from ..jsonld_lite import Validator
 from ..state.seen import check_and_add_batched
 
-__all__ = ["FusedSummon"]
+__all__ = ["FusedSummon", "_build_lookup"]
+
+
+def _hash64_array(urls) -> "np.ndarray":
+    """Vectorized stable 64-bit url hashing (pandas siphash with its
+    fixed key — deterministic across processes, C speed)."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(urls, dtype=object))
+
+
+class FrontierIndex:
+    """Zero-copy broadcast frontier: sorted uint64 url-hashes + aligned
+    code arrays, built ONCE on the driver and shared through the object
+    store (numpy arrays deserialize as views onto plasma). Per batch,
+    membership is a vectorized ``np.searchsorted`` — no per-actor dict
+    build, which matters when the frontier has 10^8+ rows and dozens of
+    actors per node."""
+
+    __slots__ = ("hashes", "source_codes", "host_codes", "seqs", "source_names", "host_names")
+
+    @classmethod
+    def build(cls, frontier) -> "FrontierIndex":
+        import numpy as np
+        import pyarrow.compute as pc
+
+        urls = frontier.column("url").to_numpy(zero_copy_only=False)
+        # dictionary-encode the low-cardinality columns in Arrow (C speed)
+        src_dict = pc.dictionary_encode(frontier.column("source").combine_chunks())
+        host_dict = pc.dictionary_encode(frontier.column("host").combine_chunks())
+        seqs = np.asarray(frontier.column("sitemap_order").to_numpy(zero_copy_only=False), dtype=np.int64)
+        h = _hash64_array(urls)
+        order = np.argsort(h, kind="stable")
+        self = cls()
+        self.hashes = h[order]
+        self.source_names = src_dict.dictionary.to_pylist()
+        self.host_names = host_dict.dictionary.to_pylist()
+        self.source_codes = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int32)[order]
+        self.host_codes = host_dict.indices.to_numpy(zero_copy_only=False).astype(np.int32)[order]
+        self.seqs = seqs[order]
+        return self
+
+    def lookup_batch(self, urls: list[str]):
+        """Return (hit_mask, positions) for a batch of urls."""
+        import numpy as np
+
+        h = _hash64_array(urls)
+        pos = np.searchsorted(self.hashes, h)
+        pos = np.minimum(pos, len(self.hashes) - 1)
+        hit = self.hashes[pos] == h if len(self.hashes) else np.zeros(len(urls), dtype=bool)
+        return hit, pos
+
+    def row(self, pos: int):
+        return (
+            self.source_names[self.source_codes[pos]],
+            self.host_names[self.host_codes[pos]],
+            int(self.seqs[pos]),
+        )
+
+
+def _build_lookup(frontier_ref):
+    """Resolve the broadcast frontier reference (FrontierIndex, Arrow
+    table, or plain dict) into per-actor lookup state."""
+    obj = ray.get(frontier_ref) if isinstance(frontier_ref, ray.ObjectRef) else frontier_ref
+    if isinstance(obj, (dict, FrontierIndex)):
+        return obj
+    cols = [obj.column(c).to_pylist() for c in ("url", "source", "host", "sitemap_order")]
+    return {u: (s, h, o) for u, s, h, o in zip(*cols)}
 
 
 class FusedSummon:
@@ -39,7 +107,7 @@ class FusedSummon:
         context_strict: bool = False,
         context_maps: dict | None = None,
     ):
-        self.lookup = ray.get(frontier_ref) if isinstance(frontier_ref, ray.ObjectRef) else frontier_ref
+        self.lookup = _build_lookup(frontier_ref)
         self.shards = shards
         self.validator = Validator(context_maps)
         self.opts = {k: ContextOption.parse(v) for k, v in (fix_options or {}).items()}
@@ -56,11 +124,18 @@ class FusedSummon:
 
         out_url, out_source, out_host, out_seq, out_idx = [], [], [], [], []
         out_jsonld, out_sha, out_name = [], [], []
-        for url, html, text in zip(urls, htmls, texts):
-            hit = lookup.get(url)
-            if hit is None:
-                continue
-            source, host, seq = hit
+        if isinstance(lookup, FrontierIndex):
+            hit_mask, positions = lookup.lookup_batch(urls)
+            rows_iter = (
+                (urls[i], htmls[i], texts[i]) + lookup.row(positions[i])
+                for i in range(len(urls))
+                if hit_mask[i]
+            )
+        else:
+            rows_iter = (
+                (u, h, t) + lookup[u] for u, h, t in zip(urls, htmls, texts) if u in lookup
+            )
+        for url, html, text, source, host, seq in rows_iter:
             candidates, _ = extract_candidates(url, html, text)
             jsonlds: list[str] = []
             for cand in candidates:
@@ -95,6 +170,20 @@ class FusedSummon:
             probe = check_and_add_batched(self.shards, [out_sha[i] for i in real_pos])
             for i, flag in zip(real_pos, probe):
                 flags[i] = flag
+        # ship per-batch metrics to one shard (sync, so the totals are
+        # complete when the pipeline drains)
+        counts: dict[str, list[int]] = {}
+        for i, source in enumerate(out_source):
+            acc = counts.setdefault(source, [0, 0, 0])
+            if out_idx[i] <= 0:
+                acc[0] += 1  # fetched: one per visited page
+            if out_idx[i] >= 0:
+                acc[1] += 1  # valid doc
+            if flags[i]:
+                acc[2] += 1  # uploaded (first writer)
+        if counts:
+            self._batch_no = getattr(self, "_batch_no", 0) + 1
+            ray.get(self.shards[self._batch_no % len(self.shards)].record_counts.remote(counts))
         return pa.table(
             {
                 "url": pa.array(out_url, pa.string()),

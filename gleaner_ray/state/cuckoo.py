@@ -29,6 +29,18 @@ def _h64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def _hash64_batch(items: list[str]) -> np.ndarray:
+    """Vectorized stable 64-bit hashing for bulk ops (pandas siphash)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(items, dtype=object))
+
+
+# alt-index mixing table: hash of each possible 16-bit fingerprint,
+# precomputed once (partial-key cuckoo hashing needs hash(fp))
+_FP_MIX = np.array([_h64(fp.to_bytes(2, "little")) for fp in range(1 << 16)], dtype=np.uint64)
+
+
 class CuckooFilter:
     def __init__(self, capacity: int = 1_000_000, seed: int = 7):
         n_buckets = 1
@@ -41,15 +53,16 @@ class CuckooFilter:
         self._rng = np.random.default_rng(seed)
 
     # -- hashing -----------------------------------------------------------
+    # one hash family for scalar and bulk paths (pandas siphash)
     def _fingerprint_and_index(self, item: str) -> tuple[int, int]:
-        h = _h64(item.encode("utf-8"))
+        h = int(_hash64_batch([item])[0])
         fp = (h & 0xFFFF) or 1  # fingerprint 0 is "empty"
         idx = (h >> 16) & (self.n_buckets - 1)
         return fp, idx
 
     def _alt_index(self, idx: int, fp: int) -> int:
         # partial-key cuckoo: i2 = i1 xor hash(fp)
-        return (idx ^ _h64(fp.to_bytes(2, "little"))) & (self.n_buckets - 1)
+        return (idx ^ int(_FP_MIX[fp])) & (self.n_buckets - 1)
 
     # -- ops ---------------------------------------------------------------
     def contains(self, item: str) -> bool:
@@ -98,6 +111,57 @@ class CuckooFilter:
     @property
     def load_factor(self) -> float:
         return self.count / (self.n_buckets * _SLOTS)
+
+    # -- bulk ops (vectorized hashing; used by the seen-set shards) ---------
+    def _fp_idx_batch(self, items: list[str]):
+        h = _hash64_batch(items)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint64)
+        fp[fp == 0] = 1
+        idx = ((h >> np.uint64(16)) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        alt = (idx.astype(np.uint64) ^ _FP_MIX[fp.astype(np.int64)]) & np.uint64(self.n_buckets - 1)
+        return fp.astype(np.uint16), idx, alt.astype(np.int64)
+
+    def contains_many(self, items: list[str]) -> np.ndarray:
+        """Vectorized membership: one fancy-indexed comparison pass."""
+        if not items:
+            return np.zeros(0, dtype=bool)
+        fp, idx, alt = self._fp_idx_batch(items)
+        hit1 = (self.table[idx] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[alt] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def add_many(self, items: list[str], skip_mask=None) -> None:
+        """Bulk insert with precomputed hashes; ``skip_mask`` marks items
+        already present (no re-insert)."""
+        if not items:
+            return
+        fp, idx, alt = self._fp_idx_batch(items)
+        table = self.table
+        for k in range(len(items)):
+            if skip_mask is not None and skip_mask[k]:
+                continue
+            self._place(int(fp[k]), int(idx[k]), int(alt[k]))
+
+    def _place(self, fp: int, i1: int, i2: int) -> bool:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        idx = i1 if self._rng.integers(2) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(_SLOTS))
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = self._alt_index(idx, fp)
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        return False
 
     # -- persistence (per-partition checkpoint snapshots) -------------------
     def save(self, path: str) -> None:

@@ -41,19 +41,42 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity)
         self.exact: set[str] = set()
+        self.counts: dict[str, list[int]] = {}
+
+    def record_counts(self, per_source: dict[str, list[int]]) -> bool:
+        """Accumulate per-source [fetched, valid, uploaded] metric rows
+        shipped by the fused stage (one bulk call per batch); the driver
+        sums shard counts after the pipeline drains — no extra results
+        pass. Synchronous (callers ray.get) so completion is guaranteed
+        before the pipeline finishes."""
+        for source, vals in per_source.items():
+            acc = self.counts.setdefault(source, [0, 0, 0])
+            for i, v in enumerate(vals):
+                acc[i] += v
+        return True
+
+    def get_counts(self) -> dict:
+        return self.counts
 
     def check_and_add(self, shas: list[str]) -> list[bool]:
-        """For each sha IN ORDER: True if this call is the first writer."""
+        """For each sha IN ORDER: True if this call is the first writer.
+
+        The in-memory exact set answers membership directly (a set probe
+        is ~0.1us); the cuckoo filter is kept in sync via one vectorized
+        bulk insert per call. When the exact set spills to disk at 10^10
+        scale, ``contains_many``'s maybe-mask gates the disk lookups —
+        that is the cuckoo fast path the north rule describes."""
         out = []
+        exact = self.exact
+        new_shas: list[str] = []
         for sha in shas:
-            if self.filter.contains(sha):
-                # cuckoo 'maybe' -> exact authority
-                if sha in self.exact:
-                    out.append(False)
-                    continue
-            self.filter.add(sha)
-            self.exact.add(sha)
-            out.append(True)
+            if sha in exact:
+                out.append(False)
+            else:
+                exact.add(sha)
+                new_shas.append(sha)
+                out.append(True)
+        self.filter.add_many(new_shas)
         return out
 
     def contains(self, shas: list[str]) -> list[bool]:
@@ -61,10 +84,9 @@ class SeenShard:
 
     def preload(self, shas: list[str]) -> int:
         """Warm the shard from a previous run's results (resume path)."""
-        for sha in shas:
-            if sha not in self.exact:
-                self.filter.add(sha)
-                self.exact.add(sha)
+        fresh = [sha for sha in shas if sha not in self.exact]
+        self.exact.update(fresh)
+        self.filter.add_many(fresh)
         return len(self.exact)
 
     def stats(self) -> dict:
@@ -80,7 +102,7 @@ class SeenShard:
         path = os.path.join(directory, "seen_shard_%04d" % self.shard_id)
         self.filter.save(path)
         with open(path + ".keys", "w") as f:
-            f.write("\n".join(sorted(self.exact)))
+            f.write("\n".join(self.exact))
         return path
 
     def restore(self, directory: str) -> int:

@@ -14,11 +14,24 @@ __all__ = ["canonical_host", "host_bucket", "sha_shard"]
 
 def canonical_host(url: str) -> str:
     """Lowercased netloc with default ports stripped; '' on parse failure."""
+    # fast path: scheme://host[:port]/... via string ops (C speed)
+    if url.startswith("https://"):
+        host = url[8:].split("/", 1)[0].lower()
+        if host.endswith(":443"):
+            host = host[:-4]
+        if "@" not in host:
+            return host
+    elif url.startswith("http://"):
+        host = url[7:].split("/", 1)[0].lower()
+        if host.endswith(":80"):
+            host = host[:-3]
+        if "@" not in host:
+            return host
     try:
         parsed = urlparse(url)
     except ValueError:
         return ""
-    host = (parsed.netloc or "").lower()
+    host = (parsed.netloc or "").rsplit("@", 1)[-1].lower()
     if host.endswith(":80") and parsed.scheme == "http":
         host = host[:-3]
     elif host.endswith(":443") and parsed.scheme == "https":
