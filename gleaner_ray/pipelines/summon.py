@@ -237,9 +237,18 @@ def summon(
         # decomposed graph below, pinned by the pipeline parity tests)
         from ..stages.fused import FusedSummon
 
+        retrieval = {}
+        for s in cfg.sources:
+            try:
+                rc = cfg.retrieval_config(s.name)
+                retrieval[s.name] = (rc["delay_ms"], rc["threads"])
+            except KeyError:
+                retrieval[s.name] = (0, 1)
         deduped = pages.map_batches(
             FusedSummon,
-            fn_constructor_args=(lookup_ref, shards, fix_options, cfg.context.strict, cfg.context.contextmaps),
+            fn_constructor_args=(
+                lookup_ref, shards, fix_options, cfg.context.strict, cfg.context.contextmaps, retrieval,
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -331,10 +340,16 @@ def summon(
             else partials
         )
     mark("metrics")
+    # input lineage (north rule: per-partition lineage in the manifest)
+    try:
+        lineage = sorted(os.listdir(pages_path)) if os.path.isdir(pages_path) else [os.path.basename(pages_path)]
+    except OSError:
+        lineage = []
     manifest = {
         "run_id": run_id,
         "results_dir": results_dir,
         "run_date": run_date,
+        "input_files": lineage,
         "elapsed_sec": round(time.time() - t0, 3),
         "pages_path": os.path.abspath(pages_path),
         "frontier_size": frontier.num_rows,

@@ -106,12 +106,16 @@ class FusedSummon:
         fix_options: dict[str, str] | None = None,
         context_strict: bool = False,
         context_maps: dict | None = None,
+        retrieval: dict[str, tuple[int, int]] | None = None,
     ):
         self.lookup = _build_lookup(frontier_ref)
         self.shards = shards
         self.validator = Validator(context_maps)
         self.opts = {k: ContextOption.parse(v) for k, v in (fix_options or {}).items()}
         self.context_strict = context_strict
+        # source -> (delay_ms, threads) politeness budget for the
+        # simulated admission schedule column (stages/politeness.py)
+        self.retrieval = retrieval or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -170,6 +174,12 @@ class FusedSummon:
             probe = check_and_add_batched(self.shards, [out_sha[i] for i in real_pos])
             for i, flag in zip(real_pos, probe):
                 flags[i] = flag
+        from .politeness import admission_ms
+
+        admit = [
+            admission_ms(out_seq[i], *self.retrieval.get(out_source[i], (0, 1)))
+            for i in range(len(out_seq))
+        ]
         # ship per-batch metrics to one shard (sync, so the totals are
         # complete when the pipeline drains)
         counts: dict[str, list[int]] = {}
@@ -195,5 +205,6 @@ class FusedSummon:
                 "sha": pa.array(out_sha, pa.string()),
                 "object_name": pa.array(out_name, pa.string()),
                 "seen_first": pa.array(flags, pa.bool_()),
+                "admit_ms": pa.array(admit, pa.int64()),
             }
         )

@@ -26,7 +26,17 @@ import ray
 
 from ..robots import parse_robots
 
-__all__ = ["PolitenessShard", "merge_crawl_delay"]
+__all__ = ["PolitenessShard", "merge_crawl_delay", "admission_ms"]
+
+
+def admission_ms(seq: int, delay_ms: int, threads: int) -> int:
+    """Simulated admission time for the seq-th URL of a host under the
+    reference's politeness budget: with threads t and delay d the k-th
+    URL clears admission at ceil((k+1)/t)*d; d>0 forces t=1
+    (acquire.go:71-73,210). Pure — the PolitenessShard actor uses the
+    same formula for live/streaming admission."""
+    t = 1 if delay_ms > 0 else max(1, threads)
+    return ((seq // t) + 1) * delay_ms
 
 
 def merge_crawl_delay(config_delay_ms: int, robots_crawl_delay_s: float) -> int:
@@ -76,9 +86,7 @@ class PolitenessShard:
             allowed.append(ok)
             if ok:
                 seqs.append(state["seq"])
-                # with threads=t and delay d, url k clears admission at
-                # ceil((k+1)/t)*d (strictly serial when d>0 forces t=1)
-                state["clock_ms"] = ((state["seq"] // state["threads"]) + 1) * state["delay_ms"]
+                state["clock_ms"] = admission_ms(state["seq"], state["delay_ms"], state["threads"])
                 times.append(state["clock_ms"])
                 state["seq"] += 1
             else:

@@ -1,0 +1,157 @@
+"""Behavioral tests for the training-data operators: planted duplicates
+must be found, the IVF path must approximate brute force, the stubbed
+codec boundary must behave as documented."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away into the green forest "
+        "while the hunter watches quietly from a distance near the old wooden bridge by the river"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("green", "dark")},  # near-dup of 1
+        {"doc_id": 3, "text": base},  # exact dup of 1
+        {"doc_id": 4, "text": "completely different content about ray data pipelines and arrow batches " * 3},
+        {"doc_id": 5, "text": "yet another unrelated document discussing cuckoo filters and minhash sketches " * 3},
+    ]
+    return rd.from_items(rows)
+
+
+class TestNearDup:
+    def test_minhash_lsh_finds_planted_pairs(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import minhash_lsh
+
+        pairs = set(map(tuple, minhash_lsh(docs_with_dups).to_pandas()[["a", "b"]].values))
+        assert (1, 3) in pairs  # exact dup always collides
+        assert (1, 2) in pairs or (2, 3) in pairs  # near-dup found
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_jaccard_verification(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import minhash_lsh, ngram_jaccard_pairs
+
+        cand = minhash_lsh(docs_with_dups)
+        verified = ngram_jaccard_pairs(docs_with_dups, cand, threshold=0.99)
+        pairs = set(map(tuple, verified[["a", "b"]].values)) if len(verified) else set()
+        assert (1, 3) in pairs  # identical text -> jaccard 1.0
+        # near-dup (one word changed) is below 0.99
+        assert (1, 2) not in pairs
+
+    def test_simhash_finds_planted_pairs(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import simhash_dedup
+
+        df = simhash_dedup(docs_with_dups).to_pandas()
+        pairs = set(map(tuple, df[["a", "b"]].values))
+        assert (1, 3) in pairs
+        assert df[(df.a == 1) & (df.b == 3)].hamming.iloc[0] == 0
+
+    def test_embedding_near_dup_planted(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import embedding_near_dup
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((50, 16)).astype(np.float32)
+        vecs[7] = vecs[3] + 0.001  # planted near-dup
+        ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)])
+        pairs = set(map(tuple, embedding_near_dup(ds, threshold=0.99).to_pandas()[["a", "b"]].values))
+        assert (3, 7) in pairs
+
+
+class TestSimilarity:
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.similarity import ivf_knn, knn_bruteforce
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        head = emb.limit(3).take_all()
+        qv = {"qids": [r["vec_id"] for r in head], "vectors": [list(r["embedding"]) for r in head]}
+        brute = knn_bruteforce(emb, qv, k=10)
+        approx = ivf_knn(emb, qv, k=10, n_centroids=8, n_probe=4)
+        recalls = []
+        for qid in qv["qids"]:
+            b = set(brute[brute.qid == qid].vec_id)
+            a = set(approx[approx.qid == qid].vec_id)
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.5  # probing half the cells
+
+    def test_bruteforce_self_is_top1(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.similarity import knn_bruteforce
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        head = emb.limit(1).take_all()
+        qv = {"qids": [head[0]["vec_id"]], "vectors": [list(head[0]["embedding"])]}
+        out = knn_bruteforce(emb, qv, k=3)
+        assert out.iloc[0]["vec_id"] == head[0]["vec_id"]  # cosine 1 with itself
+
+
+class TestTextOps:
+    def test_langid_heuristic(self):
+        from gleaner_ray.ops.text import LangId
+
+        lid = LangId()
+        batch = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox is one of the animals in the forest and it was fast",
+                    "der schnelle braune Fuchs ist eines der Tiere und das ist gut so",
+                    "",
+                ],
+            }
+        )
+        out = lid(batch)
+        assert list(out.lang_pred) == ["en", "de", "und"]
+
+    def test_token_stats_and_quality(self):
+        from gleaner_ray.ops.text import quality_scores, token_stats
+
+        batch = pd.DataFrame({"doc_id": [1, 2], "text": ["a b  c", ""]})
+        t = token_stats(batch)
+        assert list(t.n_tokens_ws) == [3, 0]
+        q = quality_scores(batch)
+        assert q.n_chars.iloc[0] == 6 and q.punct_ratio.iloc[1] == 0.0
+
+    def test_fingerprint_deterministic(self):
+        from gleaner_ray.ops.text import fingerprints
+
+        batch = pd.DataFrame({"doc_id": [1], "text": ["one two three four five"]})
+        a = fingerprints(batch).fingerprint.iloc[0]
+        b = fingerprints(batch).fingerprint.iloc[0]
+        assert a == b and len(a) > 0
+
+
+class TestMultimodal:
+    def test_strict_mode_raises_at_codec_boundary(self):
+        from gleaner_ray.ops.multimodal import MediaDecode
+
+        dec = MediaDecode(kind="image", mode="strict")
+        with pytest.raises(NotImplementedError, match="codec"):
+            dec(pd.DataFrame({"media_id": [1], "payload": [b"xx"]}))
+
+    def test_fake_decode_deterministic_shapes(self):
+        from gleaner_ray.ops.multimodal import MediaDecode
+
+        dec = MediaDecode(kind="image", mode="fake")
+        out1 = dec(pd.DataFrame({"media_id": [1, 2], "payload": [b"aa", b"bb"]}))
+        out2 = dec(pd.DataFrame({"media_id": [1, 2], "payload": [b"aa", b"bb"]}))
+        assert list(out1.shape_) if "shape_" in out1 else list(out1["shape"]) == ["64x64x3", "64x64x3"]
+        assert np.allclose(np.stack(out1.features), np.stack(out2.features))
+
+    def test_video_frame_sample(self):
+        from gleaner_ray.ops.multimodal import MediaDecode, frame_sample
+
+        dec = MediaDecode(kind="video", mode="fake")
+        decoded = dec._decode(b"payload")
+        assert decoded.shape[0] == 8
+        assert frame_sample(decoded, every=2).shape[0] == 4
