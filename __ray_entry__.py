@@ -119,6 +119,20 @@ def _q_crawl_results_full(sf_dir: str) -> pd.DataFrame:
     return df[df.doc_index >= 0][["url", "source", "seq", "doc_index", "sha", "object_name", "seen_first"]]
 
 
+def _q_crawl_admission(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: per-source politeness admission schedule summary.
+
+    hydro1 carries a robots Crawl-delay of 1s, so its admission times
+    grow linearly with seq (threads forced to 1, acquire.go:71-73);
+    delay-free sources admit at schedule 0."""
+    df = _results_df(sf_dir)
+    pages = df[df.doc_index <= 0]
+    g = pages.groupby("source", as_index=False).agg(
+        n=("url", "size"), max_admit_ms=("admit_ms", "max"), max_seq=("seq", "max")
+    )
+    return g.sort_values("source", ignore_index=True)
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -148,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_counts": _q_crawl_fetch_counts,
         "crawl_dup_dedup": _q_crawl_dup_dedup,
         "crawl_results_full": _q_crawl_results_full,
+        "crawl_admission": _q_crawl_admission,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),

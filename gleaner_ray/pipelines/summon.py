@@ -159,6 +159,7 @@ def summon(
     batch_size: int = 512,
     resume: bool = False,
     fused: bool = True,
+    join: str = "broadcast",  # "broadcast" (index via plasma) | "hash" (Dataset.join)
     frontier_index_ref=None,
     pages_read_kwargs: dict | None = None,
 ) -> dict:
@@ -194,12 +195,14 @@ def summon(
     # driver; numpy arrays deserialize as zero-copy plasma views in every
     # actor — no per-actor dict build). Callers that crawl repeatedly
     # (or at 10^10 scale, from a Parquet frontier) pass a prepared ref.
-    if frontier_index_ref is None:
-        from ..stages.fused import FrontierIndex
+    lookup_ref = None
+    if join == "broadcast":
+        if frontier_index_ref is None:
+            from ..stages.fused import FrontierIndex
 
-        lookup_ref = ray.put(FrontierIndex.build(frontier))
-    else:
-        lookup_ref = frontier_index_ref
+            lookup_ref = ray.put(FrontierIndex.build(frontier))
+        else:
+            lookup_ref = frontier_index_ref
     mark("frontier_index")
 
     # results are versioned per run: resume unions prior runs' shas while
@@ -231,6 +234,17 @@ def summon(
     read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2))
     pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **read_kwargs)
     fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
+    if join == "hash":
+        # 10^10-scale path: both sides large -> hash-partitioned join on
+        # url (an explicit all-to-all); the fused stage then runs with
+        # frontier columns pre-attached (lookup_ref=None)
+        frontier_ds = rd.from_arrow(frontier.select(["url", "source", "host", "sitemap_order"]))
+        pages = pages.join(
+            frontier_ds,
+            join_type="inner",
+            num_partitions=max(8, total_cpus),
+            on=("url",),
+        )
     if fused and dedup == "streaming":
         # hot path: ReadParquet -> Fused(actor pool) -> Write — one pool,
         # no inter-stage hops (stages/fused.py; semantics identical to the

@@ -101,14 +101,14 @@ def _build_lookup(frontier_ref):
 class FusedSummon:
     def __init__(
         self,
-        frontier_ref,
+        frontier_ref,  # None => frontier columns already joined onto the batch
         shards: list,
         fix_options: dict[str, str] | None = None,
         context_strict: bool = False,
         context_maps: dict | None = None,
         retrieval: dict[str, tuple[int, int]] | None = None,
     ):
-        self.lookup = _build_lookup(frontier_ref)
+        self.lookup = _build_lookup(frontier_ref) if frontier_ref is not None else None
         self.shards = shards
         self.validator = Validator(context_maps)
         self.opts = {k: ContextOption.parse(v) for k, v in (fix_options or {}).items()}
@@ -128,7 +128,14 @@ class FusedSummon:
 
         out_url, out_source, out_host, out_seq, out_idx = [], [], [], [], []
         out_jsonld, out_sha, out_name = [], [], []
-        if isinstance(lookup, FrontierIndex):
+        if lookup is None:
+            # hash-join mode: frontier columns arrived attached to the batch
+            srcs = batch.column("source").to_pylist()
+            hsts = batch.column("host").to_pylist()
+            seq_col = "seq" if "seq" in batch.column_names else "sitemap_order"
+            sqs = batch.column(seq_col).to_pylist()
+            rows_iter = zip(urls, htmls, texts, srcs, hsts, sqs)
+        elif isinstance(lookup, FrontierIndex):
             hit_mask, positions = lookup.lookup_batch(urls)
             rows_iter = (
                 (urls[i], htmls[i], texts[i]) + lookup.row(positions[i])

@@ -254,3 +254,30 @@ class TestDecomposedPath:
         # exact dedup marks exactly one winner per distinct sha
         assert docs[docs.seen_first].sha.nunique() == docs.sha.nunique()
         assert docs[docs.seen_first].shape[0] == docs.sha.nunique()
+
+
+class TestHashJoinPath:
+    """join='hash' (Dataset.join on url) must produce the same document
+    rows as the broadcast-index path."""
+
+    def test_hash_join_matches_broadcast(self, run, corpus, ray_session, tmp_path_factory):
+        from gleaner_ray.pipelines.summon import summon
+
+        out = str(tmp_path_factory.mktemp("summon_hash"))
+        summon(
+            corpus_config(corpus),
+            os.path.join(corpus, "pages"),
+            out,
+            run_date="2026-08-17",
+            fetch=corpus_fetch(corpus),
+            write_objects=False,
+            join="hash",
+            concurrency=1,
+        )
+        hash_df = load_results(out)
+        broadcast_df = load_results(run["out"])
+        h = hash_df[hash_df.doc_index >= 0].sort_values(["url", "doc_index"], ignore_index=True)
+        b = broadcast_df[broadcast_df.doc_index >= 0].sort_values(["url", "doc_index"], ignore_index=True)
+        assert len(h) == len(b)
+        assert (h.jsonld.values == b.jsonld.values).all()
+        assert (h.sha.values == b.sha.values).all()

@@ -127,6 +127,7 @@ def test_oracle_checked_crawl(contract, name):
     "name",
     [
         "crawl_results_full",
+        "crawl_admission",
         "text_langid",
         "dedup_minhash_lsh",
         "dedup_simhash",
