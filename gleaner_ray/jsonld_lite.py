@@ -210,7 +210,28 @@ class _Ctx:
         return None
 
 
-def to_nquads(jsonld: str, graph_name: str | None = None) -> str:
+def normalize_nquads(jsonld: str) -> str:
+    """URDNA-lite normalization: expansion with json-gold's no-context
+    fallbacks (bare @type terms become relative IRIs; term-less
+    properties drop) and canonical ``_:c14n{i}`` blank labels in
+    first-use order. Matches the reference's approved goldens for
+    single-blank-node documents (internal/common/ldproc_test.go:40-105);
+    full URDNA2015 ordering for multi-blank-node graphs is out of scope
+    and documented as such."""
+    out = to_nquads(jsonld, relative_types=True)
+    labels: dict[str, str] = {}
+    lines = []
+    for line in out.splitlines():
+        for token in line.split(" "):
+            if token.startswith("_:") and token not in labels:
+                labels[token] = "_:c14n%d" % len(labels)
+        for old, new in labels.items():
+            line = line.replace(old + " ", new + " ")
+        lines.append(line)
+    return "".join(sorted(line + "\n" for line in lines))
+
+
+def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool = False) -> str:
     """Convert a (template-shaped) JSON-LD document to sorted N-Quads."""
     doc = json.loads(jsonld)
     quads: list[str] = []
@@ -252,6 +273,8 @@ def to_nquads(jsonld: str, graph_name: str | None = None) -> str:
         types = node.get("@type", [])
         for t in [types] if isinstance(types, str) else types:
             t_iri = local_ctx.expand_iri(t, as_property=True)
+            if t_iri is None and relative_types:
+                t_iri = t  # json-gold keeps bare types as relative IRIs
             if t_iri:
                 emit(subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", fmt_term(t_iri))
         for key, value in node.items():

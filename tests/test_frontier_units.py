@@ -189,3 +189,33 @@ class TestProvOrg:
         assert all(line.endswith(" .") for line in lines)
         assert any("<https://schema.org/Organization>" in line for line in lines)
         assert org_object_name("src1") == "orgs/src1.nq"
+
+
+class TestNormalizeNquads:
+    """Byte-exact ports of the reference's URDNA approval goldens
+    (internal/common/ldproc_test.go:40-105, approved.txt fixtures)."""
+
+    def test_no_context_simple_golden(self):
+        from gleaner_ray.jsonld_lite import normalize_nquads
+
+        doc = '\n        {\n            "@type":"bar",\n            "SO:name":"Some type in a graph"\n        }\n'
+        expected = open(
+            "/root/reference/internal/common/testdata/"
+            "ldproc_test.TestNormalizeTriple.noContextSimple_jsonID.approved.txt"
+        ).read()
+        assert normalize_nquads(doc) == expected
+
+    def test_graph_first_golden(self):
+        from gleaner_ray.jsonld_lite import normalize_nquads
+
+        doc = (
+            '{\n    "@graph":[\n        {\n            "@context": {\n'
+            '                "SO":"http://schema.org/"\n            },\n'
+            '            "@type":"bar",\n            "SO:name":"Some type in a graph"\n'
+            "        }\n    ]\n}"
+        )
+        expected = open(
+            "/root/reference/internal/common/testdata/"
+            "ldproc_test.TestNormalizeTriple.jsonGraphFirst_jsonID.approved.txt"
+        ).read()
+        assert normalize_nquads(doc) == expected
