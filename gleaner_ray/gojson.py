@@ -62,6 +62,18 @@ def format_float(f: float) -> str:
     if f == int(f) and abs(f) < 1e16:
         # shortest 'f' representation of an integral float is the integer
         return str(int(f))
+    if f == int(f) and abs(f) < 1e21:
+        # >=1e16 integral: zero-extended shortest repr unless it fails to
+        # round-trip, then the exact integer (what Go's 'f' -1 prints)
+        r = repr(f)
+        if "e" in r or "E" in r:
+            mant, _, exp = r.lower().partition("e")
+            neg = mant.startswith("-")
+            mant = mant.lstrip("-").replace(".", "")
+            s = ("-" if neg else "") + mant + "0" * (int(exp) - (len(mant) - 1))
+            if float(s) == f:
+                return s
+        return str(int(f))
     r = repr(f)  # shortest round-trip, possibly scientific
     use_e = f != 0 and (abs(f) < 1e-6 or abs(f) >= 1e21)
     if "e" in r or "E" in r:
