@@ -175,10 +175,15 @@ def tumbling_window_events(sf_dir: str, window_s: int = 300):
         return g.agg(n=("value", "size"))
 
     partials = ds.map_batches(bucket, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    # final reduce: the result cardinality is bounded (windows x types),
+    # so a single-task pandas groupby over the small partials beats the
+    # distributed sort-aggregate by an order of magnitude at this size;
+    # for unbounded window domains switch to groupby().aggregate(Sum)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "window_start"], as_index=False).agg(n=("n", "sum"))
+        return out.sort_values(["event_type", "window_start"], ignore_index=True)
 
-    out = partials.groupby(["event_type", "window_start"]).aggregate(Sum("n", alias_name="n"))
-    return out.sort(["event_type", "window_start"])
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
 
 
 def asof_join_events_orders(sf_dir: str):
