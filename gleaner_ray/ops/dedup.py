@@ -284,54 +284,64 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
 def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 3, concurrency: int = 2):
     """Cosine near-dup over an embedding column via random-hyperplane LSH.
 
-    bucket = sign pattern of ``n_planes`` random projections; exact cosine
-    verify within buckets. Two passes of planes (seed, seed+1) to cut the
-    miss rate of borderline pairs."""
+    bucket = sign pattern of ``n_planes`` random projections; candidate
+    pairs from a self hash-join on the bucket id (same rationale as
+    minhash_lsh); exact cosine verify vectorized over the joined pairs.
+    Two plane seeds (seed, seed+1) cut the miss rate of borderline
+    pairs."""
 
     def make_bucketer(seed_: int):
-        # stateless task fn: the plane matrix is seeded-deterministic and
-        # cheap to build per batch (dim × n_planes), so no actor pool is
-        # reserved — elastic tasks keep the CPU budget free for the sorts
         def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
             mat = np.stack(batch["embedding"].to_numpy())
             rng = np.random.default_rng(seed_)
             planes = rng.standard_normal((mat.shape[1], n_planes))
             signs = (mat @ planes) > 0
             keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            # plain binary column: Arrow's hash join cannot carry the
+            # tensor-extension type as a payload field
             return pd.DataFrame(
                 {
                     "vec_id": batch["vec_id"],
                     "bucket": keys.astype("int64"),
-                    "embedding": batch["embedding"],
+                    "emb": [v.astype(np.float32).tobytes() for v in np.asarray(mat)],
                 }
             )
 
         return bucketer
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("vec_id")
-        if len(rows) < 2:
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["vec_id"] < df["vec_id_r"]]
+        if m.empty:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")}
             )
-        mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sim = (mat / norms) @ (mat / norms).T
-        ids = rows["vec_id"].tolist()
-        a, b, cos = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sim[i, j] >= threshold:
-                    lo, hi = sorted((int(ids[i]), int(ids[j])))
-                    a.append(lo)
-                    b.append(hi)
-                    cos.append(float(sim[i, j]))
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64"), "cosine": pd.Series(cos, dtype="float64")})
+        x = np.stack([np.frombuffer(b, dtype=np.float32) for b in m["emb"]]).astype(np.float64)
+        y = np.stack([np.frombuffer(b, dtype=np.float32) for b in m["emb_r"]]).astype(np.float64)
+        nx = np.linalg.norm(x, axis=1)
+        ny = np.linalg.norm(y, axis=1)
+        denom = np.where(nx * ny == 0, 1.0, nx * ny)
+        cos = (x * y).sum(axis=1) / denom
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": m["vec_id"].to_numpy()[keep].astype("int64"),
+                "b": m["vec_id_r"].to_numpy()[keep].astype("int64"),
+                "cosine": cos[keep],
+            }
+        ).drop_duplicates(subset=["a", "b"])
 
     out = None
     for s in (seed, seed + 1):
-        bucketed = ds.map_batches(make_bucketer(s), batch_format="pandas")
-        cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+        bucketed = ds.map_batches(make_bucketer(s), batch_format="pandas").materialize()
+        joined = bucketed.join(
+            bucketed, join_type="inner", num_partitions=8, on=("bucket",), left_suffix="", right_suffix="_r"
+        )
+        cand = joined.map_batches(verify, batch_format="pandas")
         out = cand if out is None else out.union(cand)
-    return out.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"], ignore_index=True)
+
+    return out.map_batches(local, batch_format="pandas").repartition(1).map_batches(
+        local, batch_size=None, batch_format="pandas"
+    )
