@@ -218,16 +218,25 @@ def summon(
     if resume and prior_runs:
         import pyarrow.compute as pc
 
+        from ..state.seen import _shard_of
+
         prior = rd.read_parquet(
             [os.path.join(all_results, d) for d in prior_runs], columns=["sha", "seen_first"]
         ).map_batches(lambda t: t.filter(pc.field("seen_first")).select(["sha"]), batch_format="pyarrow")
-        shas = [r["sha"] for r in prior.take_all() if r["sha"]]
-        from ..state.seen import _shard_of
-
-        by_shard: dict[int, list[str]] = {}
-        for sha in shas:
-            by_shard.setdefault(_shard_of(sha, n_seen_shards), []).append(sha)
-        ray.get([shards[k].preload.remote(v) for k, v in by_shard.items()])
+        # stream the preload: one bounded batch at a time, routed straight
+        # to the shard actors — never the whole prior sha set on the driver
+        pending: list = []
+        for batch in prior.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            by_shard: dict[int, list[str]] = {}
+            for sha in batch.column("sha").to_pylist():
+                if sha:
+                    by_shard.setdefault(_shard_of(sha, n_seen_shards), []).append(sha)
+            pending.extend(shards[k].preload.remote(v) for k, v in by_shard.items())
+            if len(pending) > 4 * n_seen_shards:
+                ray.get(pending)
+                pending = []
+        if pending:
+            ray.get(pending)
 
     # -- Phases B-D: one streaming graph ------------------------------------
     read_kwargs = dict(pages_read_kwargs or {})
