@@ -327,41 +327,26 @@ def summon(
                 f.write(nq)
 
     # -- metrics + manifest (north rule: per-partition metrics + lineage) ---
-    if fused and dedup == "streaming":
-        # the fused stage shipped per-batch counts to the shards inline
-        per_source_counts: dict[str, list[int]] = {}
-        for shard_counts in ray.get([s.get_counts.remote() for s in shards]):
-            for source, vals in shard_counts.items():
-                acc = per_source_counts.setdefault(source, [0, 0, 0])
-                for i, v in enumerate(vals):
-                    acc[i] += v
-        import pandas as pd
+    # one pruned read of the just-written results (3 small columns) —
+    # cheaper at scale than a per-batch metrics RPC on the hot path
+    results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
+    import pandas as pd
 
-        by_source = pd.DataFrame(
-            [
-                {"source": k, "fetched": v[0], "valid": v[1], "uploaded": v[2]}
-                for k, v in sorted(per_source_counts.items())
-            ]
+    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # fetched: one row per visited page (doc_index <= 0 by
+        # construction); sums are cross-batch safe
+        return batch.groupby("source", as_index=False).agg(
+            fetched=("doc_index", lambda s: int((s <= 0).sum())),
+            valid=("doc_index", lambda s: int((s >= 0).sum())),
+            uploaded=("seen_first", "sum"),
         )
-    else:
-        results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
-        import pandas as pd
 
-        def _counts(batch: pd.DataFrame) -> pd.DataFrame:
-            # fetched: one row per visited page (doc_index <= 0 by
-            # construction); sums are cross-batch safe
-            return batch.groupby("source", as_index=False).agg(
-                fetched=("doc_index", lambda s: int((s <= 0).sum())),
-                valid=("doc_index", lambda s: int((s >= 0).sum())),
-                uploaded=("seen_first", "sum"),
-            )
-
-        partials = results.map_batches(_counts, batch_format="pandas").to_pandas()
-        by_source = (
-            partials.groupby("source", as_index=False).sum(numeric_only=True)
-            if len(partials)
-            else partials
-        )
+    partials = results.map_batches(_counts, batch_format="pandas").to_pandas()
+    by_source = (
+        partials.groupby("source", as_index=False).sum(numeric_only=True)
+        if len(partials)
+        else partials
+    )
     mark("metrics")
     # input lineage (north rule: per-partition lineage in the manifest)
     try:

@@ -91,6 +91,10 @@ def build_frontier(
             errors.append("%s: %s" % (source.name, e))
             continue
         group = robots_data.find_group(USER_AGENT)
+        # overrideCrawlDelayFromRobots runs for robots sources too
+        # (resources.go:107-112)
+        if group is not None and group.crawl_delay:
+            source.delay = max(int(group.crawl_delay * 1000), source.delay)
         entries = []
         for sm_url in robots_data.sitemaps:
             try:
@@ -157,7 +161,7 @@ def build_frontier_parallel(cfg: GleanerConfig, fetch=default_fetch) -> tuple[pa
 
     expand_task = ray.remote(num_cpus=1)(_expand_sitemap_doc)
     errors: list[str] = []
-    jobs: list = []  # (source_order, child_rank, future)
+    jobs: list = []  # ((source_order, sitemap_rank, child_rank), future)
     sources = [s for s in cfg.sources if s.active]
 
     for s_ord, source in enumerate(sources):
@@ -167,6 +171,10 @@ def build_frontier_parallel(cfg: GleanerConfig, fetch=default_fetch) -> tuple[pa
             if source.sourcetype == "robots":
                 robots_data = parse_robots(fetch(source.url))
                 group = robots_data.find_group(USER_AGENT)
+                # overrideCrawlDelayFromRobots runs for robots sources too
+                # (resources.go:107-112)
+                if group is not None and group.crawl_delay:
+                    source.delay = max(int(group.crawl_delay * 1000), source.delay)
                 sitemap_urls = list(robots_data.sitemaps)
             elif source.sourcetype == "sitemap":
                 if not cfg.rude:
@@ -178,34 +186,44 @@ def build_frontier_parallel(cfg: GleanerConfig, fetch=default_fetch) -> tuple[pa
                         group = None
                 if group is not None and group.crawl_delay:
                     source.delay = max(int(group.crawl_delay * 1000), source.delay)
-                top = fetch(source.url)
+                sitemap_urls = [source.url]
+            else:
+                continue
+        except Exception as e:
+            errors.append("%s: %s" % (source.name, e))
+            continue
+        # every seed sitemap — config-listed or robots-advertised — gets
+        # the same index-or-flat arbitration as sitemap_url_list
+        # (resources.go:125-155): an index fans out one task per child in
+        # index order, a flat urlset expands as its own task
+        for sm_rank, sm_url in enumerate(sitemap_urls):
+            try:
+                top = fetch(sm_url)
                 try:
                     children = parse_sitemap_index(top)
                 except ValueError as e:
                     errors.append("%s: %s" % (source.name, e))
                     continue
                 if children:
-                    for rank, child_url in enumerate(children):
-                        jobs.append((s_ord, rank, expand_task.remote(fetch(child_url), source.name, source.headless, group)))
-                    continue
-                jobs.append((s_ord, 0, expand_task.remote(top, source.name, source.headless, group)))
-                continue
-            else:
-                continue
-        except Exception as e:
-            errors.append("%s: %s" % (source.name, e))
-            continue
-        for rank, sm_url in enumerate(sitemap_urls):
-            try:
-                jobs.append((s_ord, rank, expand_task.remote(fetch(sm_url), source.name, source.headless, group)))
+                    for child_rank, child_url in enumerate(children):
+                        jobs.append(
+                            (
+                                (s_ord, sm_rank, child_rank),
+                                expand_task.remote(fetch(child_url), source.name, source.headless, group),
+                            )
+                        )
+                else:
+                    jobs.append(
+                        ((s_ord, sm_rank, 0), expand_task.remote(top, source.name, source.headless, group))
+                    )
             except Exception as e:
                 errors.append("%s: %s" % (source.name, e))
 
     parts = []
-    results = ray.get([f for _, _, f in jobs])
-    ordered = sorted(zip([(a, b) for a, b, _ in jobs], results))
+    results = ray.get([f for _, f in jobs])
+    ordered = sorted(zip([key for key, _ in jobs], results))
     offsets: dict[str, int] = {}
-    for (_, _rank), res in ordered:
+    for _key, res in ordered:
         if res.get("error"):
             errors.append("%s: %s" % (res["source"], res["error"]))
             continue

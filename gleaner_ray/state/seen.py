@@ -41,22 +41,6 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity)
         self.exact: set[str] = set()
-        self.counts: dict[str, list[int]] = {}
-
-    def record_counts(self, per_source: dict[str, list[int]]) -> bool:
-        """Accumulate per-source [fetched, valid, uploaded] metric rows
-        shipped by the fused stage (one bulk call per batch); the driver
-        sums shard counts after the pipeline drains — no extra results
-        pass. Synchronous (callers ray.get) so completion is guaranteed
-        before the pipeline finishes."""
-        for source, vals in per_source.items():
-            acc = self.counts.setdefault(source, [0, 0, 0])
-            for i, v in enumerate(vals):
-                acc[i] += v
-        return True
-
-    def get_counts(self) -> dict:
-        return self.counts
 
     def check_and_add(self, shas: list[str]) -> list[bool]:
         """For each sha IN ORDER: True if this call is the first writer.

@@ -12,17 +12,30 @@ from urllib.parse import urlparse
 __all__ = ["canonical_host", "host_bucket", "sha_shard"]
 
 
+def _authority_end(rest: str) -> int:
+    """Index of the first of '/', '?', '#' in rest (len(rest) if none):
+    the authority ends at any of the three, not just '/'."""
+    end = len(rest)
+    for sep in ("/", "?", "#"):
+        i = rest.find(sep)
+        if i != -1 and i < end:
+            end = i
+    return end
+
+
 def canonical_host(url: str) -> str:
     """Lowercased netloc with default ports stripped; '' on parse failure."""
-    # fast path: scheme://host[:port]/... via string ops (C speed)
+    # fast path: scheme://host[:port][/?#]... via string ops (C speed)
     if url.startswith("https://"):
-        host = url[8:].split("/", 1)[0].lower()
+        rest = url[8:]
+        host = rest[: _authority_end(rest)].lower()
         if host.endswith(":443"):
             host = host[:-4]
         if "@" not in host:
             return host
     elif url.startswith("http://"):
-        host = url[7:].split("/", 1)[0].lower()
+        rest = url[7:]
+        host = rest[: _authority_end(rest)].lower()
         if host.endswith(":80"):
             host = host[:-3]
         if "@" not in host:

@@ -131,6 +131,13 @@ class TestUrlUtils:
         assert urlutils.canonical_host("http://example.org:80/a") == "example.org"
         assert urlutils.canonical_host("http://example.org:8080/a") == "example.org:8080"
 
+    def test_canonical_host_query_fragment_no_path(self):
+        # '?' or '#' before any '/' must still end the authority
+        assert urlutils.canonical_host("https://example.com?x=1") == "example.com"
+        assert urlutils.canonical_host("https://example.com#frag") == "example.com"
+        assert urlutils.canonical_host("http://Example.com:80?x=1") == "example.com"
+        assert urlutils.canonical_host("https://example.com/p?x=1") == "example.com"
+
     def test_host_bucket_stable(self):
         b1 = urlutils.host_bucket("h", "https://h/x", 16)
         assert b1 == urlutils.host_bucket("h", "https://h/x", 16)
@@ -219,3 +226,71 @@ class TestNormalizeNquads:
             "ldproc_test.TestNormalizeTriple.jsonGraphFirst_jsonID.approved.txt"
         ).read()
         assert normalize_nquads(doc) == expected
+
+
+class TestFrontierBuilders:
+    """Seed-expansion parity: robots-advertised sitemap *indexes* walk
+    their children (resources.go:95-103,125-155) and robots crawl-delay
+    merges for robots-type sources too (resources.go:107-112), in BOTH
+    the serial and the parallel builder."""
+
+    ROBOTS = (
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /private/\n"
+        "Sitemap: https://example.org/idx.xml\n"
+    )
+    DOCS = {
+        "https://example.org/robots.txt": ROBOTS,
+        "https://example.org/idx.xml": SITEMAP_INDEX_XML,
+        "https://example.org/sm1.xml": SITEMAP_XML.replace("/ref/a/", "/ref/x/"),
+        "https://example.org/sm2.xml": SITEMAP_XML,
+    }
+
+    def _cfg(self):
+        from gleaner_ray.config import GleanerConfig, MinioConfig, SummonerConfig
+
+        return GleanerConfig(
+            minio=MinioConfig(bucket="gleaner"),
+            summoner=SummonerConfig(threads=5, delay=0, mode="full"),
+            sources=[
+                Source(
+                    sourcetype="robots",
+                    name="r1",
+                    url="https://example.org/robots.txt",
+                    pid="https://pid.org/r1",
+                    propername="Robots One",
+                    domain="https://example.org",
+                )
+            ],
+        )
+
+    def test_serial_walks_index_children(self):
+        from gleaner_ray.sources.frontier import build_frontier
+
+        cfg = self._cfg()
+        frontier, errors = build_frontier(cfg, self.DOCS.__getitem__)
+        assert errors == []
+        # private/ filtered by robots; sm1 children first, then sm2
+        assert frontier.column("url").to_pylist() == [
+            "https://example.org/ref/x/1",
+            "https://example.org/ref/x/2",
+            "https://example.org/ref/a/1",
+            "https://example.org/ref/a/2",
+        ]
+        assert frontier.column("sitemap_order").to_pylist() == [0, 1, 2, 3]
+        assert cfg.sources[0].delay == 2000  # merged robots crawl-delay
+
+    def test_parallel_matches_serial(self, ray_session):
+        from gleaner_ray.sources.frontier import build_frontier, build_frontier_parallel
+
+        serial_cfg, parallel_cfg = self._cfg(), self._cfg()
+        serial, s_err = build_frontier(serial_cfg, self.DOCS.__getitem__)
+        parallel, p_err = build_frontier_parallel(parallel_cfg, self.DOCS.__getitem__)
+        assert s_err == p_err == []
+        assert parallel.column("url").to_pylist() == serial.column("url").to_pylist()
+        assert (
+            parallel.column("sitemap_order").to_pylist()
+            == serial.column("sitemap_order").to_pylist()
+        )
+        assert parallel_cfg.sources[0].delay == serial_cfg.sources[0].delay == 2000
