@@ -75,6 +75,22 @@ _HOST_CASE = (
     + " END"
 )
 
+# the LangId heuristic's profiles, rendered as SQL list literals so the
+# oracle reproduces the exact score: |trigrams ∩ profile| + 2·|words ∩ stops|
+def _langid_score_sql() -> str:
+    from gleaner_ray.ops.text import _LANG_PROFILES
+
+    def lst(xs):
+        return "[" + ",".join("'%s'" % x for x in xs) + "]"
+
+    exprs = []
+    for lang, (tri_text, stops) in _LANG_PROFILES.items():
+        exprs.append(
+            "len(list_intersect(tris, %s)) + 2*len(list_intersect(wordset, %s)) AS s_%s"
+            % (lst(sorted(set(tri_text.split()))), lst(sorted(stops)), lang)
+        )
+    return ", ".join(exprs)
+
 
 def entry() -> Any:
     """Flagship: the summon crawl at sf0.001; returns the results table."""
@@ -114,9 +130,12 @@ def _q_crawl_dup_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_crawl_results_full(sf_dir: str) -> pd.DataFrame:
-    """Rows-only check: the complete results table of the crawl."""
+    """Full crawl results (every visited page row incl. the doc_index=-1
+    zero-candidate markers) on its SQL-expressible columns; the sha /
+    jsonld bytes are pinned by crawl_extract_canon + the pipeline parity
+    tests (sha1 does not exist in DuckDB)."""
     df = _results_df(sf_dir)
-    return df[df.doc_index >= 0][["url", "source", "seq", "doc_index", "sha", "object_name", "seen_first"]]
+    return df[["url", "source", "seq", "doc_index"]].reset_index(drop=True)
 
 
 def _q_crawl_admission(sf_dir: str) -> pd.DataFrame:
@@ -191,12 +210,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh(docs(sf)),
         "dedup_simhash": lambda sf: dd.simhash_dedup(docs(sf)),
-        "dedup_embedding_cosine": lambda sf: dd.embedding_near_dup(embs(sf), threshold=0.25, n_planes=4),
+        # exact all-pairs mode (n_planes=0): oracle-checkable; the LSH
+        # bucketed variant below is the 100-TB scale path
+        "dedup_embedding_cosine": lambda sf: dd.embedding_near_dup(
+            embs(sf), threshold=0.25, n_planes=0
+        ).select_columns(["a", "b"]),
+        "dedup_embedding_lsh": lambda sf: dd.embedding_near_dup(
+            embs(sf), threshold=0.25, n_planes=6, seeds=(3, 4, 5)
+        ).select_columns(["a", "b"]),
+        "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_dedup(docs(sf), threshold=0.8),
         # -- similarity search -------------------------------------------------
         "sim_knn_bruteforce": lambda sf: sim.knn_bruteforce(embs(sf), _knn_queries(sf), k=10)[
             ["qid", "vec_id"]
         ],
-        "sim_ivf_knn": lambda sf: sim.ivf_knn(embs(sf), _knn_queries(sf), k=10)[["qid", "vec_id"]],
+        # n_probe = n_centroids probes every cell: the IVF machinery runs
+        # end to end and the result is exact -> brute-force oracle applies
+        # (partial-probe recall is pinned by tests/test_ops.py)
+        "sim_ivf_knn": lambda sf: sim.ivf_knn(embs(sf), _knn_queries(sf), k=10, n_probe=16)[
+            ["qid", "vec_id"]
+        ],
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
     }
@@ -210,13 +242,18 @@ def _q_media_decode(sf_dir: str) -> pd.DataFrame:
 
     from gleaner_ray.ops.multimodal import decode_stage
 
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    payloads = [((s or "").encode("utf-8")) for s in t["text"].to_pylist()[:256]]
+    t = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(256)
+    )
+    payloads = [((s or "").encode("utf-8")) for s in t["text"]]
     import pyarrow as pa
 
     media = pa.table(
         {
-            "media_id": t["doc_id"].to_pylist()[:256],
+            "media_id": pa.array(t["doc_id"].tolist(), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
         }
     )
@@ -264,12 +301,17 @@ def oracle_sql() -> dict[str, str]:
                    l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         """,
+        # outer CASTs: DuckDB widens SUM(BIGINT) to HUGEINT, which lands
+        # as float64/object in the comparison frame while the engine
+        # emits int64 — cast the totals back to BIGINT for a typed match
         "rel_q1_agg": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_micros,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_price_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                       AS revenue_micros,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -315,9 +357,87 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_md5": """
             SELECT doc_id, md5(text) AS content_md5 FROM documents
         """,
+        "crawl_results_full": f"""
+            WITH p AS (
+              SELECT url, source,
+                     row_number() OVER (PARTITION BY source ORDER BY warc_ts) - 1 AS seq,
+                     regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
+              FROM (SELECT url, warc_ts, {_HOST_CASE} AS source FROM {pages}
+                    WHERE url NOT LIKE '%/private/%'))
+            SELECT url, source, seq,
+                   unnest(CASE cls WHEN 'invalid' THEN [-1] WHEN 'nojsonld' THEN [-1]
+                                   WHEN 'multi' THEN [0, 1] WHEN 'grapharray' THEN [0, 1, 2]
+                                   ELSE [0] END) AS doc_index
+            FROM p
+        """,
+        # the corpus's only delayed host is hydro1 (robots Crawl-delay: 1s
+        # forces threads=1, acquire.go:71-73): the k-th URL admits at
+        # (k+1)*1000 ms, so max_admit_ms = n*1000; delay-free sources
+        # admit at schedule 0
+        "crawl_admission": f"""
+            SELECT source, COUNT(*) AS n,
+                   CASE WHEN source = 'hydro1' THEN COUNT(*) * 1000 ELSE 0 END AS max_admit_ms,
+                   COUNT(*) - 1 AS max_seq
+            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%')
+            GROUP BY source ORDER BY source
+        """,
+        "text_langid": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_slice(regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+'), 1, 200) AS words
+              FROM documents),
+            t AS (
+              SELECT doc_id, words,
+                     list_distinct(flatten(list_transform(words,
+                        w -> CASE WHEN length(w) >= 3
+                                  THEN list_transform(range(1, length(w)-1), i -> w[i:i+2])
+                                  ELSE [] END))) AS tris,
+                     list_distinct(words) AS wordset
+              FROM t_inner),
+            s AS (SELECT doc_id, len(words) AS nw, __SCORES__ FROM t)
+            SELECT doc_id,
+                   CASE WHEN nw = 0 THEN 'und'
+                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """.replace("t_inner", "w").replace("__SCORES__", _langid_score_sql()),
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+              FROM toks),
+            ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # exact all-pairs cosine at threshold 0.25 (double-cast so DuckDB
+        # computes in float64 like the engine; nearest pair margin to the
+        # threshold is ~8e-6 at sf0.01, far above accumulation noise)
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.v, y.v) >= 0.25
         """,
         "sim_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -331,7 +451,27 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
               FROM scored) WHERE rk <= 10
         """,
-        # rows-only (non-SQL-expressible) checks: crawl_results_full,
-        # text_langid, dedup_minhash_lsh, dedup_simhash,
-        # dedup_embedding_cosine, sim_ivf_knn, media_decode_fake
+        # probing every IVF cell is exhaustive search -> same oracle as
+        # brute force (partial-probe recall is a unit test, not an oracle)
+        "sim_ivf_knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       ORDER BY vec_id LIMIT 4),
+                 scored AS (
+                   SELECT q.qid, e.vec_id,
+                          list_cosine_similarity(q.qv, e.embedding) AS cosine
+                   FROM q CROSS JOIN embeddings e)
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+              FROM scored) WHERE rk <= 10
+        """,
+        # the fake codec's output metadata is deterministic: fixed decode
+        # shape, payload byte length = utf-8 text length
+        "media_decode_fake": """
+            SELECT doc_id AS media_id, 'image' AS kind, '64x64x3' AS shape,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
+        """,
+        # rows-only (non-SQL-expressible, probabilistic sketches):
+        # dedup_minhash_lsh, dedup_simhash, dedup_embedding_lsh
     }

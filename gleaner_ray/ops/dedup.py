@@ -3,17 +3,23 @@
 Every variant a large-scale training-data pipeline needs, each built on
 the same Ray Data shapes the crawl uses (SURVEY §2.5 A2 generalized):
 
-- ``exact_dedup``      — md5(text) hash-partition + per-group first
+- ``exact_dedup``      — md5(text) hash-partition + C-side Min/Count
 - ``minhash_lsh``      — shingle -> minhash -> banded LSH buckets ->
-                         candidate pairs -> Jaccard verify
+                         candidate pairs (self hash-join)
 - ``simhash_dedup``    — 64-bit simhash, banded hamming buckets
-- ``ngram_jaccard_pairs`` — exact Jaccard over LSH candidates
+- ``ngram_jaccard_pairs`` — exact Jaccard verify of candidate pairs
+                         (2-pass semi-join, no driver materialization)
+- ``ngram_jaccard_dedup`` — exact near-dup pairs via the inverted
+                         shingle index (ANSI-SQL-expressible oracle)
 - ``embedding_near_dup``  — cosine near-dup over the embeddings table
-                         (random-hyperplane LSH buckets, exact verify)
+                         (random-hyperplane LSH buckets, exact verify;
+                         ``n_planes=0`` = exact all-pairs mode)
 
 Scale shape: per-batch sketching is vectorized numpy; the only wide
-steps are groupbys on *small* sketch keys (band hash, bucket id), never
-on raw text; pair verification touches only candidate groups.
+steps are hash-joins on *small* sketch keys (band hash, bucket id,
+shingle hash), never on raw text; pair verification touches only
+candidate groups. Pair-set dedup is keyed (hash-partitioned) above a
+size threshold — no single-task tails at scale.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ __all__ = [
     "minhash_lsh",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_dedup",
     "embedding_near_dup",
 ]
 
@@ -39,24 +46,36 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+def _default_partitions(minimum: int = 8) -> int:
+    """Scale shuffle width with the cluster instead of a hardcoded 8."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", minimum))
+    except Exception:
+        cpus = minimum
+    return max(minimum, cpus)
+
+
 def exact_dedup(ds):
     """Exact content dedup: keep the lowest doc_id per md5(text).
 
     Matches the DuckDB oracle
     ``SELECT md5(text) h, min(doc_id) keeper, count(*) n GROUP BY 1``.
-    """
+    The reduce is ``groupby(h).aggregate(Min, Count)`` — C-side
+    combiners, no per-group Python call (on a mostly-unique corpus
+    ``map_groups`` costs one Python call per document)."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[["doc_id", "text"]].copy()
-        batch["h"] = [_md5(t or "") for t in batch["text"]]
-        return batch[["doc_id", "h"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": [_md5(t or "") for t in batch["text"]]})
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"h": [group["h"].iloc[0]], "keeper": [int(group["doc_id"].min())], "n": [len(group)]}
-        )
-
-    return ds.map_batches(add_hash, batch_format="pandas").groupby("h").map_groups(first, batch_format="pandas")
+    agg = (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="n"))
+    )
+    return agg
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -127,21 +146,49 @@ def minhash_signatures(ds, n_perm: int = 128, bands: int = 32, concurrency: int 
     )
 
 
-def _dedupe_pairs(pairs_ds):
-    """Unique (a, b) rows. Candidate near-dup pairs are rare by LSH
-    construction, so per-batch drop_duplicates + one single-task final
-    pass beats a keyed shuffle by an order of magnitude; the bound is
-    the candidate-pair count, not the corpus."""
+# below this many candidate pairs a single-task pandas dedupe beats a
+# keyed shuffle (the common case: LSH candidates are rare by design)
+_SMALL_PAIRSET = 250_000
+
+
+def _dedupe_pairs(pairs_ds, subset=("a", "b")):
+    """Unique pair rows, first occurrence kept.
+
+    Local per-batch drop_duplicates first (cheap, shrinks the exchange),
+    then: small pair sets collapse in one bounded task; large ones go
+    through a hash-partitioned repartition keyed on the pair columns so
+    every duplicate lands in the same block — no single-task tail when
+    near-dup pairs number in the billions."""
+    subset = list(subset)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(ignore_index=True)
+        return df.drop_duplicates(subset=subset, ignore_index=True)
 
-    return pairs_ds.map_batches(local, batch_format="pandas").repartition(1).map_batches(
-        local, batch_size=None, batch_format="pandas"
+    pairs_ds = pairs_ds.map_batches(local, batch_format="pandas").materialize()
+    if pairs_ds.count() <= _SMALL_PAIRSET:
+        return pairs_ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
+    # large pair sets: co-locate duplicates by a bounded hash partition id
+    # (every duplicate of a pair lands in one group; group count is the
+    # partition count, so the per-group Python call is amortized)
+    nparts = _default_partitions()
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[subset].astype("int64"), index=False)
+        df["_pid"] = (h % np.uint64(nparts)).astype("int64")
+        return df
+
+    def local_drop_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=subset, ignore_index=True).drop(columns=["_pid"])
+
+    return (
+        pairs_ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("_pid")
+        .map_groups(local_drop_pid, batch_format="pandas")
     )
 
 
-def minhash_lsh(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2):
+def minhash_lsh(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2, num_partitions: int | None = None):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     shingle -> minhash -> explode (band_id, band_hash, doc_id) ->
@@ -155,7 +202,7 @@ def minhash_lsh(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2):
     joined = exploded.join(
         exploded,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=num_partitions or _default_partitions(),
         on=("band_id", "band_hash"),
         left_suffix="",
         right_suffix="_r",
@@ -170,43 +217,185 @@ def minhash_lsh(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2):
     return _dedupe_pairs(joined.map_batches(mk, batch_format="pandas"))
 
 
+class _ShingleSets:
+    """Per-doc sorted distinct shingle-hash array (actor-pool stage)."""
+
+    def __init__(self, shingle_k: int = 5):
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, sets_, sizes = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sh = np.unique(_shingle_hashes(text or "", self.k))
+            ids.append(doc_id)
+            sets_.append(sh.tobytes())
+            sizes.append(len(sh))
+        return pd.DataFrame({"doc_id": ids, "shingles": sets_, "n_shingles": sizes})
+
+
 def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8):
     """Verify candidate pairs with exact shingle-set Jaccard.
 
-    The shingle sets of the (typically tiny) candidate set are broadcast;
-    at larger candidate volumes this becomes a 2-pass join on doc_id."""
-    import ray
+    2-pass join — nothing materializes on the driver:
+    pass 1: semi-join documents against candidate doc_ids (hash join on
+    doc_id) to compute each candidate's shingle set once;
+    pass 2: join the shingle sets onto the pair rows (once per side) and
+    verify vectorized per batch. The exchanged payload is candidate
+    shingle sets only — bounded by the candidate count, not the corpus."""
+    nparts = _default_partitions()
+    # candidate ids (either side), deduped — tiny relative to the corpus
+    ids_a = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["a"]}), batch_format="pandas")
+    ids_b = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["b"]}), batch_format="pandas")
+    cand_ids = _dedupe_pairs(ids_a.union(ids_b), subset=("doc_id",))
 
-    needed = set()
-    pairs = pairs_ds.to_pandas()
-    needed.update(pairs["a"].tolist())
-    needed.update(pairs["b"].tolist())
-    needed_ref = ray.put(needed)
+    # pass 1: shingle sets for candidates only (semi-join via inner join)
+    docs = ds.map_batches(lambda df: df[["doc_id", "text"]], batch_format="pandas")
+    cand_docs = docs.join(cand_ids, join_type="inner", num_partitions=nparts, on=("doc_id",))
+    sets_ds = cand_docs.map_batches(
+        _ShingleSets, fn_constructor_kwargs={"shingle_k": shingle_k}, batch_format="pandas", concurrency=2
+    ).materialize()
 
-    def collect(batch: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(needed_ref) if not isinstance(needed_ref, set) else needed_ref
-        sel = batch[batch["doc_id"].isin(want)]
+    # pass 2: attach each side's set to the pair rows
+    def _as(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(
+                columns={"doc_id": side, "shingles": "sh_%s" % side, "n_shingles": "n_%s" % side}
+            )
+
+        return fn
+
+    left = sets_ds.map_batches(_as("a"), batch_format="pandas")
+    right = sets_ds.map_batches(_as("b"), batch_format="pandas")
+    paired = pairs_ds.join(left, join_type="inner", num_partitions=nparts, on=("a",)).join(
+        right, join_type="inner", num_partitions=nparts, on=("b",)
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, jac = [], [], []
+        for a, b, ba, bb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = (inter / union) if union else 0.0
+            if j >= threshold:
+                rows_a.append(int(a))
+                rows_b.append(int(b))
+                jac.append(j)
         return pd.DataFrame(
             {
-                "doc_id": sel["doc_id"],
-                "shingles": [
-                    ",".join(map(str, sorted(_shingle_hashes(t or "", shingle_k)))) for t in sel["text"]
-                ],
+                "a": pd.Series(rows_a, dtype="int64"),
+                "b": pd.Series(rows_b, dtype="int64"),
+                "jaccard": pd.Series(jac, dtype="float64"),
             }
         )
 
-    sets = {
-        int(r["doc_id"]): set(r["shingles"].split(",")) if r["shingles"] else set()
-        for r in ds.map_batches(collect, batch_format="pandas").take_all()
-    }
-    rows = []
-    for _, p in pairs.iterrows():
-        sa, sb = sets.get(int(p["a"]), set()), sets.get(int(p["b"]), set())
-        union = len(sa | sb)
-        jac = (len(sa & sb) / union) if union else 0.0
-        if jac >= threshold:
-            rows.append({"a": int(p["a"]), "b": int(p["b"]), "jaccard": jac})
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    return paired.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_dedup(
+    ds,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+    max_df: int | None = None,
+):
+    """EXACT near-dup pairs by shingle Jaccard via the inverted index.
+
+    explode distinct (shingle_hash, doc_id, set_size) -> self hash-join
+    on the shingle -> per-batch partial pair counts -> small groupby of
+    partials -> jaccard = i / (n_a + n_b - i) >= threshold. Exact (no
+    sketching), so the DuckDB shingle-set oracle reproduces it
+    value-for-value. ``max_df`` drops shingles appearing in more than
+    that many documents (prefix-filter practice for web-scale corpora —
+    a stopword shingle would otherwise emit df^2 join rows); leave None
+    for oracle parity."""
+    exploded = ds.map_batches(
+        _ExplodeShingles,
+        fn_constructor_kwargs={"shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).materialize()
+    nparts = num_partitions or _default_partitions()
+    if max_df is not None:
+        from ray.data.aggregate import Count
+
+        df_counts = exploded.groupby("sh").aggregate(Count(alias_name="df"))
+        keep = df_counts.map_batches(
+            lambda d: d[d["df"] <= max_df][["sh"]], batch_format="pandas"
+        )
+        exploded = exploded.join(keep, join_type="inner", num_partitions=nparts, on=("sh",))
+    joined = exploded.join(
+        exploded, join_type="inner", num_partitions=nparts, on=("sh",), left_suffix="", right_suffix="_r"
+    )
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["doc_id"] < df["doc_id_r"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                    "i": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            m.groupby(["doc_id", "doc_id_r", "n", "n_r"], as_index=False)
+            .size()
+            .rename(columns={"doc_id": "a", "doc_id_r": "b", "n": "n_a", "n_r": "n_b", "size": "i"})
+        )
+        return g.astype({"a": "int64", "b": "int64", "n_a": "int64", "n_b": "int64", "i": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(partial_counts, batch_format="pandas")
+    totals = partials.groupby(["a", "b", "n_a", "n_b"]).aggregate(Sum("i", alias_name="i"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        jac = df["i"] / (df["n_a"] + df["n_b"] - df["i"])
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"][keep].astype("int64"),
+                "b": df["b"][keep].astype("int64"),
+                "jaccard": jac[keep].astype("float64"),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
+class _ExplodeShingles:
+    """(doc_id, distinct shingle hash, set size) rows — the inverted index."""
+
+    def __init__(self, shingle_k: int = 5):
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, shs, ns = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sh = np.unique(_shingle_hashes(text or "", self.k))
+            ids.extend([doc_id] * len(sh))
+            shs.append(sh)
+            ns.extend([len(sh)] * len(sh))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sh": pd.array(np.concatenate(shs) if shs else [], dtype="UInt64"),
+                "n": pd.Series(ns, dtype="int64"),
+            }
+        )
 
 
 class SimHashBatch:
@@ -244,7 +433,7 @@ class SimHashBatch:
         )
 
 
-def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2):
+def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2, num_partitions: int | None = None):
     """Near-dup pairs with hamming(simhash) <= max_hamming; candidates
     from shared 16-bit band keys (a pair within hamming 3 of 64 bits
     shares at least one of 4 bands by pigeonhole). Pairing is a self
@@ -255,7 +444,7 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
     joined = exploded.join(
         exploded,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=num_partitions or _default_partitions(),
         on=("band_id", "band_key"),
         left_suffix="",
         right_suffix="_r",
@@ -281,33 +470,53 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
     return _dedupe_pairs(joined.map_batches(mk, batch_format="pandas"))
 
 
-def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 3, concurrency: int = 2):
+def embedding_near_dup(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seeds: tuple = (3, 4),
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+):
     """Cosine near-dup over an embedding column via random-hyperplane LSH.
 
-    bucket = sign pattern of ``n_planes`` random projections; candidate
-    pairs from a self hash-join on the bucket id (same rationale as
-    minhash_lsh); exact cosine verify vectorized over the joined pairs.
-    Two plane seeds (seed, seed+1) cut the miss rate of borderline
-    pairs."""
+    ONE scan emits ``len(seeds)`` bucket rows per vector — bucket key is
+    (seed, sign pattern of ``n_planes`` random projections) — then one
+    self hash-join on the key pairs up candidates; exact cosine verify is
+    vectorized over the joined float64 payloads (float64 so the verify
+    is bit-identical to a float64 all-pairs oracle). Multiple seeds cut
+    the miss rate of borderline pairs.
 
-    def make_bucketer(seed_: int):
-        def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
-            mat = np.stack(batch["embedding"].to_numpy())
-            rng = np.random.default_rng(seed_)
-            planes = rng.standard_normal((mat.shape[1], n_planes))
-            signs = (mat @ planes) > 0
-            keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            # plain binary column: Arrow's hash join cannot carry the
-            # tensor-extension type as a payload field
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"],
-                    "bucket": keys.astype("int64"),
-                    "emb": [v.astype(np.float32).tobytes() for v in np.asarray(mat)],
-                }
+    ``n_planes=0`` is EXACT mode: every vector lands in one bucket, so
+    the join produces all pairs — quadratic, for oracle checks and
+    corpora <= ~1e5 vectors only; the LSH mode is the scale path."""
+    seed_list = list(seeds) if n_planes > 0 else [0]
+
+    def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        payload = [v.tobytes() for v in mat]
+        frames = []
+        for s in seed_list:
+            if n_planes > 0:
+                rng = np.random.default_rng(s)
+                planes = rng.standard_normal((mat.shape[1], n_planes))
+                signs = (mat @ planes) > 0
+                keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype("int64")
+            else:
+                keys = np.zeros(len(mat), dtype="int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "seed": np.int64(s),
+                        "bucket": keys,
+                        # plain binary column: Arrow's hash join cannot
+                        # carry the tensor-extension type as a payload
+                        "emb": payload,
+                    }
+                )
             )
-
-        return bucketer
+        return pd.concat(frames, ignore_index=True)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = df[df["vec_id"] < df["vec_id_r"]]
@@ -315,8 +524,8 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: in
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")}
             )
-        x = np.stack([np.frombuffer(b, dtype=np.float32) for b in m["emb"]]).astype(np.float64)
-        y = np.stack([np.frombuffer(b, dtype=np.float32) for b in m["emb_r"]]).astype(np.float64)
+        x = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["emb"]])
+        y = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["emb_r"]])
         nx = np.linalg.norm(x, axis=1)
         ny = np.linalg.norm(y, axis=1)
         denom = np.where(nx * ny == 0, 1.0, nx * ny)
@@ -330,18 +539,13 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: in
             }
         ).drop_duplicates(subset=["a", "b"])
 
-    out = None
-    for s in (seed, seed + 1):
-        bucketed = ds.map_batches(make_bucketer(s), batch_format="pandas").materialize()
-        joined = bucketed.join(
-            bucketed, join_type="inner", num_partitions=8, on=("bucket",), left_suffix="", right_suffix="_r"
-        )
-        cand = joined.map_batches(verify, batch_format="pandas")
-        out = cand if out is None else out.union(cand)
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["a", "b"], ignore_index=True)
-
-    return out.map_batches(local, batch_format="pandas").repartition(1).map_batches(
-        local, batch_size=None, batch_format="pandas"
+    bucketed = ds.map_batches(bucketer, batch_format="pandas").materialize()
+    joined = bucketed.join(
+        bucketed,
+        join_type="inner",
+        num_partitions=num_partitions or _default_partitions(),
+        on=("seed", "bucket"),
+        left_suffix="",
+        right_suffix="_r",
     )
+    return _dedupe_pairs(joined.map_batches(verify, batch_format="pandas"))

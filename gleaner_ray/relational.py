@@ -152,8 +152,15 @@ def topk_orders(sf_dir: str, k: int = 10):
         return df.nlargest(k, ["o_totalprice", "o_orderkey"])
 
     partials = ds.map_batches(local_topk, batch_format="pandas")
-    merged = partials.to_pandas().nlargest(k, ["o_totalprice", "o_orderkey"]).reset_index(drop=True)
-    return merged.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], ignore_index=True)
+    # final merge: k rows per block -> one bounded task (k x n_blocks
+    # rows total); returned as a Dataset for API consistency
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.nlargest(k, ["o_totalprice", "o_orderkey"])
+            .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], ignore_index=True)
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")
 
 
 def distinct_segments(sf_dir: str):
@@ -186,29 +193,80 @@ def tumbling_window_events(sf_dir: str, window_s: int = 300):
     return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
 
 
-def asof_join_events_orders(sf_dir: str):
+def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
     """For each event, the user's most recent order at event time.
 
-    Custom operator Ray Data lacks: bucket both sides by key, sort by
-    time within group, ``pd.merge_asof`` per group. Partitioning
-    assumption: one user's rows fit in one group (salt by time range
-    for pathological keys). Matches DuckDB ASOF JOIN."""
+    Custom operator Ray Data lacks: CO-PARTITION both sides by hash of
+    the key (union with a side tag + keyed repartition — one exchange,
+    no broadcast of either table), then ONE vectorized
+    ``pd.merge_asof(by=key)`` per partition over the time-sorted block.
+    Partitioning assumption: all rows of one key fit in one partition
+    (salt by time range upstream for pathological keys). Matches DuckDB
+    ASOF JOIN."""
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    import pyarrow.parquet as pq
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"])
 
-    orders_tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"])
-    orders_ref = ray.put(orders_tbl.to_pandas())
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "t": df["ts"],
+                "event_id": df["event_id"].astype("Int64"),
+                "o_orderkey": pd.array([pd.NA] * len(df), dtype="Int64"),
+                "is_left": True,
+            }
+        )
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        orders = ray.get(orders_ref) if isinstance(orders_ref, ray.ObjectRef) else orders_ref
-        uid = group["user_id"].iloc[0]
-        mine = orders[orders.o_custkey == uid].sort_values("o_orderdate")
-        group = group.sort_values("ts")
-        if mine.empty:
-            out = group.assign(o_orderkey=pd.NA, o_orderdate=pd.NaT)
-        else:
-            out = pd.merge_asof(group, mine, left_on="ts", right_on="o_orderdate", direction="backward")
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["o_custkey"].astype("int64"),
+                "t": df["o_orderdate"],
+                "event_id": pd.array([pd.NA] * len(df), dtype="Int64"),
+                "o_orderkey": df["o_orderkey"].astype("Int64"),
+                "is_left": False,
+            }
+        )
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        # bounded partition id: all rows of a key land in one group and
+        # the group count is num_partitions (not the key cardinality),
+        # so the per-group Python overhead is amortized over large groups
+        df = df.copy()
+        df["pid"] = (df["user_id"] % np.int64(num_partitions)).astype("int64")
+        return df
+
+    both = (
+        events.map_batches(tag_left, batch_format="pandas")
+        .union(orders.map_batches(tag_right, batch_format="pandas"))
+        .map_batches(add_pid, batch_format="pandas")
+    )
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["is_left"]].sort_values("t", kind="mergesort")
+        right = df[~df["is_left"]].sort_values("t", kind="mergesort")
+        left = pd.DataFrame(
+            {"event_id": left["event_id"].astype("int64"), "user_id": left["user_id"], "ts": left["t"]}
+        )
+        right = pd.DataFrame(
+            {"user_id": right["user_id"], "o_orderdate": right["t"], "o_orderkey": right["o_orderkey"]}
+        )
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "o_orderkey": pd.array([], dtype="Int64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            left, right, by="user_id", left_on="ts", right_on="o_orderdate", direction="backward"
+        )
         out["o_orderkey"] = out["o_orderkey"].astype("Int64")
         return out[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]]
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return both.groupby("pid").map_groups(per_partition, batch_format="pandas")

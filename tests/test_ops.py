@@ -38,11 +38,23 @@ class TestNearDup:
         from gleaner_ray.ops.dedup import minhash_lsh, ngram_jaccard_pairs
 
         cand = minhash_lsh(docs_with_dups)
-        verified = ngram_jaccard_pairs(docs_with_dups, cand, threshold=0.99)
+        verified = ngram_jaccard_pairs(docs_with_dups, cand, threshold=0.99).to_pandas()
         pairs = set(map(tuple, verified[["a", "b"]].values)) if len(verified) else set()
         assert (1, 3) in pairs  # identical text -> jaccard 1.0
         # near-dup (one word changed) is below 0.99
         assert (1, 2) not in pairs
+
+    def test_ngram_jaccard_dedup_exact(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import ngram_jaccard_dedup
+
+        df = ngram_jaccard_dedup(docs_with_dups, threshold=0.99).to_pandas()
+        pairs = set(map(tuple, df[["a", "b"]].values))
+        assert (1, 3) in pairs
+        assert df[(df.a == 1) & (df.b == 3)].jaccard.iloc[0] == 1.0
+        assert (1, 2) not in pairs  # below 0.99
+        lo = ngram_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
+        lo_pairs = set(map(tuple, lo[["a", "b"]].values))
+        assert (1, 2) in lo_pairs  # one-word change is well above 0.5
 
     def test_simhash_finds_planted_pairs(self, docs_with_dups):
         from gleaner_ray.ops.dedup import simhash_dedup
@@ -63,6 +75,22 @@ class TestNearDup:
         ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)])
         pairs = set(map(tuple, embedding_near_dup(ds, threshold=0.99).to_pandas()[["a", "b"]].values))
         assert (3, 7) in pairs
+
+    def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import embedding_near_dup
+
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((40, 8)).astype(np.float64)
+        vecs[11] = vecs[2] * 1.5  # exact cosine dup (scaled)
+        ds = rd.from_items([{"vec_id": i, "embedding": list(v)} for i, v in enumerate(vecs)])
+        exact = embedding_near_dup(ds, threshold=0.9, n_planes=0).to_pandas()
+        lsh = embedding_near_dup(ds, threshold=0.9, n_planes=6).to_pandas()
+        exact_pairs = set(map(tuple, exact[["a", "b"]].values))
+        lsh_pairs = set(map(tuple, lsh[["a", "b"]].values))
+        assert (2, 11) in exact_pairs
+        assert lsh_pairs <= exact_pairs  # LSH finds a subset of exact
 
 
 class TestSimilarity:

@@ -108,8 +108,13 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_token_stats",
         "text_quality",
         "text_fingerprint_md5",
+        "text_langid",
         "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
         "sim_knn_bruteforce",
+        "sim_ivf_knn",
+        "media_decode_fake",
     ],
 )
 def test_oracle_checked_small(contract, name):
@@ -117,7 +122,15 @@ def test_oracle_checked_small(contract, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["crawl_extract_canon", "crawl_jsonext_wholebody", "crawl_fetch_counts", "crawl_dup_dedup"]
+    "name",
+    [
+        "crawl_extract_canon",
+        "crawl_jsonext_wholebody",
+        "crawl_fetch_counts",
+        "crawl_dup_dedup",
+        "crawl_results_full",
+        "crawl_admission",
+    ],
 )
 def test_oracle_checked_crawl(contract, name):
     _run_and_compare(contract, name, CRAWL_SF)
@@ -126,14 +139,9 @@ def test_oracle_checked_crawl(contract, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "crawl_results_full",
-        "crawl_admission",
-        "text_langid",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_embedding_cosine",
-        "sim_ivf_knn",
-        "media_decode_fake",
+        "dedup_embedding_lsh",
     ],
 )
 def test_rows_only_queries_run(contract, name):
