@@ -99,25 +99,27 @@ class ObjectSink:
     before the dedup check, as the reference does (jsonutils.go:378-386)
     — and ``summoned/<source>/<sha>.jsonld`` only for first writers,
     never overwriting an existing object (StatObject-then-Put
-    semantics). Local-fs object root; swap for fsspec/S3 in deployment."""
+    semantics, jsonutils.go:383-388). The store is an fsspec-backed
+    ``ObjectStoreClient`` built ONCE per actor from the parsed minio
+    config — file:// for parity runs, memory:// in tests, s3:// against
+    live MinIO (objectstore.py)."""
 
-    def __init__(self, root: str, bucket: str, source_info: dict, run_date: str):
-        self.root = os.path.join(root, bucket)
+    def __init__(
+        self,
+        root_url: str,
+        bucket: str,
+        source_info: dict,
+        run_date: str,
+        minio_cfg=None,
+        write_usermeta: bool = False,
+    ):
+        from ..objectstore import ObjectStoreClient
+
+        self.client = ObjectStoreClient(root_url, bucket, minio=minio_cfg)
         self.bucket = bucket
         self.source_info = source_info  # name -> Source-like namespace
         self.run_date = run_date
-        os.makedirs(self.root, exist_ok=True)
-
-    def _write(self, object_name: str, text: str, overwrite: bool) -> bool:
-        path = os.path.join(self.root, object_name)
-        if not overwrite and os.path.exists(path):
-            return False
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp.%d" % os.getpid()
-        with open(tmp, "w") as f:
-            f.write(text)
-        os.replace(tmp, path)  # atomic publish
-        return True
+        self.write_usermeta = write_usermeta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sources = batch.column("source").to_pylist()
@@ -131,9 +133,12 @@ class ObjectSink:
             if not name:
                 continue  # zero-candidate marker row
             prov = prov_graph(self.bucket, source, sha, url, srcs, self.run_date)
-            self._write(prov_object_name(source, prov), prov, overwrite=True)
+            self.client.put(prov_object_name(source, prov), prov, overwrite=True)
             if first:
-                self._write(name, doc, overwrite=False)
+                usermeta = (
+                    {"url": url, "sha1": sha, "uniqueid": sha} if self.write_usermeta else None
+                )
+                self.client.put(name, doc, usermeta=usermeta, overwrite=False)
         return batch
 
 
@@ -162,6 +167,8 @@ def summon(
     join: str = "broadcast",  # "broadcast" (index via plasma) | "hash" (Dataset.join)
     frontier_index_ref=None,
     pages_read_kwargs: dict | None = None,
+    object_store_url: str | None = None,  # fsspec root; default file://<out_dir>/objects
+    write_usermeta: bool = False,
 ) -> dict:
     """Run the crawl; returns the run manifest (also written to disk)."""
     t0 = time.time()
@@ -298,11 +305,15 @@ def summon(
                 SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
                 concurrency=io_concurrency, num_cpus=0.5,
             )
+    if object_store_url is None:
+        object_store_url = "file://" + os.path.join(out_dir, "objects")
     if write_objects:
         source_info = {s.name: s for s in cfg.sources}
         deduped = deduped.map_batches(
             ObjectSink,
-            fn_constructor_args=(os.path.join(out_dir, "objects"), cfg.minio.bucket_name(), source_info, run_date),
+            fn_constructor_args=(
+                object_store_url, cfg.minio.bucket_name(), source_info, run_date, cfg.minio, write_usermeta,
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=io_concurrency, num_cpus=0.5,
@@ -314,17 +325,16 @@ def summon(
     # -- org graphs (tiny, driver-side; root.go:159 runs them every time) ---
     org_errors: list[str] = []
     if write_objects:
-        obj_root = os.path.join(out_dir, "objects", cfg.minio.bucket_name())
+        from ..objectstore import ObjectStoreClient
+
+        client = ObjectStoreClient(object_store_url, cfg.minio.bucket_name(), minio=cfg.minio)
         for source in cfg.sources:
             try:
                 nq = org_nq(source)
             except ValueError as e:
                 org_errors.append(str(e))
                 continue
-            path = os.path.join(obj_root, org_object_name(source.name))
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:
-                f.write(nq)
+            client.put(org_object_name(source.name), nq, overwrite=True)
 
     # -- metrics + manifest (north rule: per-partition metrics + lineage) ---
     # one pruned read of the just-written results (3 small columns) —

@@ -49,10 +49,21 @@ def merge_crawl_delay(config_delay_ms: int, robots_crawl_delay_s: float) -> int:
 
 @ray.remote(num_cpus=0.25)
 class PolitenessShard:
-    def __init__(self, shard_id: int, user_agent: str = "EarthCube_DataBot/1.0"):
+    """``live=False`` (default): purely logical admission (the Parquet
+    data plane). ``live=True``: admission is enforced against a real
+    monotonic clock — each delayed host's URLs are spaced at least
+    ``delay_ms`` apart by sleeping inside the shard actor, mirroring the
+    reference's serialize-then-sleep loop (acquire.go:118-124,210:
+    semaphore of width ``threads``, delay>0 forces width 1, sleep(delay)
+    after every URL). Because one host lives on exactly one shard actor
+    and actor calls serialize, the spacing guarantee holds across every
+    fetch worker in the cluster."""
+
+    def __init__(self, shard_id: int, user_agent: str = "EarthCube_DataBot/1.0", live: bool = False):
         self.shard_id = shard_id
         self.user_agent = user_agent
-        # host -> {group, delay_ms, threads, seq, clock_ms}
+        self.live = live
+        # host -> {group, delay_ms, threads, seq, clock_ms, next_free}
         self.hosts: dict[str, dict] = {}
 
     def configure(self, host: str, robots_txt: str | None, delay_ms: int, threads: int) -> dict:
@@ -74,13 +85,20 @@ class PolitenessShard:
 
     def admit(self, host: str, urls: list[str]) -> dict:
         """Admit URLs for one host in order. Returns per-url allow flags,
-        seq numbers, and simulated admission times (ms since host start)."""
+        seq numbers, simulated admission times (ms since host start) and,
+        in live mode, the wall-clock admission instants (monotonic s).
+
+        Live mode is a rate limiter, not a scheduler: the call BLOCKS
+        until every allowed URL has cleared its slot (the reference
+        blocks its goroutines the same way on the semaphore + sleep)."""
+        import time
+
         state = self.hosts.get(host)
         if state is None:
-            state = {"group": None, "delay_ms": 0, "threads": 1, "seq": 0, "clock_ms": 0}
+            state = {"group": None, "delay_ms": 0, "threads": 1, "seq": 0, "clock_ms": 0, "next_free": 0.0}
             self.hosts[host] = state
         group = state["group"]
-        allowed, seqs, times = [], [], []
+        allowed, seqs, times, walls = [], [], [], []
         for url in urls:
             ok = group.test(url) if group is not None else True
             allowed.append(ok)
@@ -89,10 +107,21 @@ class PolitenessShard:
                 state["clock_ms"] = admission_ms(state["seq"], state["delay_ms"], state["threads"])
                 times.append(state["clock_ms"])
                 state["seq"] += 1
+                if self.live:
+                    now = time.monotonic()
+                    next_free = state.get("next_free", 0.0)
+                    if next_free > now:
+                        time.sleep(next_free - now)
+                        now = next_free
+                    walls.append(now)
+                    state["next_free"] = now + state["delay_ms"] / 1000.0
+                else:
+                    walls.append(-1.0)
             else:
                 seqs.append(-1)
                 times.append(-1)
-        return {"allowed": allowed, "seq": seqs, "admit_ms": times}
+                walls.append(-1.0)
+        return {"allowed": allowed, "seq": seqs, "admit_ms": times, "admit_wall": walls}
 
     def host_stats(self) -> dict:
         return {h: {"seq": s["seq"], "delay_ms": s["delay_ms"]} for h, s in self.hosts.items()}

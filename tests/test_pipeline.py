@@ -281,3 +281,38 @@ class TestHashJoinPath:
         assert len(h) == len(b)
         assert (h.jsonld.values == b.jsonld.values).all()
         assert (h.sha.values == b.sha.values).all()
+
+
+class TestObjectStoreIntegration:
+    def test_usermeta_sidecars_written(self, run, corpus, ray_session, tmp_path_factory):
+        """fsspec sink with usermeta: every first-writer object gets a
+        .meta.json sidecar carrying url/sha1 (jsonutils.go:360-372)."""
+        import glob
+        import json as _json
+
+        from gleaner_ray.pipelines.summon import summon
+
+        out = str(tmp_path_factory.mktemp("summon_meta"))
+        cfg = corpus_config(corpus)
+        summon(
+            cfg,
+            os.path.join(corpus, "pages"),
+            out,
+            fetch=corpus_fetch(corpus),
+            n_seen_shards=2,
+            concurrency=1,
+            write_usermeta=True,
+        )
+        objs = glob.glob(os.path.join(out, "objects", "gleaner", "summoned", "*", "*.jsonld"))
+        metas = glob.glob(os.path.join(out, "objects", "gleaner", "summoned", "*", "*.meta.json"))
+        assert len(objs) > 0 and len(metas) == len(objs)
+        m = _json.load(open(metas[0]))
+        assert set(m) == {"url", "sha1", "uniqueid"} and m["sha1"] == m["uniqueid"]
+        # object set identical to the default run's (sidecars are extra)
+        base = run["out"]
+        base_objs = {
+            os.path.relpath(p, os.path.join(base, "objects", "gleaner"))
+            for p in glob.glob(os.path.join(base, "objects", "gleaner", "summoned", "*", "*.jsonld"))
+        }
+        new_objs = {os.path.relpath(p, os.path.join(out, "objects", "gleaner")) for p in objs}
+        assert new_objs == base_objs

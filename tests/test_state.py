@@ -112,3 +112,75 @@ class TestPoliteness:
         out = ray.get(actor.admit.remote("h2", ["u%d" % i for i in range(7)]))
         assert out["seq"] == list(range(7))
         ray.kill(actor)
+
+    def test_live_mode_enforces_real_spacing(self):
+        import ray
+
+        from gleaner_ray.stages.politeness import PolitenessShard
+
+        actor = PolitenessShard.remote(2, live=True)
+        ray.get(actor.configure.remote("slow.example.org", "User-agent: *\nCrawl-delay: 0.05\n", 0, 5))
+        out = ray.get(actor.admit.remote("slow.example.org", ["u%d" % i for i in range(4)]))
+        walls = out["admit_wall"]
+        assert all(w >= 0 for w in walls)
+        gaps = [b - a for a, b in zip(walls, walls[1:])]
+        # real clock: consecutive admissions for a delayed host are spaced
+        # at least the crawl delay apart (acquire.go:210 sleep semantics)
+        assert all(g >= 0.05 - 1e-3 for g in gaps), gaps
+        ray.kill(actor)
+
+    def test_live_mode_no_delay_does_not_sleep(self):
+        import ray
+
+        from gleaner_ray.stages.politeness import PolitenessShard
+
+        actor = PolitenessShard.remote(3, live=True)
+        ray.get(actor.configure.remote("fast", None, 0, 5))
+        import time
+
+        t0 = time.monotonic()
+        out = ray.get(actor.admit.remote("fast", ["u%d" % i for i in range(100)]))
+        assert time.monotonic() - t0 < 1.0
+        assert out["seq"] == list(range(100))
+        ray.kill(actor)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestObjectStore:
+    def test_never_overwrite_and_usermeta_sidecar(self):
+        from gleaner_ray.objectstore import ObjectStoreClient
+
+        c = ObjectStoreClient("memory://t1", "gleaner")
+        assert c.put("summoned/s/abc.jsonld", "v1", usermeta={"url": "https://x/1", "sha1": "abc"})
+        # StatObject-then-Put: a second writer must NOT overwrite
+        assert not c.put("summoned/s/abc.jsonld", "v2")
+        assert c.get_text("summoned/s/abc.jsonld") == "v1"
+        assert c.put("prov/s/p.jsonld", "p2", overwrite=True)
+        import json
+
+        meta = json.loads(c.get_text("summoned/s/abc.jsonld.meta.json"))
+        assert meta["sha1"] == "abc"
+        # sidecars are not objects
+        assert c.list_objects() == ["prov/s/p.jsonld", "summoned/s/abc.jsonld"]
+
+    def test_file_protocol_roundtrip(self, tmp_path):
+        from gleaner_ray.objectstore import ObjectStoreClient
+
+        c = ObjectStoreClient("file://%s" % tmp_path, "bkt")
+        assert c.put("a/b.txt", "hello")
+        assert (tmp_path / "bkt" / "a" / "b.txt").read_text() == "hello"
+        assert not c.put("a/b.txt", "nope")
+        assert c.exists("a/b.txt")
+        assert c.list_objects("a") == ["a/b.txt"]
+
+    def test_s3_requires_s3fs(self):
+        import pytest as _pytest
+
+        from gleaner_ray.config import MinioConfig
+        from gleaner_ray.objectstore import ObjectStoreClient, minio_endpoint_url
+
+        cfg = MinioConfig(address="minio.local", port=9000, ssl=True, accesskey="k", secretkey="s")
+        assert minio_endpoint_url(cfg) == "https://minio.local:9000"
+        assert minio_endpoint_url(MinioConfig(address="s3.amazonaws.com", port=0)) == "http://s3.amazonaws.com"
+        with _pytest.raises((RuntimeError, Exception)):
+            ObjectStoreClient("s3://", "bkt", minio=cfg)
