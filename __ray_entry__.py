@@ -336,9 +336,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # right side made unique on (key, time): ASOF's pick among equal
+        # o_orderdate rows is arbitrary in both engines, so ties collapse
+        # to max o_orderkey on both sides (engine does the same)
         "rel_asof_events_orders": """
+            WITH o2 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                        FROM orders GROUP BY 1, 2)
             SELECT e.event_id, o.o_orderkey
-            FROM events e ASOF LEFT JOIN orders o
+            FROM events e ASOF LEFT JOIN o2 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "text_token_stats": r"""

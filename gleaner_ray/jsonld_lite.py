@@ -88,6 +88,12 @@ class Validator:
     def _resolvable_url(self, url: str) -> bool:
         return url in self.resolvable or any(url.startswith(r) for r in self.resolvable if r.endswith("/"))
 
+    # context keywords a term definition may legally target (everything
+    # else is json-gold's "keyword redefinition" expansion error; @type
+    # alone is redefinable in 1.1 with a restricted form)
+    _CTX_DIRECTIVES = {"@base", "@vocab", "@version", "@language", "@direction",
+                       "@propagate", "@import", "@protected"}
+
     def _check_context(self, ctx, depth: int) -> None:
         if ctx is None:
             return
@@ -101,6 +107,23 @@ class Validator:
             return
         if isinstance(ctx, dict):
             for term, defn in ctx.items():
+                if term == "@base":
+                    if defn is not None and not isinstance(defn, str):
+                        raise ValidationError("invalid base IRI")
+                    continue
+                if term == "@vocab":
+                    if defn is not None and not isinstance(defn, str):
+                        raise ValidationError("invalid vocab mapping")
+                    continue
+                if term == "@version":
+                    # json-gold (1.1 processing mode): only 1.1 is legal
+                    if defn != 1.1:
+                        raise ValidationError("invalid @version value: %r" % (defn,))
+                    continue
+                if term in self._CTX_DIRECTIVES:
+                    continue
+                if term in _KEYWORDS and term != "@type":
+                    raise ValidationError("keyword redefinition: %s" % term)
                 if defn is None or isinstance(defn, str):
                     continue
                 if isinstance(defn, dict):
@@ -110,6 +133,9 @@ class Validator:
                     tt = defn.get("@type")
                     if tt is not None and not isinstance(tt, str):
                         raise ValidationError("invalid type mapping for term %s" % term)
+                    rev = defn.get("@reverse")
+                    if rev is not None and not isinstance(rev, str):
+                        raise ValidationError("invalid IRI mapping for reverse term %s" % term)
                     continue
                 if isinstance(defn, (int, float, bool)):
                     raise ValidationError("invalid term definition for %s" % term)
@@ -136,6 +162,9 @@ class Validator:
                     raise ValidationError("invalid type value")
             elif not isinstance(t, str):
                 raise ValidationError("invalid type value")
+        if "@reverse" in node and not isinstance(node["@reverse"], dict):
+            # json-gold expansion: "invalid @reverse value"
+            raise ValidationError("invalid @reverse value")
         if "@value" in node:
             v = node["@value"]
             if isinstance(v, (dict, list)):
@@ -145,6 +174,10 @@ class Validator:
                 raise ValidationError("invalid value object: %s" % sorted(bad))
             if "@type" in node and "@language" in node:
                 raise ValidationError("invalid value object: both @type and @language")
+            lang = node.get("@language")
+            if lang is not None and not isinstance(lang, str):
+                # json-gold expansion: "invalid language-tagged string"
+                raise ValidationError("invalid language-tagged string")
         for k, v in node.items():
             if k == "@context":
                 continue
@@ -211,30 +244,33 @@ class _Ctx:
 
 
 def normalize_nquads(jsonld: str) -> str:
-    """URDNA-lite normalization: expansion with json-gold's no-context
+    """URDNA2015 normalization: expansion with json-gold's no-context
     fallbacks (bare @type terms become relative IRIs; term-less
-    properties drop) and canonical ``_:c14n{i}`` blank labels in
-    first-use order. Matches the reference's approved goldens for
-    single-blank-node documents (internal/common/ldproc_test.go:40-105);
-    full URDNA2015 ordering for multi-blank-node graphs is out of scope
-    and documented as such."""
-    out = to_nquads(jsonld, relative_types=True)
-    labels: dict[str, str] = {}
-    lines = []
-    for line in out.splitlines():
-        for token in line.split(" "):
-            if token.startswith("_:") and token not in labels:
-                labels[token] = "_:c14n%d" % len(labels)
-        for old, new in labels.items():
-            line = line.replace(old + " ", new + " ")
-        lines.append(line)
-    return "".join(sorted(line + "\n" for line in lines))
+    properties drop; a RELATIVE @id invalidates that node's quads), then
+    the full RDF Dataset Canonicalization label assignment (urdna.py) —
+    unique first-degree hashes, N-degree gossip paths for symmetric
+    blank nodes. Matches the reference's approved goldens
+    (internal/common/ldproc_test.go:40-105) including the multi-node
+    ``noContext`` empty-output case."""
+    from .urdna import canonicalize, serialize_quads
+
+    quads = _expand_quads(jsonld, relative_types=True)
+    labels = canonicalize(quads)
+    return serialize_quads(quads, labels)
 
 
-def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool = False) -> str:
-    """Convert a (template-shaped) JSON-LD document to sorted N-Quads."""
+def _expand_quads(
+    jsonld: str, graph_name: str | None = None, relative_types: bool = False
+) -> list[tuple]:
+    """Expand a (template-shaped) JSON-LD document into quad tuples
+    ``(subject, predicate_iri, object_token, graph_iri|None)`` —
+    subjects are bnode tokens or absolute IRIs; objects are serialized
+    N-Quads tokens. json-gold parity quirks: a node whose @id expands
+    RELATIVE emits no quads of its own (invalid RDF subject) though its
+    mapped children still expand; bare @type terms stay relative when
+    ``relative_types`` (the Normalize path keeps them, goldens pin it)."""
     doc = json.loads(jsonld)
-    quads: list[str] = []
+    quads: list[tuple] = []
     counter = [0]
     ctx = _Ctx.from_doc(doc.get("@context", {}))
 
@@ -246,16 +282,16 @@ def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool =
     def fmt_term(t: str) -> str:
         return t if t.startswith("_:") else "<%s>" % t
 
-    def emit(s: str, p: str, o: str) -> None:
-        g = " <%s>" % graph_name if graph_name else ""
-        quads.append("%s <%s> %s%s ." % (fmt_term(s), p, o, g))
-
-    def node_subject(node: dict, local_ctx: _Ctx) -> str:
+    def node_subject(node: dict, local_ctx: _Ctx) -> str | None:
+        """bnode token, absolute IRI, or None for a relative @id
+        (json-gold drops quads with non-absolute subjects)."""
         nid = node.get("@id")
         if isinstance(nid, str):
-            iri = local_ctx.expand_iri(nid)
-            return iri if iri else bnode()
+            return local_ctx.expand_iri(nid)
         return bnode()
+
+    def emit(s: str, p: str, o: str) -> None:
+        quads.append((s, p, o, graph_name))
 
     def walk(node, local_ctx: _Ctx) -> str | None:
         if isinstance(node, list):
@@ -270,13 +306,19 @@ def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool =
             walk(node["@graph"], local_ctx)
             return None
         subj = node_subject(node, local_ctx)
+        valid_subject = subj is not None
+
+        def emit_if_valid(p: str, o: str) -> None:
+            if valid_subject:
+                emit(subj, p, o)
+
         types = node.get("@type", [])
         for t in [types] if isinstance(types, str) else types:
             t_iri = local_ctx.expand_iri(t, as_property=True)
             if t_iri is None and relative_types:
                 t_iri = t  # json-gold keeps bare types as relative IRIs
             if t_iri:
-                emit(subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", fmt_term(t_iri))
+                emit_if_valid("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", fmt_term(t_iri))
         for key, value in node.items():
             if key in ("@context", "@id", "@type", "@graph"):
                 continue
@@ -294,25 +336,32 @@ def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool =
                             o += "^^<%s>" % dt_iri
                         elif v.get("@language"):
                             o += "@%s" % v["@language"]
-                        emit(subj, pred, o)
+                        emit_if_valid(pred, o)
                     elif set(v) == {"@id"} and isinstance(v.get("@id"), str):
                         o_iri = local_ctx.expand_iri(v["@id"])
                         if o_iri:
-                            emit(subj, pred, fmt_term(o_iri))
+                            emit_if_valid(pred, fmt_term(o_iri))
                     else:
                         child = walk(v, local_ctx)
                         if child:
-                            emit(subj, pred, fmt_term(child))
+                            emit_if_valid(pred, fmt_term(child))
                 elif isinstance(v, bool):
-                    emit(subj, pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#boolean>' % str(v).lower())
+                    emit_if_valid(pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#boolean>' % str(v).lower())
                 elif isinstance(v, (int, float)):
                     if isinstance(v, int):
-                        emit(subj, pred, '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>' % v)
+                        emit_if_valid(pred, '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>' % v)
                     else:
-                        emit(subj, pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#double>' % repr(v))
+                        emit_if_valid(pred, '"%s"^^<http://www.w3.org/2001/XMLSchema#double>' % repr(v))
                 elif isinstance(v, str):
-                    emit(subj, pred, '"%s"' % _escape_literal(v))
+                    emit_if_valid(pred, '"%s"' % _escape_literal(v))
         return subj
 
     walk(doc, ctx)
-    return "".join(q + "\n" for q in sorted(set(quads)))
+    return quads
+
+
+def to_nquads(jsonld: str, graph_name: str | None = None, relative_types: bool = False) -> str:
+    """Convert a (template-shaped) JSON-LD document to sorted N-Quads."""
+    from .urdna import serialize_quads
+
+    return serialize_quads(_expand_quads(jsonld, graph_name, relative_types))

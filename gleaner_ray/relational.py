@@ -202,7 +202,9 @@ def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
     ``pd.merge_asof(by=key)`` per partition over the time-sorted block.
     Partitioning assumption: all rows of one key fit in one partition
     (salt by time range upstream for pathological keys). Matches DuckDB
-    ASOF JOIN."""
+    ASOF JOIN with the right side made unique on (key, time) — ties on
+    o_orderdate collapse to the max o_orderkey, since ASOF's pick among
+    equal timestamps is otherwise arbitrary on both engines."""
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
@@ -246,7 +248,13 @@ def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["is_left"]].sort_values("t", kind="mergesort")
-        right = df[~df["is_left"]].sort_values("t", kind="mergesort")
+        # deterministic tie-break: one row per (key, time), max orderkey
+        right = (
+            df[~df["is_left"]]
+            .groupby(["user_id", "t"], as_index=False)["o_orderkey"]
+            .max()
+            .sort_values("t", kind="mergesort")
+        )
         left = pd.DataFrame(
             {"event_id": left["event_id"].astype("int64"), "user_id": left["user_id"], "ts": left["t"]}
         )
@@ -266,7 +274,10 @@ def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
         out = pd.merge_asof(
             left, right, by="user_id", left_on="ts", right_on="o_orderdate", direction="backward"
         )
-        out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+        # plain int64 when fully matched (nullable Int64 only if the left
+        # join actually produced gaps) — mirrors DuckDB's fetch typing
+        k = out["o_orderkey"]
+        out["o_orderkey"] = k.astype("int64") if not k.isna().any() else k.astype("Int64")
         return out[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]]
 
     return both.groupby("pid").map_groups(per_partition, batch_format="pandas")

@@ -338,3 +338,54 @@ class TestFastPathEquivalence:
             slow = fixups.process_json(doc, ContextOption.HTTPS, False)
             monkeypatch.undo()
             assert fast == slow, doc
+
+
+class TestValidatorExpansionFailures:
+    """Structurally-plausible documents that json-gold rejects during
+    EXPANSION (not parse): each case mirrors a named json-gold error so
+    accept/reject parity is pinned beyond the synthetic corpus."""
+
+    def test_invalid_version_value(self):
+        v = Validator()
+        ok, err = v.is_valid('{"@context": {"@version": 1.0}, "@type": "Dataset"}')
+        assert not ok and "@version" in err
+
+    def test_version_11_accepted(self):
+        v = Validator()
+        ok, err = v.is_valid(
+            '{"@context": {"@version": 1.1, "@vocab": "https://schema.org/"}, "@type": "Dataset"}'
+        )
+        assert ok and err is None
+
+    def test_invalid_base_iri(self):
+        v = Validator()
+        ok, err = v.is_valid('{"@context": {"@base": 7}, "@type": "Dataset"}')
+        assert not ok and "base" in err
+
+    def test_invalid_vocab_mapping(self):
+        v = Validator()
+        ok, err = v.is_valid('{"@context": {"@vocab": ["x"]}, "@type": "Dataset"}')
+        assert not ok and "vocab" in err
+
+    def test_keyword_redefinition(self):
+        v = Validator()
+        ok, err = v.is_valid('{"@context": {"@id": "https://x/id"}, "@type": "Dataset"}')
+        assert not ok and "keyword redefinition" in err
+
+    def test_invalid_reverse_value(self):
+        v = Validator()
+        ok, err = v.is_valid('{"@context": {"@vocab": "https://schema.org/"}, "@reverse": "name"}')
+        assert not ok and "@reverse" in err
+
+    def test_invalid_language_tagged_string(self):
+        v = Validator()
+        ok, err = v.is_valid('{"name": {"@value": "x", "@language": 5}}')
+        assert not ok and "language" in err
+
+    def test_reverse_object_form_accepted(self):
+        v = Validator()
+        ok, err = v.is_valid(
+            '{"@context": {"@vocab": "https://schema.org/"}, '
+            '"@reverse": {"isPartOf": {"@id": "https://x/child"}}}'
+        )
+        assert ok and err is None
