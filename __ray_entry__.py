@@ -75,21 +75,74 @@ _HOST_CASE = (
     + " END"
 )
 
-# the LangId heuristic's profiles, rendered as SQL list literals so the
-# oracle reproduces the exact score: |trigrams ∩ profile| + 2·|words ∩ stops|
-def _langid_score_sql() -> str:
-    from gleaner_ray.ops.text import _LANG_PROFILES
+# the LangId heuristic rendered as one DuckDB query, generated from the
+# SAME profile/script tables the engine uses (ops/text.py) so the two
+# stay value-identical by construction: script detection first (>25% of
+# non-whitespace chars, first range wins), then the Latin-profile score
+# |trigrams ∩ profile| + 2·|words ∩ stops| with dict-order tie-break.
+def _langid_sql() -> str:
+    from gleaner_ray.ops.text import _LANG_PROFILES, _SCRIPT_MIN_RATIO, _SCRIPT_RANGES
 
     def lst(xs):
         return "[" + ",".join("'%s'" % x for x in xs) + "]"
 
-    exprs = []
-    for lang, (tri_text, stops) in _LANG_PROFILES.items():
-        exprs.append(
-            "len(list_intersect(tris, %s)) + 2*len(list_intersect(wordset, %s)) AS s_%s"
-            % (lst(sorted(set(tri_text.split()))), lst(sorted(stops)), lang)
-        )
-    return ", ".join(exprs)
+    langs = list(_LANG_PROFILES)
+    score_exprs = ", ".join(
+        "len(list_intersect(tris, %s)) + 2*len(list_intersect(wordset, %s)) AS s_%s"
+        % (lst(sorted(set(tri.split()))), lst(sorted(stops)), lang)
+        for lang, (tri, stops) in _LANG_PROFILES.items()
+    )
+    script_cols = ", ".join(
+        "length(regexp_replace(txt, '[^%s]', '', 'g')) AS c_%s" % (rng, lang)
+        for lang, rng in _SCRIPT_RANGES
+    )
+    script_cases = " ".join(
+        "WHEN n_ns > 0 AND c_%s > %s*n_ns THEN '%s'" % (lang, _SCRIPT_MIN_RATIO, lang)
+        for lang, _ in _SCRIPT_RANGES
+    )
+    # earlier profile wins ties: lang_i is picked iff its score >= every
+    # LATER language's score (mirrors Python's strict-> replacement)
+    latin_cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join("s_%s" % l for l in langs[i + 1 :])
+        gt = "greatest(%s)" % rest if "," in rest else rest
+        latin_cases.append("WHEN s_%s >= %s THEN '%s'" % (lang, gt, lang))
+    all_scores = ", ".join("s_%s" % l for l in langs)
+    return """
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+        sc AS (
+          SELECT doc_id, txt,
+                 length(regexp_replace(txt, '\\s', '', 'g')) AS n_ns,
+                 {script_cols}
+          FROM base),
+        w AS (
+          SELECT *, list_slice(regexp_extract_all(lower(txt), '[a-zà-ÿ]+'), 1, 200) AS words
+          FROM sc),
+        t AS (
+          SELECT *, list_distinct(flatten(list_transform(words,
+                       w -> CASE WHEN length(w) >= 3
+                                 THEN list_transform(range(1, length(w)-1), i -> w[i:i+2])
+                                 ELSE [] END))) AS tris,
+                    list_distinct(words) AS wordset
+          FROM w),
+        s AS (SELECT doc_id, n_ns, {c_cols}, len(words) AS nw, {score_exprs} FROM t)
+        SELECT doc_id,
+               CASE {script_cases}
+                    WHEN nw = 0 THEN 'und'
+                    WHEN greatest({all_scores}) = 0 THEN 'und'
+                    {latin_cases}
+                    ELSE '{last_lang}' END AS lang_pred
+        FROM s
+    """.format(
+        script_cols=script_cols,
+        c_cols=", ".join("c_%s" % lang for lang, _ in _SCRIPT_RANGES),
+        score_exprs=score_exprs,
+        script_cases=script_cases,
+        all_scores=all_scores,
+        latin_cases=" ".join(latin_cases),
+        last_lang=langs[-1],
+    )
 
 
 def entry() -> Any:
@@ -386,29 +439,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%')
             GROUP BY source ORDER BY source
         """,
-        "text_langid": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     list_slice(regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+'), 1, 200) AS words
-              FROM documents),
-            t AS (
-              SELECT doc_id, words,
-                     list_distinct(flatten(list_transform(words,
-                        w -> CASE WHEN length(w) >= 3
-                                  THEN list_transform(range(1, length(w)-1), i -> w[i:i+2])
-                                  ELSE [] END))) AS tris,
-                     list_distinct(words) AS wordset
-              FROM t_inner),
-            s AS (SELECT doc_id, len(words) AS nw, __SCORES__ FROM t)
-            SELECT doc_id,
-                   CASE WHEN nw = 0 THEN 'und'
-                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                        WHEN s_fr >= s_es THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-            FROM s
-        """.replace("t_inner", "w").replace("__SCORES__", _langid_score_sql()),
+        "text_langid": _langid_sql(),
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
             FROM documents GROUP BY 1

@@ -81,25 +81,112 @@ def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-# character-trigram profiles per language (hand-rolled public heuristic)
+# character-trigram + stopword profiles per Latin-script language
+# (hand-rolled public heuristic, textcat-style). Dict ORDER is the
+# tie-break: an earlier entry wins equal scores — both the Python argmax
+# below and the generated DuckDB oracle CASE preserve it, so the two
+# stay value-identical by construction.
 _LANG_PROFILES = {
-    "en": ("the and ing ion tio ent for was har een ere his ith hat", {"the", "and", "of", "to", "is"}),
-    "de": ("der die und sch ein ich den cht ung gen", {"der", "die", "und", "das", "ist"}),
-    "fr": ("les de la ent ion que une dans pour est", {"les", "des", "une", "est", "dans"}),
-    "es": ("de la que el en los del las por con", {"los", "las", "una", "por", "con"}),
+    "en": (
+        "the and ing ion tio ent for was har een ere his ith hat",
+        {"the", "and", "of", "to", "is", "that", "was", "for", "it", "as"},
+    ),
+    "de": (
+        "der die und sch ein ich den cht ung gen",
+        {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "sich"},
+    ),
+    "fr": (
+        "les de la ent ion que une dans pour est",
+        {"les", "des", "une", "est", "dans", "pour", "que", "pas", "sur", "avec"},
+    ),
+    "es": (
+        "de la que el en los del las por con",
+        {"los", "las", "una", "por", "con", "para", "pero", "como", "sin", "sus"},
+    ),
+    "it": (
+        "che ion one ent lla del ell per are ato",
+        {"che", "per", "una", "sono", "della", "anche", "nel", "gli", "come", "alla"},
+    ),
+    "pt": (
+        "que ção ade ara ent ram nto com est dos",
+        {"uma", "não", "com", "para", "mais", "dos", "das", "como", "seu", "mas"},
+    ),
+    "nl": (
+        "een het van der ijk sch oor aar ver end",
+        {"het", "een", "van", "niet", "dat", "zijn", "voor", "met", "maar", "ook"},
+    ),
+    "sv": (
+        "och att det för lig ing ern som ade ill",
+        {"och", "att", "det", "som", "är", "på", "för", "med", "av", "inte"},
+    ),
+    "da": (
+        "det der til ige ede ikk ade nde ere ska",
+        {"og", "det", "er", "til", "af", "den", "som", "med", "har", "ikke"},
+    ),
+    "pl": (
+        "nie prz rze ych owa nia ego jak ost wie",
+        {"jest", "nie", "tylko", "przez", "jako", "oraz", "czy", "przy", "bardzo", "jednak"},
+    ),
+    "tr": (
+        "bir ile çok dah gib anc vey ler lar ama",
+        {"bir", "ve", "bu", "ile", "çok", "daha", "ama", "gibi", "ancak", "veya"},
+    ),
+    "id": (
+        "ang yan kan ber men eng nya ada unt dan",
+        {"yang", "dan", "di", "dengan", "untuk", "tidak", "dari", "ini", "itu", "pada"},
+    ),
+    "ro": (
+        "are est ent tre ulu lor ate ica ost din",
+        {"este", "pentru", "care", "din", "sau", "fost", "sunt", "acest", "dar", "unde"},
+    ),
+    "fi": (
+        "een ssa sta lla ise llä nen kin aan ttä",
+        {"ja", "on", "ei", "että", "oli", "mutta", "myös", "kun", "sen", "hän"},
+    ),
 }
+
+# Non-Latin scripts are checked BEFORE the Latin profiles: the FIRST
+# range whose character share of non-whitespace text exceeds
+# _SCRIPT_MIN_RATIO wins. Kana is listed before Han so Japanese text
+# that mixes kanji stays 'ja'. The ranges are plain codepoint classes so
+# the Python regex and the DuckDB RE2 oracle match exactly.
+_SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("ja", "぀-ヿ"),  # hiragana + katakana
+    ("ko", "가-힯"),  # hangul syllables
+    ("zh", "一-鿿"),  # CJK unified ideographs
+    ("ru", "Ѐ-ӿ"),  # cyrillic
+    ("ar", "؀-ۿ"),  # arabic
+    ("he", "֐-׿"),  # hebrew
+    ("el", "Ͱ-Ͽ"),  # greek
+    ("hi", "ऀ-ॿ"),  # devanagari
+    ("th", "฀-๿"),  # thai
+]
+_SCRIPT_MIN_RATIO = 0.25
 
 
 class LangId:
-    """Actor-pool language id: profiles compiled once per actor."""
+    """Actor-pool language id: profiles compiled once per actor.
+
+    Two layers, mirrored exactly by the generated DuckDB oracle
+    (``__ray_entry__._langid_sql``): (1) script detection — the first
+    ``_SCRIPT_RANGES`` entry covering >25% of non-whitespace characters;
+    (2) Latin-script scoring — ``|trigrams ∩ profile| + 2·|words ∩
+    stopwords|`` over the first 200 words, earlier profile wins ties."""
 
     def __init__(self):
         self.profiles = {}
         for lang, (tri_text, stops) in _LANG_PROFILES.items():
             self.profiles[lang] = (set(tri_text.split()), stops)
         self.word_re = re.compile(r"[a-zà-ÿ]+")
+        self.nonspace_re = re.compile(r"\S")
+        self.script_res = [(lang, re.compile("[%s]" % rng)) for lang, rng in _SCRIPT_RANGES]
 
     def _score(self, text: str) -> str:
+        n_ns = len(self.nonspace_re.findall(text))
+        if n_ns:
+            for lang, rx in self.script_res:
+                if len(rx.findall(text)) > _SCRIPT_MIN_RATIO * n_ns:
+                    return lang
         words = self.word_re.findall(text.lower())
         if not words:
             return "und"

@@ -141,6 +141,68 @@ class TestTextOps:
         out = lid(batch)
         assert list(out.lang_pred) == ["en", "de", "und"]
 
+    # one sentence per supported language; script-detected languages
+    # (non-Latin) exercise the range layer, Latin ones the profiles
+    LANG_SAMPLES = [
+        ("the cat and the dog were in the house and it was warm", "en"),
+        ("der hund und die katze sind nicht mit dem auto auf der strasse", "de"),
+        ("les enfants sont dans la maison pour que les chats ne sortent pas", "fr"),
+        ("los ninos juegan con las pelotas por la tarde para sus amigos", "es"),
+        ("che cosa sono anche della citta per una come gli altri", "it"),
+        ("uma casa não tem mais como os das outras para seu dono", "pt"),
+        ("het huis van een man die niet met dat werk maar ook", "nl"),
+        ("och att det som är på för med av inte alls", "sv"),
+        ("og det er til af den som med har ikke noget", "da"),
+        ("jest nie tylko przez jako oraz czy przy bardzo jednak tam", "pl"),
+        ("bir ve bu ile çok daha ama gibi ancak veya zaman", "tr"),
+        ("yang dan di dengan untuk tidak dari ini itu pada hari", "id"),
+        ("este pentru care din sau fost sunt acest dar unde merge", "ro"),
+        ("ja on ei että oli mutta myös kun sen hän sanoi", "fi"),
+        ("привет мир это тест на русском языке сегодня", "ru"),
+        ("これは日本語のテストです", "ja"),
+        ("这是一个中文测试句子没有假名", "zh"),
+        ("이것은 한국어 테스트 문장입니다", "ko"),
+        ("هذا اختبار باللغة العربية", "ar"),
+        ("αυτό είναι ένα ελληνικό κείμενο", "el"),
+        ("זהו מבחן בשפה העברית", "he"),
+        ("यह हिंदी में एक परीक्षण है", "hi"),
+        ("นี่คือการทดสอบภาษาไทย", "th"),
+        ("", "und"),
+        ("12345 67890 !!!", "und"),
+    ]
+
+    def test_langid_multilingual(self):
+        from gleaner_ray.ops.text import LangId
+
+        lid = LangId()
+        batch = pd.DataFrame(
+            {
+                "doc_id": range(len(self.LANG_SAMPLES)),
+                "text": [t for t, _ in self.LANG_SAMPLES],
+            }
+        )
+        out = lid(batch)
+        assert list(out.lang_pred) == [want for _, want in self.LANG_SAMPLES]
+
+    def test_langid_sql_oracle_parity(self):
+        """The generated DuckDB oracle must agree with the engine on
+        every supported language, not just the (English) corpus."""
+        import duckdb
+
+        import __ray_entry__ as contract
+        from gleaner_ray.ops.text import LangId
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(self.LANG_SAMPLES)),
+                "text": [t for t, _ in self.LANG_SAMPLES],
+            }
+        )
+        py = LangId()(df)
+        sql = contract._langid_sql().replace("FROM documents", "FROM df")
+        odf = duckdb.connect().execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert list(py.lang_pred) == list(odf.lang_pred)
+
     def test_token_stats_and_quality(self):
         from gleaner_ray.ops.text import quality_scores, token_stats
 
