@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None, help="ray.init num_cpus (local mode)")
     ap.add_argument("--no-objects", action="store_true", help="skip summoned/prov/org object writes")
     ap.add_argument("--resume", action="store_true", help="preload seen set from prior runs")
+    ap.add_argument(
+        "--checkpoint-groups",
+        type=int,
+        default=0,
+        dest="checkpoint_groups",
+        help="split input files into N checkpointed groups; with --resume, finished groups are skipped",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))
@@ -87,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
             run_date=run_date,
             write_objects=not args.no_objects,
             resume=args.resume,
+            checkpoint_groups=args.checkpoint_groups,
         )
         print(json.dumps({k: v for k, v in manifest.items() if k != "seen_stats"}, indent=1))
         return 0

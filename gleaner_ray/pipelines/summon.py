@@ -142,6 +142,12 @@ class ObjectSink:
         return batch
 
 
+def _write_group(ds: rd.Dataset, path: str) -> None:
+    """Write one input group's results (own seam so tests can inject a
+    mid-run crash between group commits)."""
+    ds.write_parquet(path, partition_cols=["source"])
+
+
 def _frontier_lookup(frontier: pa.Table) -> dict:
     urls = frontier.column("url").to_pylist()
     sources = frontier.column("source").to_pylist()
@@ -169,8 +175,18 @@ def summon(
     pages_read_kwargs: dict | None = None,
     object_store_url: str | None = None,  # fsspec root; default file://<out_dir>/objects
     write_usermeta: bool = False,
+    checkpoint_groups: int = 0,  # >0: split input files into N groups, checkpoint each
 ) -> dict:
-    """Run the crawl; returns the run manifest (also written to disk)."""
+    """Run the crawl; returns the run manifest (also written to disk).
+
+    Checkpoint/resume (north rule: per-partition checkpoints): with
+    ``checkpoint_groups=N`` the input Parquet files split into N
+    contiguous groups; each group streams through the same graph and
+    commits an ``out_dir/checkpoints.jsonl`` record after its output
+    lands. A ``resume=True`` re-run skips committed groups entirely (no
+    re-extraction) and unions their recorded output dirs into this run's
+    metrics — on top of the seen-set preload, which keeps object-store
+    idempotency across the groups that do re-run."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     # Per-stage pool sizing: the extract pool is the heavy stage (~60% of
@@ -245,81 +261,156 @@ def summon(
         if pending:
             ray.get(pending)
 
-    # -- Phases B-D: one streaming graph ------------------------------------
-    read_kwargs = dict(pages_read_kwargs or {})
-    read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2))
-    pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **read_kwargs)
-    fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
-    if join == "hash":
-        # 10^10-scale path: both sides large -> hash-partitioned join on
-        # url (an explicit all-to-all); the fused stage then runs with
-        # frontier columns pre-attached (lookup_ref=None)
-        frontier_ds = rd.from_arrow(frontier.select(["url", "source", "host", "sitemap_order"]))
-        pages = pages.join(
-            frontier_ds,
-            join_type="inner",
-            num_partitions=max(8, total_cpus),
-            on=("url",),
-        )
-    if fused and dedup == "streaming":
-        # hot path: ReadParquet -> Fused(actor pool) -> Write — one pool,
-        # no inter-stage hops (stages/fused.py; semantics identical to the
-        # decomposed graph below, pinned by the pipeline parity tests)
-        from ..stages.fused import FusedSummon
-
-        retrieval = {}
-        for s in cfg.sources:
-            try:
-                rc = cfg.retrieval_config(s.name)
-                retrieval[s.name] = (rc["delay_ms"], rc["threads"])
-            except KeyError:
-                retrieval[s.name] = (0, 1)
-        deduped = pages.map_batches(
-            FusedSummon,
-            fn_constructor_args=(
-                lookup_ref, shards, fix_options, cfg.context.strict, cfg.context.contextmaps, retrieval,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-    else:
-        joined = pages.map_batches(
-            AttachFrontier, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", batch_size=batch_size,
-            concurrency=io_concurrency, num_cpus=0.5,
-        )
-        extracted = joined.map_batches(
-            ExtractValidate,
-            fn_constructor_args=(cfg.context.contextmaps,),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        normalized = extracted.map_batches(
-            make_normalizer(fix_options, cfg.context.strict), batch_format="pyarrow", batch_size=batch_size
-        )
-        if dedup == "exact":
-            deduped = dedup_exact(normalized)
-        else:
-            deduped = normalized.map_batches(
-                SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
-                concurrency=io_concurrency, num_cpus=0.5,
-            )
+    # -- Phases B-D: one streaming graph per input group ---------------------
     if object_store_url is None:
         object_store_url = "file://" + os.path.join(out_dir, "objects")
-    if write_objects:
-        source_info = {s.name: s for s in cfg.sources}
-        deduped = deduped.map_batches(
-            ObjectSink,
-            fn_constructor_args=(
-                object_store_url, cfg.minio.bucket_name(), source_info, run_date, cfg.minio, write_usermeta,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=io_concurrency, num_cpus=0.5,
+    read_kwargs = dict(pages_read_kwargs or {})
+    read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2))
+    fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
+
+    def build_graph(pages: rd.Dataset) -> rd.Dataset:
+        if join == "hash":
+            # 10^10-scale path: both sides large -> hash-partitioned join on
+            # url (an explicit all-to-all); the fused stage then runs with
+            # frontier columns pre-attached (lookup_ref=None)
+            frontier_ds = rd.from_arrow(frontier.select(["url", "source", "host", "sitemap_order"]))
+            pages = pages.join(
+                frontier_ds,
+                join_type="inner",
+                num_partitions=max(8, total_cpus),
+                on=("url",),
+            )
+        if fused and dedup == "streaming":
+            # hot path: ReadParquet -> Fused(actor pool) -> Write — one pool,
+            # no inter-stage hops (stages/fused.py; semantics identical to the
+            # decomposed graph below, pinned by the pipeline parity tests)
+            from ..stages.fused import FusedSummon
+
+            retrieval = {}
+            for s in cfg.sources:
+                try:
+                    rc = cfg.retrieval_config(s.name)
+                    retrieval[s.name] = (rc["delay_ms"], rc["threads"])
+                except KeyError:
+                    retrieval[s.name] = (0, 1)
+            deduped = pages.map_batches(
+                FusedSummon,
+                fn_constructor_args=(
+                    lookup_ref, shards, fix_options, cfg.context.strict, cfg.context.contextmaps, retrieval,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            joined = pages.map_batches(
+                AttachFrontier, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", batch_size=batch_size,
+                concurrency=io_concurrency, num_cpus=0.5,
+            )
+            extracted = joined.map_batches(
+                ExtractValidate,
+                fn_constructor_args=(cfg.context.contextmaps,),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            normalized = extracted.map_batches(
+                make_normalizer(fix_options, cfg.context.strict), batch_format="pyarrow", batch_size=batch_size
+            )
+            if dedup == "exact":
+                deduped = dedup_exact(normalized)
+            else:
+                deduped = normalized.map_batches(
+                    SeenFilter, fn_constructor_args=(shards,), batch_format="pyarrow", batch_size=batch_size,
+                    concurrency=io_concurrency, num_cpus=0.5,
+                )
+        if write_objects:
+            source_info = {s.name: s for s in cfg.sources}
+            deduped = deduped.map_batches(
+                ObjectSink,
+                fn_constructor_args=(
+                    object_store_url, cfg.minio.bucket_name(), source_info, run_date, cfg.minio, write_usermeta,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=io_concurrency, num_cpus=0.5,
+            )
+        return deduped
+
+    # input groups: the checkpoint unit is a contiguous slice of input
+    # files (one directory of output per group — "resumable output: one
+    # directory per input shard")
+    groups: list[list[str] | None]
+    if checkpoint_groups > 0 and os.path.isdir(pages_path):
+        files = sorted(
+            os.path.join(pages_path, f) for f in os.listdir(pages_path) if f.endswith(".parquet")
         )
+        k = max(1, min(checkpoint_groups, len(files)))
+        # balanced contiguous split into exactly k groups
+        q, r = divmod(len(files), k)
+        groups, at = [], 0
+        for i in range(k):
+            sz = q + (1 if i < r else 0)
+            groups.append(files[at : at + sz])
+            at += sz
+    else:
+        groups = [None]  # whole input, no per-group checkpointing
+
+    ckpt_path = os.path.join(out_dir, "checkpoints.jsonl")
+    done_groups: dict[str, dict] = {}
+    if resume and os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done_groups[rec["group_key"]] = rec
+
     mark("setup")
-    deduped.write_parquet(results_dir, partition_cols=["source"])
+    group_dirs: list[str] = []
+    groups_skipped = 0
+    try:
+        for gi, gfiles in enumerate(groups):
+            if gfiles is None:
+                gdir = results_dir
+                pages = rd.read_parquet(pages_path, columns=["url", "html", "text"], **read_kwargs)
+                _write_group(build_graph(pages), gdir)
+                group_dirs.append(gdir)
+                continue
+            import hashlib as _hashlib
+
+            key = _hashlib.sha1(";".join(os.path.basename(p) for p in gfiles).encode()).hexdigest()[:16]
+            prior_rec = done_groups.get(key)
+            if prior_rec is not None and os.path.isdir(prior_rec["dir"]):
+                group_dirs.append(prior_rec["dir"])
+                groups_skipped += 1
+                continue
+            gdir = os.path.join(results_dir, "group=%03d" % gi)
+            gt0 = time.time()
+            pages = rd.read_parquet(gfiles, columns=["url", "html", "text"], **read_kwargs)
+            _write_group(build_graph(pages), gdir)
+            # the checkpoint record commits AFTER the group's output is fully
+            # on disk — a crash mid-group leaves no record, so the group
+            # re-runs whole (its object-store puts are idempotent)
+            with open(ckpt_path, "a") as f:
+                json.dump(
+                    {
+                        "group_key": key,
+                        "group_index": gi,
+                        "run_id": run_id,
+                        "dir": gdir,
+                        "files": [os.path.basename(p) for p in gfiles],
+                        "elapsed_sec": round(time.time() - gt0, 3),
+                    },
+                    f,
+                )
+                f.write("\n")
+            group_dirs.append(gdir)
+    except BaseException:
+        # a crashed run must not leak the seen-shard actors (their 0.1-CPU
+        # reservations outlive the call otherwise); committed checkpoint
+        # records stay, so a resume re-run skips the finished groups
+        for s in shards:
+            ray.kill(s)
+        raise
     mark("pipeline_write")
 
     # -- org graphs (tiny, driver-side; root.go:159 runs them every time) ---
@@ -338,8 +429,15 @@ def summon(
 
     # -- metrics + manifest (north rule: per-partition metrics + lineage) ---
     # one pruned read of the just-written results (3 small columns) —
-    # cheaper at scale than a per-batch metrics RPC on the hot path
-    results = rd.read_parquet(results_dir, columns=["source", "doc_index", "seen_first"])
+    # cheaper at scale than a per-batch metrics RPC on the hot path;
+    # covers skipped groups' prior dirs so a resumed run reports the
+    # logical union
+    # one lazy read per group dir (read_parquet expands a directory only
+    # when given a single path), unioned into one stream
+    _reads = [
+        rd.read_parquet(d, columns=["source", "doc_index", "seen_first"]) for d in group_dirs
+    ]
+    results = _reads[0].union(*_reads[1:]) if len(_reads) > 1 else _reads[0]
     import pandas as pd
 
     def _counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -366,6 +464,9 @@ def summon(
     manifest = {
         "run_id": run_id,
         "results_dir": results_dir,
+        "group_dirs": group_dirs,
+        "checkpoint_groups": len(groups) if groups != [None] else 0,
+        "groups_skipped": groups_skipped,
         "run_date": run_date,
         "input_files": lineage,
         "elapsed_sec": round(time.time() - t0, 3),

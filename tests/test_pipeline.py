@@ -316,3 +316,98 @@ class TestObjectStoreIntegration:
         }
         new_objs = {os.path.relpath(p, os.path.join(out, "objects", "gleaner")) for p in objs}
         assert new_objs == base_objs
+
+
+class TestCheckpointResume:
+    """Per-partition checkpoints (north rule): a crash between input-file
+    groups must be resumable — committed groups are skipped whole, the
+    rest re-run, and the logical union equals a clean one-shot run."""
+
+    @pytest.fixture(scope="class")
+    def multi_file_corpus(self, tmp_path_factory):
+        # regenerate the sf0.001 corpus with small row groups so the
+        # pages table spans several files (the checkpoint unit)
+        out = str(tmp_path_factory.mktemp("ckpt_corpus"))
+        return generate_corpus("/root/testdata/sf0.001", out_dir=out, rows_per_file=1500)
+
+    @staticmethod
+    def _summoned_objects(out):
+        import glob
+
+        root = os.path.join(out, "objects", "gleaner")
+        return {
+            os.path.relpath(p, root)
+            for p in glob.glob(os.path.join(root, "summoned", "*", "*.jsonld"))
+        }
+
+    def test_crash_then_resume_equals_clean_run(
+        self, ray_session, multi_file_corpus, tmp_path_factory, monkeypatch
+    ):
+        import pandas as _pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines import summon as summon_mod
+
+        corpus = multi_file_corpus
+        cfg = corpus_config(corpus)
+        pages = os.path.join(corpus, "pages")
+        n_files = len([f for f in os.listdir(pages) if f.endswith(".parquet")])
+        assert n_files >= 3, "corpus must span several files for this test"
+
+        # clean one-shot reference run (no checkpointing)
+        clean_out = str(tmp_path_factory.mktemp("ckpt_clean"))
+        summon_mod.summon(
+            cfg, pages, clean_out, fetch=corpus_fetch(corpus), n_seen_shards=2, concurrency=1
+        )
+        clean = pq.read_table(os.path.join(clean_out, "results", "run-0000")).to_pandas()
+
+        # crashing run: die after the first group committed
+        out = str(tmp_path_factory.mktemp("ckpt_resume"))
+        real_write = summon_mod._write_group
+        calls = {"n": 0}
+
+        def crashing_write(ds, path):
+            if calls["n"] >= 1:
+                raise RuntimeError("injected crash between groups")
+            calls["n"] += 1
+            real_write(ds, path)
+
+        monkeypatch.setattr(summon_mod, "_write_group", crashing_write)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            summon_mod.summon(
+                cfg, pages, out, fetch=corpus_fetch(corpus),
+                n_seen_shards=2, concurrency=1, checkpoint_groups=3,
+            )
+        monkeypatch.setattr(summon_mod, "_write_group", real_write)
+
+        ckpts = [json.loads(l) for l in open(os.path.join(out, "checkpoints.jsonl"))]
+        assert len(ckpts) == 1  # exactly the committed group
+
+        # resume: committed group skipped, the rest re-run
+        m2 = summon_mod.summon(
+            cfg, pages, out, fetch=corpus_fetch(corpus),
+            n_seen_shards=2, concurrency=1, checkpoint_groups=3, resume=True,
+        )
+        assert m2["groups_skipped"] == 1
+        assert len(m2["group_dirs"]) == m2["checkpoint_groups"] >= 3
+
+        parts = [rd.read_parquet(d).to_pandas() for d in m2["group_dirs"]]
+        union = _pd.concat(parts, ignore_index=True)
+        union["source"] = union["source"].astype(str)
+        key = ["url", "doc_index"]
+        a = clean.sort_values(key, ignore_index=True)
+        b = union.sort_values(key, ignore_index=True)
+        # row-for-row identical payloads (seen_first attribution may pick a
+        # different same-sha row between runs; the invariant below pins it)
+        for col in ("url", "doc_index", "jsonld", "sha", "object_name"):
+            assert list(a[col]) == list(b[col]), col
+        # exactly one first-writer per distinct sha in both runs
+        for df in (a, b):
+            firsts = df[df.sha != ""].groupby("sha")["seen_first"].sum()
+            assert (firsts == 1).all()
+        # object stores identical
+        assert self._summoned_objects(clean_out) == self._summoned_objects(out)
+        # per-source metrics of the resumed run cover the union
+        assert sum(v["fetched"] for v in m2["per_source"].values()) == int(
+            (clean.doc_index <= 0).sum()
+        )
