@@ -229,6 +229,174 @@ def _fast_no_change(jsonld: str, ctx: str = HTTPS_CONTEXT) -> bool:
     return True
 
 
+def _unique_value_span(doc: str, key: str) -> tuple[int, int] | None:
+    """Byte span of the value of the ONLY occurrence of ``"key"`` in a
+    document with no escape sequences (so any occurrence of the quoted
+    token IS that key token). None when absent, ambiguous, or malformed."""
+    tok = '"%s"' % key
+    i = doc.find(tok)
+    if i < 0 or doc.find(tok, i + len(tok)) >= 0:
+        return None
+    j = i + len(tok)
+    n = len(doc)
+    while j < n and doc[j] in " \t\r\n":
+        j += 1
+    if j >= n or doc[j] != ":":
+        return None
+    j += 1
+    while j < n and doc[j] in " \t\r\n":
+        j += 1
+    if j >= n:
+        return None
+    c = doc[j]
+    if c == '"':
+        k = doc.find('"', j + 1)
+        return (j, k + 1) if k >= 0 else None
+    if c in "[{":
+        depth, k, in_str = 0, j, False
+        while k < n:
+            ch = doc[k]
+            if in_str:
+                if ch == '"':
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch in "[{":
+                depth += 1
+            elif ch in "]}":
+                depth -= 1
+                if depth == 0:
+                    return (j, k + 1)
+            k += 1
+        return None
+    return None  # literal values never need splicing here
+
+
+def _rewrite_ctx_member(v: str, ctx: str) -> str:
+    """The fix_context_url member rewrite (www + short schema.org)."""
+    if "schema.org" in v:
+        if "www." in v:
+            v = ctx + v[v.index("schema.org") :]
+        if len(v) < 20:  # len("https://schema.org/") == 19
+            v = ctx
+    return v
+
+
+def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str | None:
+    """Analytic fast path: compute the fixup chain's byte splices with
+    C-speed json.loads + string finds instead of the pure-Python span
+    parser. Returns the fixed document (possibly unchanged) or None to
+    fall back to the exact splice path.
+
+    Handled shapes (equivalence with the splice path pinned by tests):
+    - object @context with @vocab, string members, no rewrite -> no-op;
+    - string @context (no rewrite needed) -> one wrap splice;
+    - array @context (https option) -> one standard-map splice;
+    - top-level Dataset with a relative string @id -> one @id splice.
+    Anything else (escape sequences, ambiguous key tokens, member
+    rewrites, @vocab insertion, ItemList item rewrites) falls back."""
+    import json as _json
+
+    try:
+        obj = _json.loads(jsonld)
+    except ValueError:
+        return None
+    if not isinstance(obj, dict):
+        # sjson-on-non-object-root quirk: fix_context_url's @vocab insert
+        # errors on an array/scalar root and the chain yields the empty
+        # document (jsonutils.go:29-31 behavior, pinned by pipeline tests)
+        return ""
+    if "\\" in jsonld:
+        return None
+    # gjson resolves duplicate keys to the FIRST match, json.loads to the
+    # LAST — any ambiguous key token falls back to the exact path
+    if jsonld.count('"@type"') > 1 or jsonld.count('"@context"') > 1:
+        return None
+    ctx_val = obj.get("@context")
+    splices: list[tuple[tuple[int, int], str]] = []
+    if isinstance(ctx_val, str):
+        # the wrap splice replaces the whole value span, so the member
+        # rewrite folds into it: final bytes are {"@vocab":<rewritten>}
+        span = _unique_value_span(jsonld, "@context")
+        if span is None or jsonld[span[0]] != '"':
+            return None
+        v2 = _rewrite_ctx_member(ctx_val, ctx)
+        splices.append((span, marshal({"@vocab": v2})))
+        ctx_after: dict = {"@vocab": v2}
+    elif isinstance(ctx_val, list):
+        if ctx != HTTPS_CONTEXT:
+            return None  # http option rewrites the standard map's members
+        span = _unique_value_span(jsonld, "@context")
+        if span is None or jsonld[span[0]] != "[":
+            return None
+        splices.append((span, marshal(STANDARD_HTTPS_CONTEXT)))
+        ctx_after = STANDARD_HTTPS_CONTEXT
+    elif isinstance(ctx_val, dict):
+        span = _unique_value_span(jsonld, "@context")
+        if span is None or jsonld[span[0]] != "{":
+            return None
+        for k, v in ctx_val.items():
+            if jsonld.count('"%s"' % k) > 1:
+                return None  # duplicate/shadowed member key token
+            if not isinstance(v, str):
+                return None  # gjson stringification quirk
+            target = marshal(_rewrite_ctx_member(v, ctx))
+            if target != '"' + v + '"':
+                # fix_context_url splices this member (www/short schema.org
+                # rewrite, or Go HTML-safe escaping of the raw bytes)
+                mspan = _unique_value_span(jsonld, k)
+                if mspan is None or jsonld[mspan[0]] != '"':
+                    return None
+                splices.append((mspan, target))
+        if "@vocab" in ctx_val:
+            ctx_after = ctx_val
+        else:
+            # sjson append-at-end: ,"@vocab":"<https ctx>" before the
+            # @context object's closing brace (jsonutils.go:148 always
+            # inserts the https constant, independent of the option)
+            at = span[1] - 1
+            splices.append(((at, at), ("," if ctx_val else "") + '"@vocab":' + marshal(HTTPS_CONTEXT)))
+            ctx_after = dict(ctx_val, **{"@vocab": HTTPS_CONTEXT})
+    elif ctx_val is None and "@context" not in obj:
+        # no @context at all: fix_context_url creates it at the end of the
+        # root object (sjson intermediate-object creation)
+        at = jsonld.rindex("}")
+        splices.append(
+            ((at, at), ("," if obj else "") + '"@context":{"@vocab":' + marshal(HTTPS_CONTEXT) + "}")
+        )
+        ctx_after = {"@vocab": HTTPS_CONTEXT}
+    else:
+        return None  # e.g. "@context": null -> wholesale replace, exact path
+
+    # fix_id: only when the (post-context-fix) map has no non-empty @base
+    base = ctx_after.get("@base")
+    if base is None or base == "":
+        top_type = obj.get("@type")
+        if top_type == "Dataset":
+            ident = obj.get("@id")
+            if ident is not None and jsonld.count('"@id"') > 1:
+                return None  # duplicate/nested @id keys: exact path decides
+            if isinstance(ident, str) and _url_scheme(ident) == "":
+                if marshal(ident) != '"' + ident + '"':
+                    return None
+                span = _unique_value_span(jsonld, "@id")
+                if span is None or jsonld[span[0]] != '"':
+                    return None
+                splices.append((span, marshal("file://" + ident)))
+        elif top_type == "ItemList":
+            if obj.get("itemListElement"):
+                return None  # per-item @id rewrites take the exact path
+    elif not isinstance(base, str):
+        return None  # non-string @base: keep the exact path authoritative
+
+    if not splices:
+        return jsonld
+    out = jsonld
+    for (start, end), raw in sorted(splices, key=lambda s: -s[0][0]):
+        out = out[:start] + raw + out[end:]
+    return out
+
+
 def is_graph_array(jsonld: str, validator) -> tuple[bool, list[str]]:
     """jsonutils.go:41-66 — explode a top-level JSON array into its valid
     elements, each re-marshaled Go-style (sorted keys, compact, HTML-safe
@@ -292,11 +460,14 @@ def process_json(
     """
     src_fix_option, src_http_option = get_options(fix_context_option)
     if (not context_strict) or (src_fix_option is not ContextOption.STRICT):
-        # fast path: a C-speed json.loads + value inspection proves the
-        # whole fixup chain is a byte-level no-op for this document
-        # (equivalence with the splice path is pinned by tests)
-        if _fast_no_change(jsonld, src_http_option):
-            return jsonld
+        # fast path: a C-speed json.loads + value inspection computes the
+        # chain's splices analytically (no-op, string-@context wrap,
+        # array-@context standardization, relative-@id rewrite); any
+        # non-provable shape returns None and takes the exact splice path
+        # (equivalence pinned by tests)
+        fast = _fast_fixups(jsonld, src_http_option)
+        if fast is not None:
+            return fast
         # parse once; re-parse only after a fixup actually changed bytes
         try:
             root = jsonpatch.parse(jsonld)

@@ -46,15 +46,23 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
-def _default_partitions(minimum: int = 8) -> int:
-    """Scale shuffle width with the cluster instead of a hardcoded 8."""
+def _default_partitions(minimum: int = 8, n_rows: int | None = None) -> int:
+    """Scale shuffle width with the cluster instead of a hardcoded 8.
+
+    When the caller knows the row count (e.g. a materialized sketch
+    table), the width is also capped by data size — Ray's hash shuffle
+    pays a fixed per-partition cost, so 32 partitions on a 16k-row table
+    is pure overhead (measured ~2x on the sf0.1 dedup bench)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", minimum))
     except Exception:
         cpus = minimum
-    return max(minimum, cpus)
+    width = max(minimum, cpus)
+    if n_rows is not None:
+        width = min(width, max(2, n_rows // 50_000))
+    return width
 
 
 def exact_dedup(ds):
@@ -170,7 +178,7 @@ def _dedupe_pairs(pairs_ds, subset=("a", "b")):
     # large pair sets: co-locate duplicates by a bounded hash partition id
     # (every duplicate of a pair lands in one group; group count is the
     # partition count, so the per-group Python call is amortized)
-    nparts = _default_partitions()
+    nparts = _default_partitions(n_rows=pairs_ds.count())
 
     def add_pid(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -202,7 +210,7 @@ def minhash_lsh(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2, nu
     joined = exploded.join(
         exploded,
         join_type="inner",
-        num_partitions=num_partitions or _default_partitions(),
+        num_partitions=num_partitions or _default_partitions(n_rows=exploded.count()),
         on=("band_id", "band_hash"),
         left_suffix="",
         right_suffix="_r",
@@ -317,7 +325,7 @@ def ngram_jaccard_dedup(
         batch_format="pandas",
         concurrency=concurrency,
     ).materialize()
-    nparts = num_partitions or _default_partitions()
+    nparts = num_partitions or _default_partitions(n_rows=exploded.count())
     if max_df is not None:
         from ray.data.aggregate import Count
 
@@ -444,7 +452,7 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
     joined = exploded.join(
         exploded,
         join_type="inner",
-        num_partitions=num_partitions or _default_partitions(),
+        num_partitions=num_partitions or _default_partitions(n_rows=exploded.count()),
         on=("band_id", "band_key"),
         left_suffix="",
         right_suffix="_r",
@@ -543,7 +551,7 @@ def embedding_near_dup(
     joined = bucketed.join(
         bucketed,
         join_type="inner",
-        num_partitions=num_partitions or _default_partitions(),
+        num_partitions=num_partitions or _default_partitions(n_rows=bucketed.count()),
         on=("seed", "bucket"),
         left_suffix="",
         right_suffix="_r",

@@ -331,10 +331,36 @@ class TestFastPathEquivalence:
             '{"@type":"Thing","name":"no context"}',
             '{"@context":{"@vocab":"https://schema.org/","x":{"@id":"schema:x"}},"@type":"Thing"}',
             '{"@context":{"@vocab":"https://schema.org/"},"@type":["Dataset"],"@id":"rel"}',
+            # shapes the analytic splice fast path claims (string/array
+            # @context wraps, relative-@id rewrite) and near-misses
+            '{"@context":"https://schema.org/","@type":"Dataset","name":"s"}',
+            '{"@context": "https://schema.org/" , "@type":"Dataset","@id":"https://x/1"}',
+            '{"@context":"https://schema.org/","@type":"Dataset","@id":"relative/path"}',
+            '{"@context":"http://www.schema.org/","@type":"Dataset","name":"www rewrite"}',
+            '{"@context":"schema.org","@type":"Dataset","name":"short rewrite"}',
+            '{"@context":["https://schema.org","https://x/ctx"],"@type":"Dataset","name":"arr"}',
+            '{"@context":[{"@vocab":"https://schema.org/"}],"@type":"Dataset","@id":"rel2"}',
+            '{"@context":"https://schema.org/","@type":"ItemList","itemListElement":'
+            '[{"item":{"@id":"rel-item"}}]}',
+            '{"@context":"https://schema.org/","@type":"ItemList","itemListElement":[]}',
+            '{"@context":"https://schema.org/","@type":"Dataset","@id":"a b","nested":{"@id":"x"}}',
+            '{"@context":"https://schema.org/","note":"@context mentioned","@type":"Dataset"}',
+            '{"@context":{"@vocab":"https://schema.org/","@base":""},"@type":"Dataset","@id":"rel3"}',
+            # @vocab insertion splices (absent @context / vocab-less map)
+            '{"@type":"Dataset","name":"no ctx at all"}',
+            '{"@type":"Dataset","name":"no ctx rel id","@id":"rel4"}',
+            '{"@context":{"SO":"https://schema.org/"},"@type":"SO:Dataset","name":"prefixed"}',
+            '{"@context":{},"@type":"Dataset","name":"empty ctx"}',
+            # member rewrite splices inside an object @context
+            '{"@context":{"@vocab":"http://schema.org"},"@type":"Dataset","@id":"https://x/ok"}',
+            '{"@context":{"@vocab":"https://www.schema.org/"},"@type":"Dataset","name":"www"}',
+            '{"@context":{"@vocab":"https://schema.org/","dc":"schema.org"},"@type":"Thing"}',
+            '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","name":"a<b&c"}',
+            "{}",
         ]
         for doc in docs:
             fast = fixups.process_json(doc, ContextOption.HTTPS, False)
-            monkeypatch.setattr(fixups, "_fast_no_change", lambda *a, **k: False)
+            monkeypatch.setattr(fixups, "_fast_fixups", lambda *a, **k: None)
             slow = fixups.process_json(doc, ContextOption.HTTPS, False)
             monkeypatch.undo()
             assert fast == slow, doc

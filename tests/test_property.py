@@ -116,12 +116,12 @@ class TestFixupProperties:
     def test_fast_path_always_agrees_with_splice_path(self, doc):
         text = json.dumps(doc)
         fast = fixups.process_json(text, ContextOption.HTTPS, False)
-        orig = fixups._fast_no_change
+        orig = fixups._fast_fixups
         try:
-            fixups._fast_no_change = lambda *a, **k: False
+            fixups._fast_fixups = lambda *a, **k: None
             slow = fixups.process_json(text, ContextOption.HTTPS, False)
         finally:
-            fixups._fast_no_change = orig
+            fixups._fast_fixups = orig
         assert fast == slow
 
     @settings(max_examples=200, deadline=None)
