@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "content_md5"]
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
+        # composed corpus-cleaning pipeline: length + punct + language
+        # filters, then exact dedup (keep lowest doc_id per md5)
+        "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh(docs(sf)),
@@ -440,6 +443,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source ORDER BY source
         """,
         "text_langid": _langid_sql(),
+        # corpus_prep oracle: the same signal expressions as text_quality /
+        # text_langid / fingerprint_md5, composed (langid SQL nests as a CTE)
+        "pipe_corpus_prep": r"""
+            WITH sig AS (
+              SELECT doc_id, length(coalesce(text,'')) AS n_chars,
+                     COALESCE(length(regexp_replace(coalesce(text,''), '[^!-/:-@\[-`{-~]', '', 'g'))
+                           / nullif(length(coalesce(text,'')), 0), 0) AS punct_ratio,
+                     md5(coalesce(text,'')) AS h
+              FROM documents),
+            l AS (__LANGID__),
+            k AS (SELECT sig.doc_id, sig.n_chars, sig.punct_ratio, sig.h, l.lang_pred
+                  FROM sig JOIN l USING (doc_id)
+                  WHERE sig.n_chars >= 100 AND sig.punct_ratio <= 0.2 AND l.lang_pred = 'en'),
+            m AS (SELECT h, min(doc_id) AS keeper FROM k GROUP BY h)
+            SELECT k.doc_id, k.n_chars, k.punct_ratio, k.lang_pred
+            FROM k JOIN m ON k.h = m.h AND k.doc_id = m.keeper
+        """.replace("__LANGID__", _langid_sql()),
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
             FROM documents GROUP BY 1

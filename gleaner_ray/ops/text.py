@@ -240,6 +240,78 @@ def fingerprints(batch: pd.DataFrame, k: int = 8) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out_fp, "content_md5": out_md5})
 
 
+class _PrepSignals:
+    """Fused corpus-prep stage: length, punctuation ratio, language id
+    and content md5 in ONE pass over each batch (no joins between signal
+    stages). LangId profiles compile once per actor."""
+
+    def __init__(self, min_chars: int, max_punct: float, lang: str):
+        self.lid = LangId()
+        self.min_chars = min_chars
+        self.max_punct = max_punct
+        self.lang = lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_punct = text.str.count(_PUNCT_RE)
+        punct_ratio = (n_punct / n_chars.replace(0, np.nan)).fillna(0.0)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": n_chars,
+                "punct_ratio": punct_ratio,
+                "lang_pred": self.lid(batch)["lang_pred"],
+                "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text],
+            }
+        )
+        keep = (
+            (out.n_chars >= self.min_chars)
+            & (out.punct_ratio <= self.max_punct)
+            & (out.lang_pred == self.lang)
+        )
+        return out[keep].reset_index(drop=True)
+
+
+def corpus_prep(
+    ds,
+    min_chars: int = 100,
+    max_punct: float = 0.2,
+    lang: str = "en",
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+):
+    """The canonical LLM corpus-cleaning pipeline as one streaming graph:
+    length filter + punctuation-ratio filter + language filter, then
+    exact dedup keeping the lowest doc_id per md5(text).
+
+    Composition of the individually-oracled text ops — every signal is
+    ANSI-SQL-expressible, so the whole pipeline verifies end-to-end
+    against DuckDB. Scale shape: one fused map_batches pass for the
+    signals, then the only wide steps are a Min-per-hash aggregate and a
+    keeper join, both on the 32-byte md5 key (never raw text)."""
+    kept = ds.map_batches(
+        _PrepSignals,
+        fn_constructor_args=(min_chars, max_punct, lang),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    from ray.data.aggregate import Min
+
+    keepers = kept.groupby("h").aggregate(Min("doc_id", alias_name="keeper"))
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    joined = kept.join(keepers, join_type="inner", num_partitions=num_partitions, on=("h",))
+
+    def only_keepers(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["doc_id"] == df["keeper"]]
+        return m[["doc_id", "n_chars", "punct_ratio", "lang_pred"]].reset_index(drop=True)
+
+    return joined.map_batches(only_keepers, batch_format="pandas")
+
+
 def add_text_ops(ds, op: str, **kwargs):
     """Apply a named text op to a documents Dataset."""
     fns = {"tokens": token_stats, "quality": quality_scores, "fingerprint": fingerprints}

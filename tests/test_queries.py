@@ -109,6 +109,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_quality",
         "text_fingerprint_md5",
         "text_langid",
+        "pipe_corpus_prep",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
