@@ -42,6 +42,23 @@ _ATTR = re.compile(
 
 def file_extension_is_json(raw_url: str) -> bool:
     """acquire.go:298-304 — URL *path* suffix check."""
+    # fast path for scheme://host[/path] urls (C string ops; equivalence
+    # with urlparse pinned by tests): path = after the authority, minus
+    # query/fragment and the last segment's ;params — exactly urlparse's
+    # .path for these shapes
+    if (raw_url.startswith("https://") or raw_url.startswith("http://")) and "[" not in raw_url:
+        i = raw_url.index("://")
+        j = raw_url.find("/", i + 3)
+        path = raw_url[j:] if j >= 0 else ""
+        for sep in ("?", "#"):
+            k = path.find(sep)
+            if k >= 0:
+                path = path[:k]
+        seg_start = path.rfind("/") + 1
+        k = path.find(";", seg_start)
+        if k >= 0:
+            path = path[:k]
+        return path.endswith(".json") or path.endswith(".jsonld")
     try:
         path = urlparse(raw_url).path
     except ValueError:

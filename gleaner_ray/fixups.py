@@ -25,6 +25,7 @@ Known reference quirks reproduced deliberately:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlparse
 
 from . import jsonpatch
@@ -136,11 +137,22 @@ def not_changed_since(jsonld: str, node) -> bool:
     return jsonld[node.start : node.end] == node.raw
 
 
+_SCHEME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
 def _url_scheme(s: str) -> str:
-    try:
-        return urlparse(s).scheme
-    except ValueError:
+    # fast path mirrors urlparse's scheme grammar (first char alpha, then
+    # [a-zA-Z0-9+.-]*, terminated by ':'); bracketed-IPv6 inputs defer to
+    # urlparse so its ValueError behavior (-> "") is preserved
+    m = _SCHEME_RE.match(s)
+    if m is None:
         return ""
+    if "[" in s or "]" in s:
+        try:
+            return urlparse(s).scheme
+        except ValueError:
+            return ""
+    return m.group(0)[:-1].lower()
 
 
 def fix_id(jsonld: str, root=None) -> str:

@@ -290,11 +290,16 @@ def corpus_prep(
     against DuckDB. Scale shape: one fused map_batches pass for the
     signals, then the only wide steps are a Min-per-hash aggregate and a
     keeper join, both on the 32-byte md5 key (never raw text)."""
+    # half-CPU actors: the signals are cheap pandas string kernels, and a
+    # full-CPU pool can deadlock a small cluster against the downstream
+    # groupby/join aggregators (read 1 + pool 2 + join 1 = all 4 CPUs of
+    # the test session, aggregate starved)
     kept = ds.map_batches(
         _PrepSignals,
         fn_constructor_args=(min_chars, max_punct, lang),
         batch_format="pandas",
         concurrency=concurrency,
+        num_cpus=0.5,
     )
     from ray.data.aggregate import Min
 

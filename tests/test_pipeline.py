@@ -308,14 +308,23 @@ class TestObjectStoreIntegration:
         assert len(objs) > 0 and len(metas) == len(objs)
         m = _json.load(open(metas[0]))
         assert set(m) == {"url", "sha1", "uniqueid"} and m["sha1"] == m["uniqueid"]
-        # object set identical to the default run's (sidecars are extra)
+        # object set identical to the default run's (sidecars are extra).
+        # A sha that several sources contend for (e.g. sha1("") from the
+        # graph-array quirk) lands under whichever source wins the
+        # first-writer race, so compare per-source only for shas a single
+        # source produces, and the sha set globally.
         base = run["out"]
         base_objs = {
             os.path.relpath(p, os.path.join(base, "objects", "gleaner"))
             for p in glob.glob(os.path.join(base, "objects", "gleaner", "summoned", "*", "*.jsonld"))
         }
         new_objs = {os.path.relpath(p, os.path.join(out, "objects", "gleaner")) for p in objs}
-        assert new_objs == base_objs
+        assert {os.path.basename(p) for p in new_objs} == {os.path.basename(p) for p in base_objs}
+        from collections import Counter
+
+        sha_sources = Counter(os.path.basename(p) for p in base_objs | new_objs)
+        stable = {p for p in base_objs | new_objs if sha_sources[os.path.basename(p)] == 1}
+        assert new_objs & stable == base_objs & stable
 
 
 class TestCheckpointResume:
