@@ -145,7 +145,11 @@ class ObjectSink:
 def _write_group(ds: rd.Dataset, path: str) -> None:
     """Write one input group's results (own seam so tests can inject a
     mid-run crash between group commits)."""
-    ds.write_parquet(path, partition_cols=["source"])
+    # min_rows_per_file coalesces blocks inside each write task: without it
+    # every (block x source-partition) pair becomes its own tiny file
+    # (~5k rows each at bench scale -> 480 files per run), and file-open
+    # metadata dominates every later scan of the results
+    ds.write_parquet(path, partition_cols=["source"], min_rows_per_file=200_000)
 
 
 def _frontier_lookup(frontier: pa.Table) -> dict:
@@ -431,13 +435,9 @@ def summon(
     # one pruned read of the just-written results (3 small columns) —
     # cheaper at scale than a per-batch metrics RPC on the hot path;
     # covers skipped groups' prior dirs so a resumed run reports the
-    # logical union
-    # one lazy read per group dir (read_parquet expands a directory only
-    # when given a single path), unioned into one stream
-    _reads = [
-        rd.read_parquet(d, columns=["source", "doc_index", "seen_first"]) for d in group_dirs
-    ]
-    results = _reads[0].union(*_reads[1:]) if len(_reads) > 1 else _reads[0]
+    # logical union. Data-aware execution: below a disk-size threshold a
+    # driver-side threaded pyarrow scan wins by ~20x (Ray's per-dataset
+    # fixed cost exceeds the whole scan); above it, distribute with Ray.
     import pandas as pd
 
     def _counts(batch: pa.Table) -> pa.Table:
@@ -455,7 +455,44 @@ def summon(
         )
         return out.rename_columns(["source", "fetched", "valid", "uploaded"])
 
-    partials = results.map_batches(_counts, batch_format="pyarrow").to_pandas()
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
+    # 4 GiB of result files (jsonld column included, so this OVERestimates
+    # the 3-column scan) ~ a sub-second threaded scan; at the 10^10-row
+    # target the Ray branch runs instead
+    _METRICS_LOCAL_BYTES = 4 << 30
+    if all(d.startswith("/") or d.startswith("file://") for d in group_dirs) and sum(
+        _dir_bytes(d.removeprefix("file://")) for d in group_dirs
+    ) < _METRICS_LOCAL_BYTES:
+        import pyarrow.dataset as _pds
+
+        _parts = []
+        for d in group_dirs:
+            dst = _pds.dataset(d.removeprefix("file://"), format="parquet", partitioning="hive")
+            tab = dst.to_table(columns=["source", "doc_index", "seen_first"])
+            if tab.num_rows:
+                _parts.append(_counts(tab).to_pandas())
+        partials = pd.concat(_parts, ignore_index=True) if _parts else pd.DataFrame(
+            columns=["source", "fetched", "valid", "uploaded"]
+        )
+        partials["source"] = partials["source"].astype(str)
+    else:
+        # one lazy read per group dir (read_parquet expands a directory
+        # only when given a single path), unioned into one stream
+        _reads = [
+            rd.read_parquet(d, columns=["source", "doc_index", "seen_first"]) for d in group_dirs
+        ]
+        results = _reads[0].union(*_reads[1:]) if len(_reads) > 1 else _reads[0]
+        partials = results.map_batches(_counts, batch_format="pyarrow").to_pandas()
     by_source = (
         partials.groupby("source", as_index=False).sum(numeric_only=True)
         if len(partials)
