@@ -50,12 +50,15 @@ def run_bench() -> dict:
     from gleaner_ray.pipelines.summon import summon
     from gleaner_ray.sources import synth
 
-    # bench corpus: 2x the sf's lineitem row count so the parallel phase
-    # dominates the fixed per-run setup (the regime the 100 TB target
-    # lives in); generation is untimed (deterministic, cached on disk)
-    n_pages = 2 * pq_rows(os.path.join(sf_dir, "lineitem.parquet"))
+    # bench corpus: a multiple of the sf's lineitem row count so the
+    # parallel phase dominates the fixed per-run setup (the regime the
+    # 100 TB target lives in); generation is untimed (deterministic,
+    # cached on disk). --scaling raises the multiplier to 4x so the
+    # N-vs-4N comparison measures the parallel phase, not session ramp.
+    mult = int(os.environ.get("GRAFT_BENCH_CORPUS_MULT", "2"))
+    n_pages = mult * pq_rows(os.path.join(sf_dir, "lineitem.parquet"))
     corpus = synth.generate_corpus(
-        sf_dir, out_dir=synth.corpus_dir_for(sf_dir) + "_bench2x", n_pages=n_pages
+        sf_dir, out_dir=synth.corpus_dir_for(sf_dir) + "_bench%dx" % mult, n_pages=n_pages
     )
     cfg = synth.corpus_config(corpus)
     pages_dir = os.path.join(corpus, "pages")
@@ -83,6 +86,26 @@ def run_bench() -> dict:
     frontier, _errors = build_frontier_parallel(cfg, synth.corpus_fetch(corpus))
     index_ref = _ray.put(FrontierIndex.build(frontier))
     prep_sec = time.time() - t_prep
+
+    if os.environ.get("GRAFT_BENCH_WARMUP") == "1":
+        # steady-state mode (--scaling): one small summon over the first
+        # input file absorbs the per-session ramp (worker prestart, plasma,
+        # import page cache) that a long-running 100 TB crawl amortizes to
+        # zero; the timed run below then measures the parallel phase
+        first_file = os.path.join(pages_dir, sorted(os.listdir(pages_dir))[0])
+        shutil.rmtree("/tmp/gleaner_bench_warmup", ignore_errors=True)
+        summon(
+            cfg,
+            first_file,
+            "/tmp/gleaner_bench_warmup",
+            run_date="2026-01-01",
+            fetch=synth.corpus_fetch(corpus),
+            frontier=frontier,
+            frontier_index_ref=index_ref,
+            write_objects=False,
+            n_seen_shards=8,
+            batch_size=1024,
+        )
 
     t0 = time.time()
     manifest = summon(
@@ -151,7 +174,12 @@ def run_scaling() -> dict:
     for n in (lo, hi):
         best = None
         for _attempt in range(2):  # best-of-2 to damp shared-host noise
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_BENCH_CORPUS_MULT="4",
+                GRAFT_BENCH_WARMUP="1",
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
             )
@@ -171,6 +199,7 @@ def run_scaling() -> dict:
         "urls_per_sec": {str(lo): r_lo, str(hi): r_hi},
         "summon_sec": {str(lo): out[lo]["value"], str(hi): out[hi]["value"]},
         "sf": out[hi]["sf"],
+        "method": "steady-state: 4x corpus, small warmup run per process absorbs session ramp, best-of-2 fresh processes per level",
     }
 
 

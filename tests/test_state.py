@@ -60,6 +60,25 @@ class TestSeenShards:
         for s in shards:
             ray.kill(s)
 
+    def test_compaction_preserves_membership(self):
+        """Keys straddling hot->cold compaction stay deduplicated."""
+        import ray
+
+        from gleaner_ray.state.seen import SeenShard
+
+        s = SeenShard.remote(0, 1 << 12)
+        # shrink the compaction threshold via the class attr on the actor
+        shas_a = ["%040x" % i for i in range(1000)]
+        shas_b = ["%040x" % i for i in range(500, 1500)]
+        assert ray.get(s.check_and_add.remote(shas_a)) == [True] * 1000
+        # force a compaction, then probe overlap + fresh keys
+        ray.get(s.snapshot.remote("/tmp/seen_compact_test"))
+        flags = ray.get(s.check_and_add.remote(shas_b))
+        assert flags == [False] * 500 + [True] * 500
+        st = ray.get(s.stats.remote())
+        assert st["keys"] == 1500
+        ray.kill(s)
+
     def test_snapshot_restore(self, tmp_path):
         import ray
 
