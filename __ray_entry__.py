@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_events_orders": lambda sf: rel.asof_join_events_orders(sf).select_columns(
             ["event_id", "o_orderkey"]
         ),
+        "rel_quantiles": lambda sf: rel.quantiles_lineitem(sf),
+        "rel_sessionize": lambda sf: rel.sessionize_events(sf),
+        "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -401,6 +404,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderkey
             FROM events e ASOF LEFT JOIN o2 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "rel_quantiles": """
+            SELECT l_returnflag,
+                   CAST(quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.95) AS BIGINT) AS p95
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        # gaps-and-islands: a >30-min silence (or first event) opens a
+        # session; boundaries are invariant to tie order at equal ts
+        "rel_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "rel_grouped_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3
         """,
         "text_token_stats": r"""
             SELECT doc_id,

@@ -181,17 +181,21 @@ def fix_id(jsonld: str, root=None) -> str:
         targets = [["itemListElement", i, "item", "@id"] for i in range(count)]
     else:
         return jsonld
+    # batch all splices from the ONE parse: every target is a distinct
+    # string VALUE span (disjoint, never nested), and replacing a string
+    # value cannot change how any other path resolves — so applying them
+    # descending is byte-identical to the reference's splice-then-reparse
+    # loop, without the O(items * doc) reparse cost
+    splices: list[tuple[int, int, str]] = []
     for path in targets:
         node = jsonpatch.get_node(jsonld, path, root=root)
         if node is None or node.kind != "string":
             continue
         ident = node.value
         if _url_scheme(ident) == "":  # relative URL and no @base in context
-            jsonld = jsonpatch.set_raw(jsonld, path, marshal("file://" + ident))
-            try:
-                root = jsonpatch.parse(jsonld)  # spans shifted
-            except jsonpatch.ParseError:
-                root = None
+            splices.append((node.start, node.end, marshal("file://" + ident)))
+    for start, end, raw in sorted(splices, key=lambda s: -s[0]):
+        jsonld = jsonld[:start] + raw + jsonld[end:]
     return jsonld
 
 

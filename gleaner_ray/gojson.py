@@ -40,14 +40,15 @@ for _c in range(0x20):
     _STR_ESCAPES.setdefault(chr(_c), "\\u%04x" % _c)
 
 
+_STR_TRANSLATE = {ord(k): v for k, v in _STR_ESCAPES.items()}
+
+
 def marshal_string(s: str) -> str:
-    """Serialize a string exactly as Go json.Marshal does."""
-    out = ['"']
-    for ch in s:
-        esc = _STR_ESCAPES.get(ch)
-        out.append(esc if esc is not None else ch)
-    out.append('"')
-    return "".join(out)
+    """Serialize a string exactly as Go json.Marshal does.
+
+    str.translate runs the whole escape map in C — one pass, no
+    per-character Python loop."""
+    return '"' + s.translate(_STR_TRANSLATE) + '"'
 
 
 def format_float(f: float) -> str:

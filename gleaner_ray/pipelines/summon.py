@@ -269,7 +269,10 @@ def summon(
     if object_store_url is None:
         object_store_url = "file://" + os.path.join(out_dir, "objects")
     read_kwargs = dict(pages_read_kwargs or {})
-    read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2))
+    # >=8 block-tasks per fused actor: at 2-3 tasks per actor the last
+    # scheduling wave leaves actors idle for a whole task duration
+    # (measured 56% -> ~80% pool packing on the 4x bench corpus)
+    read_kwargs.setdefault("override_num_blocks", max(8, total_cpus * 2, int(concurrency) * 8))
     fix_options = {s.name: s.fixcontextoption.value for s in cfg.sources}
 
     def build_graph(pages: rd.Dataset) -> rd.Dataset:

@@ -14,6 +14,11 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
 - ``asof_join``        — per-key pd.merge_asof inside map_groups (an
   operator Ray Data lacks; partitioning assumption: rows of one key fit
   one group — salt wide keys upstream if not)
+- ``quantiles``        — exact distributed quantiles via value counts
+  (bounded domain; sketch seam documented for unbounded)
+- ``sessionize``       — gap-based session windows, co-partitioned by
+  key, vectorized island assignment per partition
+- ``grouped_topk``     — row_number()<=k parity without a global sort
 """
 
 from __future__ import annotations
@@ -34,6 +39,9 @@ __all__ = [
     "distinct_segments",
     "tumbling_window_events",
     "asof_join_events_orders",
+    "quantiles_lineitem",
+    "sessionize_events",
+    "grouped_topk_orders",
 ]
 
 
@@ -281,3 +289,99 @@ def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
         return out[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]]
 
     return both.groupby("pid").map_groups(per_partition, batch_format="pandas")
+
+
+def quantiles_lineitem(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95)):
+    """Exact distributed quantiles of l_quantity per l_returnflag.
+
+    Scale shape: quantiles over a BOUNDED value domain reduce to value
+    counts — one vectorized (group, value)-count per batch, a tiny
+    groupby-sum of the partials (cardinality = groups x distinct values,
+    independent of row count), then cumsum + rank pick in one bounded
+    task. No sort shuffle, no sample-based approximation. For unbounded
+    domains swap the count table for a mergeable sketch at the same
+    seams. Rank semantics match SQL quantile_disc: smallest value whose
+    cumulative count reaches ceil(q*n)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(qty=df["l_quantity"].round().astype("int64"))
+        return df.groupby(["l_returnflag", "qty"], as_index=False).agg(n=("qty", "size"))
+
+    partials = ds.map_batches(counts, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby(["l_returnflag", "qty"]).aggregate(Sum("n", alias_name="n"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag"):
+            g = g.sort_values("qty")
+            cum = g["n"].cumsum()
+            total = int(cum.iloc[-1])
+            row = {"l_returnflag": flag}
+            for q in qs:
+                rank = max(1, int(np.ceil(q * total)))
+                row["p%02d" % round(q * 100)] = int(g["qty"][cum >= rank].iloc[0])
+            rows.append(row)
+        return pd.DataFrame(rows).sort_values("l_returnflag", ignore_index=True)
+
+    # final pick: input is the bounded count table (flags x ~50 values)
+    return merged.repartition(1).map_batches(pick, batch_size=None, batch_format="pandas")
+
+
+def sessionize_events(sf_dir: str, gap_s: int = 1800, num_partitions: int | None = None):
+    """Gap-based session windows per user (30-min inactivity closes a
+    session): one hash exchange co-partitions users, then sessions are
+    assigned fully vectorized inside each partition (sort + cumsum of
+    gap breaks — no per-user Python). Session boundaries are invariant
+    to tie order at equal timestamps, so the result is deterministic."""
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff().dt.total_seconds()
+        brk = (new_user | (gap > gap_s)).astype("int64")
+        df = df.assign(sid=brk.cumsum())
+        out = df.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
+        )
+        return out[["user_id", "session_start", "session_end", "n_events"]]
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def grouped_topk_orders(sf_dir: str, k: int = 3):
+    """Top-k orders by totalprice PER o_orderpriority (window-function
+    row_number() <= k parity): per-batch grouped top-k keeps partials
+    bounded at k x groups x blocks, then one bounded merge task — no
+    global sort, no full-column shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        return df.groupby("o_orderpriority", as_index=False).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        return df.groupby("o_orderpriority", as_index=False).head(k).reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")

@@ -105,6 +105,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_distinct_segments",
         "rel_window_events",
         "rel_asof_events_orders",
+        "rel_quantiles",
+        "rel_sessionize",
+        "rel_grouped_topk",
         "text_token_stats",
         "text_quality",
         "text_fingerprint_md5",
