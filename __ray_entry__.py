@@ -290,16 +290,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ],
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
+        "media_resize_fake": _q_media_resize,
+        "media_frames_fake": _q_media_frames,
     }
 
 
-def _q_media_decode(sf_dir: str) -> pd.DataFrame:
-    """Binary-column plumbing: wrap document texts as opaque payloads,
-    run the actor-pool decode stage (fake codec), return shape metadata."""
+def _media_ds(sf_dir: str):
+    """Binary-column fixture: wrap document texts as opaque payloads."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
-
-    from gleaner_ray.ops.multimodal import decode_stage
 
     t = (
         pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -308,17 +308,37 @@ def _q_media_decode(sf_dir: str) -> pd.DataFrame:
         .head(256)
     )
     payloads = [((s or "").encode("utf-8")) for s in t["text"]]
-    import pyarrow as pa
-
     media = pa.table(
         {
             "media_id": pa.array(t["doc_id"].tolist(), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
         }
     )
-    ds = rd.from_arrow(media)
-    out = decode_stage(ds, kind="image", mode="fake").to_pandas()
+    return rd.from_arrow(media)
+
+
+def _q_media_decode(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool decode stage (fake codec), shape metadata out."""
+    from gleaner_ray.ops.multimodal import decode_stage
+
+    out = decode_stage(_media_ds(sf_dir), kind="image", mode="fake").to_pandas()
     return out[["media_id", "kind", "shape", "n_bytes"]]
+
+
+def _q_media_resize(sf_dir: str) -> pd.DataFrame:
+    """Decode -> nearest-neighbor resize stage, shape metadata out."""
+    from gleaner_ray.ops.multimodal import resize_stage
+
+    out = resize_stage(_media_ds(sf_dir), mode="fake", out_size=(32, 32)).to_pandas()
+    return out[["media_id", "kind", "shape", "n_bytes"]]
+
+
+def _q_media_frames(sf_dir: str) -> pd.DataFrame:
+    """Video decode -> every-2nd-frame sampling stage, frame counts out."""
+    from gleaner_ray.ops.multimodal import frame_sample_stage
+
+    out = frame_sample_stage(_media_ds(sf_dir), mode="fake", every=2).to_pandas()
+    return out[["media_id", "kind", "shape", "n_frames"]]
 
 
 # ---------------------------------------------------------------------------
@@ -559,6 +579,17 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": """
             SELECT doc_id AS media_id, 'image' AS kind, '64x64x3' AS shape,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
+        """,
+        "media_resize_fake": """
+            SELECT doc_id AS media_id, 'image' AS kind, '32x32x3' AS shape,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
+        """,
+        # fake video decode is 8 frames; every-2nd sampling keeps 4
+        "media_frames_fake": """
+            SELECT doc_id AS media_id, 'video' AS kind, '4x64x64x3' AS shape,
+                   CAST(4 AS BIGINT) AS n_frames
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
         """,
         # rows-only (non-SQL-expressible, probabilistic sketches):

@@ -24,7 +24,16 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["MediaDecode", "frame_sample", "decode_stage"]
+__all__ = [
+    "MediaDecode",
+    "MediaResize",
+    "FrameSampler",
+    "frame_sample",
+    "resize_nn",
+    "decode_stage",
+    "resize_stage",
+    "frame_sample_stage",
+]
 
 
 class MediaDecode:
@@ -91,11 +100,96 @@ def frame_sample(decoded_video: np.ndarray, every: int = 2) -> np.ndarray:
     return decoded_video[::every]
 
 
+def resize_nn(img: np.ndarray, out_hw: tuple) -> np.ndarray:
+    """Nearest-neighbor resize, fully vectorized (no codec needed — this
+    is real work on the decoded array, index-gather in C)."""
+    h, w = img.shape[:2]
+    rows = np.clip(np.round(np.linspace(0, h - 1, out_hw[0])).astype(np.int64), 0, h - 1)
+    cols = np.clip(np.round(np.linspace(0, w - 1, out_hw[1])).astype(np.int64), 0, w - 1)
+    return img[rows][:, cols]
+
+
+class MediaResize(MediaDecode):
+    """Decode -> nearest-neighbor resize -> features. Same actor-pool
+    contract as MediaDecode; only the codec line is stubbed — the
+    resize itself is real vectorized numpy."""
+
+    def __init__(self, mode: str = "fake", target_size: tuple = (64, 64), out_size: tuple = (32, 32)):
+        super().__init__(kind="image", mode=mode, target_size=target_size)
+        self.out_size = out_size
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, shapes, n_bytes = [], [], []
+        for payload in batch["payload"]:
+            data = bytes(payload) if payload is not None else b""
+            small = resize_nn(self._decode(data), self.out_size)
+            feats.append(self._features(small))
+            shapes.append("x".join(map(str, small.shape)))
+            n_bytes.append(len(data))
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "kind": self.kind,
+                "shape": shapes,
+                "n_bytes": n_bytes,
+                "features": feats,
+            }
+        )
+
+
+class FrameSampler(MediaDecode):
+    """Decode video -> sample every k-th frame -> per-frame mean
+    features. Output one row per payload with the sampled-frame count
+    (wide-row guidance as MediaDecode)."""
+
+    def __init__(self, mode: str = "fake", every: int = 2, target_size: tuple = (64, 64)):
+        super().__init__(kind="video", mode=mode, target_size=target_size)
+        self.every = every
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        shapes, n_frames, frame_means = [], [], []
+        for payload in batch["payload"]:
+            data = bytes(payload) if payload is not None else b""
+            frames = frame_sample(self._decode(data), self.every)
+            shapes.append("x".join(map(str, frames.shape)))
+            n_frames.append(int(frames.shape[0]))
+            frame_means.append(frames.reshape(frames.shape[0], -1).mean(axis=1).astype(np.float32))
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "kind": self.kind,
+                "shape": shapes,
+                "n_frames": n_frames,
+                "frame_means": frame_means,
+            }
+        )
+
+
 def decode_stage(ds, kind: str = "image", mode: str = "fake", concurrency: int = 2, batch_size: int = 64):
     """Wire the decode actor pool with binary-friendly batch sizing."""
     return ds.map_batches(
         MediaDecode,
         fn_constructor_kwargs={"kind": kind, "mode": mode},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_stage(ds, mode: str = "fake", out_size: tuple = (32, 32), concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={"mode": mode, "out_size": out_size},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_stage(ds, mode: str = "fake", every: int = 2, concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"mode": mode, "every": every},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -245,3 +245,35 @@ class TestMultimodal:
         decoded = dec._decode(b"payload")
         assert decoded.shape[0] == 8
         assert frame_sample(decoded, every=2).shape[0] == 4
+
+    def test_resize_nn_exact_gather(self):
+        from gleaner_ray.ops.multimodal import resize_nn
+
+        img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+        out = resize_nn(img, (2, 3))
+        assert out.shape == (2, 3, 3)
+        # nearest-neighbor: every output pixel is SOME input pixel
+        flat_in = img.reshape(-1, 3)
+        for px in out.reshape(-1, 3):
+            assert any((px == q).all() for q in flat_in)
+        # identity resize returns the same array values
+        assert (resize_nn(img, (4, 6)) == img).all()
+
+    def test_resize_stage_row_contract(self):
+        from gleaner_ray.ops.multimodal import MediaResize
+
+        rz = MediaResize(mode="fake", out_size=(32, 32))
+        out = rz(pd.DataFrame({"media_id": [1, 2], "payload": [b"aa", b"bb"]}))
+        assert list(out["shape"]) == ["32x32x3", "32x32x3"]
+        assert list(out["n_bytes"]) == [2, 2]
+        assert all(len(f) == 32 for f in out["features"])
+
+    def test_frame_sampler_counts(self):
+        from gleaner_ray.ops.multimodal import FrameSampler
+
+        fs = FrameSampler(mode="fake", every=3)
+        out = fs(pd.DataFrame({"media_id": [1], "payload": [b"vid"]}))
+        # 8 fake frames sampled every 3rd -> ceil(8/3) = 3
+        assert list(out["n_frames"]) == [3]
+        assert out["shape"][0] == "3x64x64x3"
+        assert len(out["frame_means"][0]) == 3

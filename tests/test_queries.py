@@ -119,6 +119,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "sim_knn_bruteforce",
         "sim_ivf_knn",
         "media_decode_fake",
+        "media_resize_fake",
+        "media_frames_fake",
     ],
 )
 def test_oracle_checked_small(contract, name):
