@@ -16,3 +16,5 @@ groupby/repartition keyed as documented per stage.
 """
 
 __version__ = "0.1.0"
+
+from . import rayfix as _rayfix  # noqa: E402,F401  (schema-broadcast race guard)

@@ -173,7 +173,14 @@ def _dedupe_pairs(pairs_ds, subset=("a", "b")):
         return df.drop_duplicates(subset=subset, ignore_index=True)
 
     pairs_ds = pairs_ds.map_batches(local, batch_format="pandas").materialize()
-    if pairs_ds.count() <= _SMALL_PAIRSET:
+    n = pairs_ds.count()
+    if n == 0:
+        # Anchor the schema: a repartition+map over zero-row blocks would
+        # emit a zero-field block that breaks downstream hash joins.
+        import ray.data as _rd
+
+        return _rd.from_pandas(pd.DataFrame({c: pd.Series(dtype="int64") for c in subset}))
+    if n <= _SMALL_PAIRSET:
         return pairs_ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
     # large pair sets: co-locate duplicates by a bounded hash partition id
     # (every duplicate of a pair lands in one group; group count is the
@@ -254,7 +261,21 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
     # candidate ids (either side), deduped — tiny relative to the corpus
     ids_a = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["a"]}), batch_format="pandas")
     ids_b = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["b"]}), batch_format="pandas")
-    cand_ids = _dedupe_pairs(ids_a.union(ids_b), subset=("doc_id",))
+    cand_ids = _dedupe_pairs(ids_a.union(ids_b), subset=("doc_id",)).materialize()
+    if cand_ids.count() == 0:
+        # No candidates: return a typed empty result instead of running
+        # joins whose inputs would be all zero-field blocks.
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        )
 
     # pass 1: shingle sets for candidates only (semi-join via inner join)
     docs = ds.map_batches(lambda df: df[["doc_id", "text"]], batch_format="pandas")
