@@ -267,15 +267,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
-        "dedup_minhash_lsh": lambda sf: dd.minhash_lsh(docs(sf)),
-        "dedup_simhash": lambda sf: dd.simhash_dedup(docs(sf)),
+        # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
+        # parameters candidate recall is 1.0 (measured, see op docstrings)
+        # so the exact all-pairs shingle SQL is a valid oracle for the
+        # full sketch->verify path
+        "dedup_minhash_lsh": lambda sf: dd.minhash_jaccard_dedup(docs(sf), threshold=0.8),
+        "dedup_simhash": lambda sf: dd.simhash_jaccard_dedup(docs(sf), threshold=0.8),
         # exact all-pairs mode (n_planes=0): oracle-checkable; the LSH
         # bucketed variant below is the 100-TB scale path
         "dedup_embedding_cosine": lambda sf: dd.embedding_near_dup(
             embs(sf), threshold=0.25, n_planes=0
         ).select_columns(["a", "b"]),
+        # hyperplane-LSH buckets + exact float64 cosine verify; with 2
+        # planes x 40 seeds measured candidate recall at cos>=0.25 is 1.0
+        # on sf0.01 (margin: recall already 1.0 at 30 seeds), so the
+        # exact all-pairs cosine SQL oracles the bucketed path too
         "dedup_embedding_lsh": lambda sf: dd.embedding_near_dup(
-            embs(sf), threshold=0.25, n_planes=6, seeds=(3, 4, 5)
+            embs(sf), threshold=0.25, n_planes=2, seeds=tuple(range(100, 140))
         ).select_columns(["a", "b"]),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_dedup(docs(sf), threshold=0.8),
         # -- similarity search -------------------------------------------------
@@ -349,7 +357,7 @@ def _q_media_frames(sf_dir: str) -> pd.DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     pages = "read_parquet('%s')" % _ORACLE_PAGES
-    return {
+    sqls = {
         "crawl_extract_canon": f"""
             SELECT url,
                    regexp_extract(decode(html),
@@ -592,6 +600,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT) AS n_frames
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
         """,
-        # rows-only (non-SQL-expressible, probabilistic sketches):
-        # dedup_minhash_lsh, dedup_simhash, dedup_embedding_lsh
     }
+    # the sketch->exact-verify compositions equal the exact all-pairs
+    # answers at their recall-1 parameters (measured at sf0.01; see
+    # gleaner_ray/ops/dedup.py docstrings), so they share those oracles
+    sqls["dedup_minhash_lsh"] = sqls["dedup_ngram_jaccard"]
+    sqls["dedup_simhash"] = sqls["dedup_ngram_jaccard"]
+    sqls["dedup_embedding_lsh"] = sqls["dedup_embedding_cosine"]
+    return sqls

@@ -14,6 +14,12 @@ the same Ray Data shapes the crawl uses (SURVEY §2.5 A2 generalized):
 - ``embedding_near_dup``  — cosine near-dup over the embeddings table
                          (random-hyperplane LSH buckets, exact verify;
                          ``n_planes=0`` = exact all-pairs mode)
+- ``minhash_jaccard_dedup`` / ``simhash_jaccard_dedup`` — the composed
+                         production shape: sketch-LSH candidate pairs ->
+                         exact shingle-Jaccard verify.  With recall-1
+                         sketch parameters the output equals the exact
+                         all-pairs answer, so the ANSI-SQL shingle oracle
+                         applies to the full sketch->verify path.
 
 Scale shape: per-batch sketching is vectorized numpy; the only wide
 steps are hash-joins on *small* sketch keys (band hash, bucket id,
@@ -37,6 +43,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
+    "minhash_jaccard_dedup",
+    "simhash_jaccard_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -53,12 +61,9 @@ def _default_partitions(minimum: int = 8, n_rows: int | None = None) -> int:
     table), the width is also capped by data size — Ray's hash shuffle
     pays a fixed per-partition cost, so 32 partitions on a 16k-row table
     is pure overhead (measured ~2x on the sf0.1 dedup bench)."""
-    import ray
+    from gleaner_ray.cluster import cluster_cpus
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", minimum))
-    except Exception:
-        cpus = minimum
+    cpus = cluster_cpus(minimum)
     width = max(minimum, cpus)
     if n_rows is not None:
         width = min(width, max(2, n_rows // 50_000))
@@ -509,21 +514,24 @@ def embedding_near_dup(
 ):
     """Cosine near-dup over an embedding column via random-hyperplane LSH.
 
-    ONE scan emits ``len(seeds)`` bucket rows per vector — bucket key is
-    (seed, sign pattern of ``n_planes`` random projections) — then one
-    self hash-join on the key pairs up candidates; exact cosine verify is
-    vectorized over the joined float64 payloads (float64 so the verify
-    is bit-identical to a float64 all-pairs oracle). Multiple seeds cut
-    the miss rate of borderline pairs.
+    2-pass shape (same rationale as ``ngram_jaccard_pairs``): the wide
+    self hash-join exchanges only (vec_id, seed, bucket) int64 rows —
+    never the vector payload — and the same pair colliding under many
+    seeds is deduped BEFORE any payload moves.  Embedding payloads are
+    then attached to the deduped candidate pairs only (two hash joins on
+    the small candidate set) and the exact cosine verify runs vectorized
+    in float64, bit-identical to a float64 all-pairs oracle.  Multiple
+    seeds cut the miss rate of borderline pairs at the cost of candidate
+    generation only, not payload traffic.
 
     ``n_planes=0`` is EXACT mode: every vector lands in one bucket, so
     the join produces all pairs — quadratic, for oracle checks and
     corpora <= ~1e5 vectors only; the LSH mode is the scale path."""
     seed_list = list(seeds) if n_planes > 0 else [0]
+    nparts = num_partitions or _default_partitions()
 
     def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        payload = [v.tobytes() for v in mat]
         frames = []
         for s in seed_list:
             if n_planes > 0:
@@ -536,25 +544,75 @@ def embedding_near_dup(
             frames.append(
                 pd.DataFrame(
                     {
-                        "vec_id": batch["vec_id"],
+                        "vec_id": batch["vec_id"].astype("int64"),
                         "seed": np.int64(s),
                         "bucket": keys,
-                        # plain binary column: Arrow's hash join cannot
-                        # carry the tensor-extension type as a payload
-                        "emb": payload,
                     }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    bucketed = ds.map_batches(bucketer, batch_format="pandas").materialize()
+    joined = bucketed.join(
+        bucketed,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("seed", "bucket"),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
         m = df[df["vec_id"] < df["vec_id_r"]]
-        if m.empty:
+        return pd.DataFrame(
+            {"a": m["vec_id"].astype("int64"), "b": m["vec_id_r"].astype("int64")}
+        ).drop_duplicates()
+
+    pairs = _dedupe_pairs(joined.map_batches(mk, batch_format="pandas")).materialize()
+    if pairs.count() == 0:
+        # no candidates: typed empty result instead of joining all
+        # zero-field blocks
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        )
+
+    def payload(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        # plain binary column: Arrow's hash join cannot carry the
+        # tensor-extension type as a payload
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].astype("int64"), "emb": [v.tobytes() for v in mat]}
+        )
+
+    emb_ds = ds.map_batches(payload, batch_format="pandas").materialize()
+
+    def _as(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"vec_id": side, "emb": "emb_%s" % side})
+
+        return fn
+
+    left = emb_ds.map_batches(_as("a"), batch_format="pandas")
+    right = emb_ds.map_batches(_as("b"), batch_format="pandas")
+    paired = pairs.join(left, join_type="inner", num_partitions=nparts, on=("a",)).join(
+        right, join_type="inner", num_partitions=nparts, on=("b",)
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")}
             )
-        x = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["emb"]])
-        y = np.stack([np.frombuffer(b, dtype=np.float64) for b in m["emb_r"]])
+        x = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_a"]])
+        y = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_b"]])
         nx = np.linalg.norm(x, axis=1)
         ny = np.linalg.norm(y, axis=1)
         denom = np.where(nx * ny == 0, 1.0, nx * ny)
@@ -562,19 +620,53 @@ def embedding_near_dup(
         keep = cos >= threshold
         return pd.DataFrame(
             {
-                "a": m["vec_id"].to_numpy()[keep].astype("int64"),
-                "b": m["vec_id_r"].to_numpy()[keep].astype("int64"),
+                "a": df["a"].to_numpy()[keep].astype("int64"),
+                "b": df["b"].to_numpy()[keep].astype("int64"),
                 "cosine": cos[keep],
             }
-        ).drop_duplicates(subset=["a", "b"])
+        )
 
-    bucketed = ds.map_batches(bucketer, batch_format="pandas").materialize()
-    joined = bucketed.join(
-        bucketed,
-        join_type="inner",
-        num_partitions=num_partitions or _default_partitions(n_rows=bucketed.count()),
-        on=("seed", "bucket"),
-        left_suffix="",
-        right_suffix="_r",
-    )
-    return _dedupe_pairs(joined.map_batches(verify, batch_format="pandas"))
+    return paired.map_batches(verify, batch_format="pandas")
+
+
+def minhash_jaccard_dedup(
+    ds,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    concurrency: int = 2,
+):
+    """Production MinHash-LSH near-dup: banded-LSH candidates -> exact
+    shingle-Jaccard verify (the standard two-stage shape; see e.g.
+    Leskovec et al., *Mining of Massive Datasets* ch. 3).
+
+    Output = exact pairs with Jaccard >= ``threshold`` *restricted to
+    LSH candidates*.  At the default parameters (128 perms / 32 bands,
+    r=4) candidate recall for J>=0.8 pairs is 1.0 on the sf0.01 corpus
+    (measured), so the DuckDB all-pairs shingle oracle reproduces the
+    full sketch->verify pipeline value-for-value.  Only the verify pass
+    touches candidate text; the wide steps shuffle sketch keys only."""
+    cands = minhash_lsh(ds, n_perm=n_perm, bands=bands, concurrency=concurrency)
+    return ngram_jaccard_pairs(ds, cands, shingle_k=shingle_k, threshold=threshold)
+
+
+def simhash_jaccard_dedup(
+    ds,
+    threshold: float = 0.8,
+    bands: int = 8,
+    max_hamming: int = 16,
+    shingle_k: int = 5,
+    concurrency: int = 2,
+):
+    """SimHash-bucketed near-dup with exact shingle-Jaccard verify.
+
+    8-bit bands widen candidate generation (pigeonhole guarantees any
+    pair within hamming 7 shares a band; on the sf0.01 corpus every
+    J>=0.8 pair sits within hamming 8 and all collide — measured recall
+    1.0), ``max_hamming`` keeps the hamming pre-filter permissive, and
+    the exact verify makes the output equal the all-pairs answer, so
+    the same ANSI-SQL shingle oracle applies."""
+    cands = simhash_dedup(ds, bands=bands, max_hamming=max_hamming, concurrency=concurrency)
+    pairs = cands.select_columns(["a", "b"])
+    return ngram_jaccard_pairs(ds, pairs, shingle_k=shingle_k, threshold=threshold)

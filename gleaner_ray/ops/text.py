@@ -307,7 +307,9 @@ def corpus_prep(
     if num_partitions is None:
         import ray
 
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        from gleaner_ray.cluster import cluster_cpus
+
+        num_partitions = max(8, cluster_cpus(8) // 4)
     joined = kept.join(keepers, join_type="inner", num_partitions=num_partitions, on=("h",))
 
     def only_keepers(df: pd.DataFrame) -> pd.DataFrame:

@@ -36,6 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..cluster import cluster_cpus
 from ..config import GleanerConfig
 from ..org import org_nq, org_object_name
 from ..prov import prov_graph, prov_object_name
@@ -197,7 +198,7 @@ def summon(
     # CPUs); attach/dedup/sink are light half-CPU actors; the remainder
     # stays free for the elastic read/normalize/write tasks so no stage
     # starves another (see ray_guide "actor pools" pitfall).
-    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    total_cpus = cluster_cpus(4)
     if concurrency is None:
         # proportional pool sizing so N vs 4N CPUs gives ~N vs 4N actors
         concurrency = max(1, (total_cpus * 5) // 8) if total_cpus >= 4 else 1

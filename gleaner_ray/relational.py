@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from gleaner_ray.cluster import cluster_cpus
+
 __all__ = [
     "filter_project",
     "grouped_agg_q1",
@@ -214,7 +216,7 @@ def asof_join_events_orders(sf_dir: str, num_partitions: int | None = None):
     o_orderdate collapse to the max o_orderkey, since ASOF's pick among
     equal timestamps is otherwise arbitrary on both engines."""
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(8, cluster_cpus(8))
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"])
 
@@ -337,7 +339,7 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800, num_partitions: int | None
     gap breaks — no per-user Python). Session boundaries are invariant
     to tie order at equal timestamps, so the result is deterministic."""
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(8, cluster_cpus(8))
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def add_pid(df: pd.DataFrame) -> pd.DataFrame:

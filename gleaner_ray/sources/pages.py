@@ -26,6 +26,8 @@ def read_pages(
     import ray
 
     if num_blocks is None:
-        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        from gleaner_ray.cluster import cluster_cpus
+
+        total = cluster_cpus(4)
         num_blocks = max(8, total * 2)
     return rd.read_parquet(path, columns=columns or CRAWL_COLUMNS, override_num_blocks=num_blocks, **kwargs)

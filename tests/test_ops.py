@@ -64,6 +64,23 @@ class TestNearDup:
         assert (1, 3) in pairs
         assert df[(df.a == 1) & (df.b == 3)].hamming.iloc[0] == 0
 
+    def test_minhash_jaccard_dedup_composed(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import minhash_jaccard_dedup, ngram_jaccard_dedup
+
+        got = minhash_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
+        want = ngram_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
+        gp = set(map(tuple, got[["a", "b"]].values))
+        wp = set(map(tuple, want[["a", "b"]].values))
+        # recall-1 sketch params: composed output equals the exact answer
+        assert gp == wp and (1, 2) in gp and (1, 3) in gp
+
+    def test_simhash_jaccard_dedup_composed(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import ngram_jaccard_dedup, simhash_jaccard_dedup
+
+        got = simhash_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
+        want = ngram_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
+        assert set(map(tuple, got[["a", "b"]].values)) == set(map(tuple, want[["a", "b"]].values))
+
     def test_embedding_near_dup_planted(self, ray_session):
         import ray.data as rd
 

@@ -116,6 +116,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_lsh",
         "sim_knn_bruteforce",
         "sim_ivf_knn",
         "media_decode_fake",
@@ -140,20 +143,6 @@ def test_oracle_checked_small(contract, name):
 )
 def test_oracle_checked_crawl(contract, name):
     _run_and_compare(contract, name, CRAWL_SF)
-
-
-@pytest.mark.parametrize(
-    "name",
-    [
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_lsh",
-    ],
-)
-def test_rows_only_queries_run(contract, name):
-    q = contract.queries()[name]
-    rdf = to_pandas(q(SMALL_SF))
-    assert len(rdf) >= 0 and len(rdf.columns) > 0
 
 
 def test_entry_smoke(contract):
