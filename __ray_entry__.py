@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "content_md5"]
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
+        "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
         # composed corpus-cleaning pipeline: length + punct + language
         # filters, then exact dedup (keep lowest doc_id per md5)
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
@@ -504,6 +505,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source ORDER BY source
         """,
         "text_langid": _langid_sql(),
+        # same tokenization bets as the shingle oracle: lower() + '\s+'
+        # split; every ratio is a float64 division of small ints, so the
+        # values are bit-identical to the engine's
+        "text_repetition": r"""
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            lines AS (SELECT doc_id, unnest(split(text, chr(10))) AS line
+                      FROM t WHERE text <> ''),
+            lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS ll
+                   FROM lines GROUP BY doc_id, line),
+            lagg AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+                            sum(c * ll) AS total_chars,
+                            sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS dup_chars
+                     FROM lg GROUP BY doc_id),
+            words AS (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS w
+                      FROM t),
+            grams AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(w)),
+                                                   i -> w[i] || ' ' || w[i + 1])) AS g
+                      FROM words WHERE len(w) >= 2),
+            gg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+            gagg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+                     FROM gg GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(CAST(lagg.n_lines - lagg.n_distinct AS DOUBLE) / lagg.n_lines, 0.0)
+                       AS dup_line_frac,
+                   COALESCE(CAST(lagg.dup_chars AS DOUBLE) / nullif(lagg.total_chars, 0), 0.0)
+                       AS dup_line_char_frac,
+                   COALESCE(CAST(gagg.top_c AS DOUBLE) / gagg.n_grams, 0.0)
+                       AS top_2gram_frac
+            FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN gagg USING (doc_id)
+        """,
         # corpus_prep oracle: the same signal expressions as text_quality /
         # text_langid / fingerprint_md5, composed (langid SQL nests as a CTE)
         "pipe_corpus_prep": r"""

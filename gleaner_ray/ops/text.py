@@ -9,6 +9,9 @@ Training-data-pipeline staples, each a vectorized ``map_batches`` stage:
   profiles compiled once per actor)
 - ``fingerprints``: Rabin-Karp rolling-hash document fingerprint
   (min-k sketch) plus an md5 content id
+- ``repetition_scores``: Gopher-style repetition signals (duplicate
+  line fraction, duplicate-line character fraction, top word-2-gram
+  coverage)
 
 Semantics that also exist in ANSI SQL (token counts, length/punct
 ratios, md5) are defined to match DuckDB expressions exactly so the
@@ -23,7 +26,14 @@ import re
 import numpy as np
 import pandas as pd
 
-__all__ = ["token_stats", "quality_scores", "LangId", "fingerprints", "add_text_ops"]
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "LangId",
+    "fingerprints",
+    "repetition_scores",
+    "add_text_ops",
+]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
@@ -240,6 +250,54 @@ def fingerprints(batch: pd.DataFrame, k: int = 8) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out_fp, "content_md5": out_md5})
 
 
+def repetition_scores(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", app. A1.1 quality heuristics):
+
+    - ``dup_line_frac``: 1 - distinct_lines/lines (lines = split '\\n')
+    - ``dup_line_char_frac``: chars inside lines occurring >1 time /
+      total line chars
+    - ``top_2gram_frac``: occurrences of the most frequent lowercased
+      word 2-gram / total 2-gram occurrences
+
+    Every ratio is a float64 division of small ints over the same
+    tokenization the shingle oracle uses (lower + whitespace split), so
+    the DuckDB expression reproduces it bit-for-bit; empty text scores
+    0.0 on all three."""
+    from collections import Counter
+
+    ids, dlf, dlcf, tgf = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        t = text or ""
+        ids.append(doc_id)
+        if not t:
+            dlf.append(0.0)
+            dlcf.append(0.0)
+            tgf.append(0.0)
+            continue
+        lines = t.split("\n")
+        cnt = Counter(lines)
+        n_lines = len(lines)
+        total_chars = sum(len(ln) for ln in lines)
+        dup_chars = sum(len(ln) * c for ln, c in cnt.items() if c > 1)
+        dlf.append((n_lines - len(cnt)) / n_lines)
+        dlcf.append(dup_chars / total_chars if total_chars else 0.0)
+        words = t.lower().split()
+        if len(words) >= 2:
+            g = Counter(zip(words, words[1:]))
+            tgf.append(max(g.values()) / sum(g.values()))
+        else:
+            tgf.append(0.0)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "dup_line_frac": pd.Series(dlf, dtype="float64"),
+            "dup_line_char_frac": pd.Series(dlcf, dtype="float64"),
+            "top_2gram_frac": pd.Series(tgf, dtype="float64"),
+        }
+    )
+
+
 class _PrepSignals:
     """Fused corpus-prep stage: length, punctuation ratio, language id
     and content md5 in ONE pass over each batch (no joins between signal
@@ -321,7 +379,12 @@ def corpus_prep(
 
 def add_text_ops(ds, op: str, **kwargs):
     """Apply a named text op to a documents Dataset."""
-    fns = {"tokens": token_stats, "quality": quality_scores, "fingerprint": fingerprints}
+    fns = {
+        "tokens": token_stats,
+        "quality": quality_scores,
+        "fingerprint": fingerprints,
+        "repetition": repetition_scores,
+    }
     if op == "langid":
         return ds.map_batches(LangId, batch_format="pandas", concurrency=kwargs.get("concurrency", 2))
     return ds.map_batches(fns[op], batch_format="pandas")

@@ -64,6 +64,30 @@ class TestNearDup:
         assert (1, 3) in pairs
         assert df[(df.a == 1) & (df.b == 3)].hamming.iloc[0] == 0
 
+    def test_repetition_scores(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import repetition_scores
+
+        rows = [
+            {"doc_id": 1, "text": "a b\na b\nc d"},  # 1 dup line of 3
+            {"doc_id": 2, "text": "x y x y x y"},  # 'x y' dominates 2-grams
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "all distinct lines\nno repeats here\nok"},
+        ]
+        df = (
+            rd.from_items(rows)
+            .map_batches(repetition_scores, batch_format="pandas")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert df.loc[1, "dup_line_frac"] == pytest.approx(1 / 3)
+        assert df.loc[1, "dup_line_char_frac"] == pytest.approx(6 / 9)
+        # 'x y x y x y': 2-grams = xy yx xy yx xy -> top 3/5
+        assert df.loc[2, "top_2gram_frac"] == pytest.approx(3 / 5)
+        assert (df.loc[3] == 0.0).all()
+        assert df.loc[4, "dup_line_frac"] == 0.0
+
     def test_minhash_jaccard_dedup_composed(self, docs_with_dups):
         from gleaner_ray.ops.dedup import minhash_jaccard_dedup, ngram_jaccard_dedup
 

@@ -414,8 +414,17 @@ class TestCheckpointResume:
         for df in (a, b):
             firsts = df[df.sha != ""].groupby("sha")["seen_first"].sum()
             assert (firsts == 1).all()
-        # object stores identical
-        assert self._summoned_objects(clean_out) == self._summoned_objects(out)
+        # object stores hold the same object BODIES: one object per
+        # distinct sha in both runs. The source prefix of a sha shared
+        # across sources follows first-writer attribution, which is
+        # timing-dependent (same as the reference's StatObject-then-Put
+        # race) — so compare by basename, not full path.
+        clean_objs = self._summoned_objects(clean_out)
+        resumed_objs = self._summoned_objects(out)
+        assert {os.path.basename(p) for p in clean_objs} == {
+            os.path.basename(p) for p in resumed_objs
+        }
+        assert len(clean_objs) == len(resumed_objs)
         # per-source metrics of the resumed run cover the union
         assert sum(v["fetched"] for v in m2["per_source"].values()) == int(
             (clean.doc_index <= 0).sum()

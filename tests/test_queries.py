@@ -112,6 +112,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_quality",
         "text_fingerprint_md5",
         "text_langid",
+        "text_repetition",
         "pipe_corpus_prep",
         "dedup_exact",
         "dedup_ngram_jaccard",
