@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join_hash": lambda sf: rel.hash_join_lineitem_orders(sf).select_columns(
             ["l_orderkey", "l_extendedprice", "o_custkey", "o_orderdate"]
         ),
+        "rel_join_semi": lambda sf: rel.semi_join_customers_events(sf),
+        "rel_join_anti": lambda sf: rel.anti_join_customers_events(sf),
         "rel_topk_orders": lambda sf: rel.topk_orders(sf),
         "rel_distinct_segments": lambda sf: rel.distinct_segments(sf)
         .to_pandas()
@@ -410,6 +412,14 @@ def oracle_sql() -> dict[str, str]:
         "rel_join_hash": """
             SELECT l_orderkey, l_extendedprice, o_custkey, o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "rel_join_semi": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "rel_join_anti": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
         """,
         "rel_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -8,6 +8,8 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
 - ``grouped_agg``      — partial per-batch combine, then small groupby
 - ``broadcast_join``   — small side via ray.put, lookup per batch
 - ``hash_join``        — both sides large: Dataset.join (hash shuffle)
+- ``semi_join`` / ``anti_join`` — EXISTS / NOT EXISTS shapes; the right
+  side ships distinct keys only (per-block dedupe before the exchange)
 - ``topk``             — per-batch top-k, merge (no global sort)
 - ``distinct``         — hash groupby
 - ``tumbling_window``  — event-time windows as key-bucket groupby
@@ -37,6 +39,8 @@ __all__ = [
     "grouped_agg_q1",
     "broadcast_join_orders_customers",
     "hash_join_lineitem_orders",
+    "semi_join_customers_events",
+    "anti_join_customers_events",
     "topk_orders",
     "distinct_segments",
     "tumbling_window_events",
@@ -151,6 +155,52 @@ def hash_join_lineitem_orders(sf_dir: str, num_partitions: int = 8):
         orders, join_type="inner", num_partitions=num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
     )
     return joined
+
+
+def _event_userkeys(sf_dir: str):
+    """Distinct user_id per input block — shrinks the semi/anti join's
+    shuffled right side to unique keys per block before the exchange."""
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+        local_distinct, batch_format="pandas"
+    )
+
+
+def semi_join_customers_events(sf_dir: str, num_partitions: int | None = None):
+    """Customers with >=1 event (active users): hash-partitioned LEFT
+    SEMI join.
+
+    SQL: ``WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id =
+    c.c_custkey)``.  A semi join never multiplies rows, so the output is
+    bounded by the left side regardless of event fan-out."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return cust.join(
+        _event_userkeys(sf_dir),
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("user_id",),
+    )
+
+
+def anti_join_customers_events(sf_dir: str, num_partitions: int | None = None):
+    """Customers with NO events (inactive users): hash-partitioned LEFT
+    ANTI join (``WHERE NOT EXISTS`` in SQL)."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return cust.join(
+        _event_userkeys(sf_dir),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("user_id",),
+    )
 
 
 def topk_orders(sf_dir: str, k: int = 10):

@@ -101,6 +101,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_q1_agg",
         "rel_join_broadcast",
         "rel_join_hash",
+        "rel_join_semi",
+        "rel_join_anti",
         "rel_topk_orders",
         "rel_distinct_segments",
         "rel_window_events",
