@@ -213,6 +213,24 @@ def _knn_queries(sf_dir: str) -> dict:
     return {"qids": df["vec_id"].tolist(), "vectors": [list(v) for v in df["embedding"]]}
 
 
+def _q_hash_split(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.ops.sampling import hash_split
+
+    return hash_split(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]), frac=0.9)
+
+
+def _q_pack_sequences(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.ops.sampling import pack_sequences
+
+    return pack_sequences(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=2048
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -268,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed corpus-cleaning pipeline: length + punct + language
         # filters, then exact dedup (keep lowest doc_id per md5)
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
+        # -- split / packing ---------------------------------------------------
+        "samp_hash_split": lambda sf: _q_hash_split(sf),
+        "samp_pack_sequences": lambda sf: _q_pack_sequences(sf),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -645,6 +666,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
         """,
     }
+    from gleaner_ray.ops.sampling import split_threshold_hex
+
+    sqls["samp_hash_split"] = """
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '%s'
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
+    """ % split_threshold_hex(0.9)
+    sqls["samp_pack_sequences"] = r"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN trim(text) = '' THEN 0
+                               ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(off AS BIGINT) AS offset_tokens,
+               CAST(off // 2048 AS BIGINT) AS pack_id
+        FROM c
+    """
     # the sketch->exact-verify compositions equal the exact all-pairs
     # answers at their recall-1 parameters (measured at sf0.01; see
     # gleaner_ray/ops/dedup.py docstrings), so they share those oracles

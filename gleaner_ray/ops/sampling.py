@@ -1,0 +1,115 @@
+"""Dataset splitting and sequence packing for training-data pipelines.
+
+- ``hash_split``: deterministic train/holdout assignment by content-free
+  key hash (md5 of the stringified key) — the standard way to split a
+  corpus so the assignment is stable across runs, machines and engine
+  versions, and joins with nothing.
+- ``pack_sequences``: assign each document to a fixed token-budget pack
+  (the "sequence packing" step before LLM training): documents in
+  ascending doc_id order are laid out contiguously and a document starts
+  pack ``cum_tokens_before // budget``.  Distributed as a two-level
+  prefix-sum: coarse doc_id buckets aggregate token subtotals (one small
+  groupby), the driver prefix-sums the bounded bucket table, and each
+  bucket then assigns offsets vectorized with its broadcast base offset.
+  Partitioning assumption: one bucket's rows fit one group task — at
+  10^10 docs pick ``bucket_size`` so the bucket table stays driver-sized
+  (1e6 buckets of 1e4 docs); a tree prefix-sum is the documented seam
+  beyond that.
+
+Both contracts are ANSI-SQL-expressible (md5 comparison against a hex
+literal; SUM OVER ... ROWS UNBOUNDED PRECEDING), so the driver oracle
+checks them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+__all__ = ["hash_split", "pack_sequences", "split_threshold_hex"]
+
+
+def split_threshold_hex(frac: float) -> str:
+    """32-char lowercase hex literal h such that P(md5_hex < h) == frac
+    under a uniform hash. Shared by the engine and the SQL oracle, so
+    float rounding in the multiplication cannot diverge the two."""
+    return "%032x" % int(frac * (1 << 128))
+
+
+def hash_split(ds, frac: float = 0.9, key: str = "doc_id"):
+    """Adds ``split`` = 'train'|'holdout': md5(str(key)) < threshold(frac).
+
+    Pure per-row hashing — no shuffle, no state; re-runs and appends
+    assign identically."""
+    thresh = split_threshold_hex(frac)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]]
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "split": ["train" if h < thresh else "holdout" for h in hs],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def pack_sequences(ds, budget: int = 2048, bucket_size: int = 1000, key: str = "doc_id"):
+    """(doc_id, n_tokens, offset_tokens, pack_id) with documents packed
+    contiguously in ascending ``key`` order; ``pack_id = offset //
+    budget``.
+
+    Three stages: vectorized whitespace token counts (same contract as
+    ``token_stats.n_tokens_ws``); per-bucket subtotal groupby (the only
+    exchange — bucket count rows, not doc count); per-bucket offset
+    assignment with the driver's prefix-summed bucket bases broadcast
+    via ``ray.put``."""
+    import ray
+
+    from gleaner_ray.ops.text import token_stats
+
+    def to_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_tokens": df["n_tokens_ws"].astype("int64"),
+                "bucket": (df[key] // bucket_size).astype("int64"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(token_stats, batch_format="pandas")
+        .map_batches(to_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    subtotals = (
+        counts.groupby("bucket").aggregate(Sum("n_tokens", alias_name="subtotal")).to_pandas()
+    )
+    subtotals = subtotals.sort_values("bucket", ignore_index=True)
+    bases = dict(
+        zip(
+            subtotals["bucket"],
+            subtotals["subtotal"].cumsum().shift(fill_value=0).astype("int64"),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref)[int(df["bucket"].iloc[0])]
+        df = df.sort_values(key, ignore_index=True)
+        cum_before = base + df["n_tokens"].cumsum().shift(fill_value=0).astype("int64")
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_tokens": df["n_tokens"],
+                "offset_tokens": cum_before,
+                "pack_id": (cum_before // budget).astype("int64"),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(assign, batch_format="pandas")

@@ -134,6 +134,35 @@ class TestNearDup:
         assert lsh_pairs <= exact_pairs  # LSH finds a subset of exact
 
 
+class TestSampling:
+    def test_hash_split_deterministic_and_proportional(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import hash_split
+
+        ds = rd.from_items([{"doc_id": i} for i in range(2000)])
+        a = hash_split(ds, frac=0.8).to_pandas().sort_values("doc_id", ignore_index=True)
+        b = hash_split(ds, frac=0.8).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert (a["split"] == b["split"]).all()  # stable across runs
+        frac = (a["split"] == "train").mean()
+        assert 0.75 < frac < 0.85
+
+    def test_pack_sequences_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import pack_sequences
+
+        # 10 docs x 100 tokens, budget 300 -> packs of 3 docs
+        rows = [{"doc_id": i, "text": " ".join(["w"] * 100)} for i in range(10)]
+        df = (
+            pack_sequences(rd.from_items(rows), budget=300, bucket_size=4)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert list(df["offset_tokens"]) == [i * 100 for i in range(10)]
+        assert list(df["pack_id"]) == [i * 100 // 300 for i in range(10)]
+
+
 class TestSimilarity:
     def test_ivf_recall_vs_bruteforce(self, ray_session):
         import ray.data as rd

@@ -116,6 +116,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_langid",
         "text_repetition",
         "pipe_corpus_prep",
+        "samp_hash_split",
+        "samp_pack_sequences",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
