@@ -261,12 +261,15 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
     doc_id) to compute each candidate's shingle set once;
     pass 2: join the shingle sets onto the pair rows (once per side) and
     verify vectorized per batch. The exchanged payload is candidate
-    shingle sets only — bounded by the candidate count, not the corpus."""
-    nparts = _default_partitions()
+    shingle sets only — bounded by the candidate count, not the corpus.
+    Join widths scale with the candidate count (not a fixed cluster
+    width): each hash-shuffle partition costs a fixed aggregator spin-up,
+    pure overhead when candidates are rare — the common case."""
     # candidate ids (either side), deduped — tiny relative to the corpus
     ids_a = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["a"]}), batch_format="pandas")
     ids_b = pairs_ds.map_batches(lambda df: pd.DataFrame({"doc_id": df["b"]}), batch_format="pandas")
     cand_ids = _dedupe_pairs(ids_a.union(ids_b), subset=("doc_id",)).materialize()
+    nparts = _default_partitions(minimum=2, n_rows=cand_ids.count())
     if cand_ids.count() == 0:
         # No candidates: return a typed empty result instead of running
         # joins whose inputs would be all zero-field blocks.
@@ -282,9 +285,30 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
             )
         )
 
-    # pass 1: shingle sets for candidates only (semi-join via inner join)
+    # pass 1: shingle sets for candidates only. The candidate id set is
+    # bounded and already counted: when it fits a broadcast (<= ~5M ids,
+    # 40 MB), semi-join as a map_batches membership filter — the corpus
+    # is never shuffled at all. Only beyond that fall back to a hash
+    # join at CLUSTER width (the corpus side dictates the width there,
+    # not the candidate count).
     docs = ds.map_batches(lambda df: df[["doc_id", "text"]], batch_format="pandas")
-    cand_docs = docs.join(cand_ids, join_type="inner", num_partitions=nparts, on=("doc_id",))
+    if cand_ids.count() <= 5_000_000:
+        import ray as _ray
+
+        ids_ref = _ray.put(np.sort(cand_ids.to_pandas()["doc_id"].to_numpy(dtype=np.int64)))
+
+        def member(df: pd.DataFrame) -> pd.DataFrame:
+            arr = _ray.get(ids_ref)
+            v = df["doc_id"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(arr, v)
+            ok = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == v)
+            return df[ok]
+
+        cand_docs = docs.map_batches(member, batch_format="pandas")
+    else:
+        cand_docs = docs.join(
+            cand_ids, join_type="inner", num_partitions=_default_partitions(), on=("doc_id",)
+        )
     sets_ds = cand_docs.map_batches(
         _ShingleSets, fn_constructor_kwargs={"shingle_k": shingle_k}, batch_format="pandas", concurrency=2
     ).materialize()
@@ -528,7 +552,6 @@ def embedding_near_dup(
     the join produces all pairs — quadratic, for oracle checks and
     corpora <= ~1e5 vectors only; the LSH mode is the scale path."""
     seed_list = list(seeds) if n_planes > 0 else [0]
-    nparts = num_partitions or _default_partitions()
 
     def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
@@ -556,7 +579,7 @@ def embedding_near_dup(
     joined = bucketed.join(
         bucketed,
         join_type="inner",
-        num_partitions=nparts,
+        num_partitions=num_partitions or _default_partitions(minimum=2, n_rows=bucketed.count()),
         on=("seed", "bucket"),
         left_suffix="",
         right_suffix="_r",
@@ -584,15 +607,46 @@ def embedding_near_dup(
             )
         )
 
-    def payload(batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    # Restrict payloads to candidate vectors BEFORE the attach joins.
+    # Small pair sets (the LSH regime): broadcast the sorted candidate
+    # id array and filter inside the payload stage — the embedding
+    # corpus is never hash-shuffled, and the joins below move candidate
+    # payloads only, at candidate-scaled width. Huge pair sets (exact
+    # mode on a big corpus): no filter; the attach joins shuffle at
+    # cluster width. Arrow batch format with an explicit schema so
+    # filtered-to-empty blocks keep the binary payload type.
+    import pyarrow as _pa
+    import ray as _ray
+
+    payload_schema = _pa.schema([("vec_id", _pa.int64()), ("emb", _pa.binary())])
+    if pairs.count() <= _SMALL_PAIRSET:
+        pairs_df = pairs.to_pandas()
+        cand_vec_ids = np.sort(pd.concat([pairs_df["a"], pairs_df["b"]]).unique().astype(np.int64))
+        ids_ref = _ray.put(cand_vec_ids)
+        nparts = num_partitions or _default_partitions(minimum=2, n_rows=len(pairs_df))
+    else:
+        ids_ref = None
+        nparts = num_partitions or _default_partitions()
+
+    def payload(t: "_pa.Table") -> "_pa.Table":
+        v = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids_ref is not None:
+            arr = _ray.get(ids_ref)
+            idx = np.searchsorted(arr, v)
+            ok = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == v)
+            if not ok.any():
+                return payload_schema.empty_table()
+            t = t.filter(_pa.array(ok))
+            v = v[ok]
         # plain binary column: Arrow's hash join cannot carry the
         # tensor-extension type as a payload
-        return pd.DataFrame(
-            {"vec_id": batch["vec_id"].astype("int64"), "emb": [v.tobytes() for v in mat]}
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        return _pa.Table.from_arrays(
+            [_pa.array(v, _pa.int64()), _pa.array([m.tobytes() for m in mat], _pa.binary())],
+            schema=payload_schema,
         )
 
-    emb_ds = ds.map_batches(payload, batch_format="pandas").materialize()
+    emb_ds = ds.map_batches(payload, batch_format="pyarrow").materialize()
 
     def _as(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

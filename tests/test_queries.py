@@ -159,3 +159,10 @@ def test_every_oracle_key_has_query(contract):
     qs = contract.queries()
     for name in contract.oracle_sql():
         assert name in qs, name
+
+
+def test_every_query_has_oracle(contract):
+    # the whole board is oracle-checked — no rows-only queries left
+    sqls = contract.oracle_sql()
+    for name in contract.queries():
+        assert name in sqls, name
