@@ -192,7 +192,8 @@ def _q_crawl_results_full(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_crawl_admission(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: per-source politeness admission schedule summary.
+    """Per-source politeness admission schedule summary (full hash
+    oracle — the SQL reproduces the admission formula over seq).
 
     hydro1 carries a robots Crawl-delay of 1s, so its admission times
     grow linearly with seq (threads forced to 1, acquire.go:71-73);

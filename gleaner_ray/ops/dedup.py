@@ -456,37 +456,72 @@ class _ExplodeShingles:
         )
 
 
+# 8-bit popcount lookup table: hamming distance of a uint64 array is
+# table[bytes].sum(axis=1) — no per-row Python bin() calls
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Stable uint64 hash of a flat object array of token strings —
+    one vectorized siphash pass (pandas' C kernel) over the whole batch
+    instead of a per-token Python blake2b call."""
+    return pd.util.hash_array(tokens, hash_key="gleaner_simhash!")
+
+
 class SimHashBatch:
-    """64-bit simhash over token hashes + banded keys for hamming search."""
+    """64-bit simhash over token hashes + banded keys for hamming search.
+
+    Fully vectorized per batch: every token of every document is hashed
+    in ONE ``pd.util.hash_array`` call, the sign accumulation is a
+    cumulative-sum difference over document boundaries (handles empty
+    documents exactly like the per-row version: no tokens -> simhash 0),
+    and band keys are shift/mask array ops."""
 
     def __init__(self, bands: int = 4):
         self.bands = bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, sims, band_ids, band_keys = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            toks = (text or "").lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-                bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-                acc += bits.astype(np.int64) * 2 - 1
-            sim = 0
-            for bit in np.where(acc > 0)[0]:
-                sim |= 1 << int(bit)
-            width = 64 // self.bands
-            for b in range(self.bands):
-                key = (sim >> (b * width)) & ((1 << width) - 1)
-                doc_ids.append(doc_id)
-                sims.append(np.uint64(sim))
-                band_ids.append(b)
-                band_keys.append(np.uint64(key))
+        from itertools import chain
+
+        token_lists = [(t or "").lower().split() for t in batch["text"]]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+        total = int(lens.sum())
+        n_docs = len(token_lists)
+        if total:
+            flat = np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+            h = _hash_tokens(flat)
+            # (total, 64) bit matrix, bit i of the hash at column i
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            signs = bits * 2 - 1
+            # per-doc segment sums via cumsum difference (empty docs -> 0)
+            cs = np.zeros((total + 1, 64), dtype=np.int64)
+            np.cumsum(signs, axis=0, out=cs[1:])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            acc = cs[ends] - cs[starts]
+        else:
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sims = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        width = 64 // self.bands
+        mask = np.uint64((1 << width) - 1)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int64), n_docs)
+        doc_rep = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), self.bands)
+        sims_rep = np.repeat(sims, self.bands)
+        keys = (sims_rep >> (band_ids.astype(np.uint64) * np.uint64(width))) & mask
         return pd.DataFrame(
             {
-                "doc_id": doc_ids,
-                "simhash": pd.array(sims, dtype="UInt64"),
+                "doc_id": doc_rep,
+                "simhash": pd.array(sims_rep, dtype="UInt64"),
                 "band_id": band_ids,
-                "band_key": pd.array(band_keys, dtype="UInt64"),
+                "band_key": pd.array(keys, dtype="UInt64"),
             }
         )
 
@@ -515,7 +550,7 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
             )
         x = m["simhash"].to_numpy(dtype=np.uint64) ^ m["simhash_r"].to_numpy(dtype=np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = _popcount64(x)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {
@@ -526,6 +561,55 @@ def simhash_dedup(ds, bands: int = 4, max_hamming: int = 3, concurrency: int = 2
         ).drop_duplicates()
 
     return _dedupe_pairs(joined.map_batches(mk, batch_format="pandas"))
+
+
+class _PlaneBucketer:
+    """Actor-pool stage: random-hyperplane LSH bucket keys per vector.
+
+    The ``{seed: planes}`` matrices are state — built ONCE per actor on
+    the first non-empty batch (the embedding dim is read from the data),
+    never regenerated per batch. Deterministic across actors: the planes
+    depend only on (seed, dim, n_planes)."""
+
+    _EMPTY = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "seed": pd.Series(dtype="int64"),
+            "bucket": pd.Series(dtype="int64"),
+        }
+    )
+
+    def __init__(self, n_planes: int, seed_list: list):
+        self.n_planes = n_planes
+        self.seed_list = seed_list
+        self.planes: dict | None = None  # dim known from the first batch
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return self._EMPTY
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        if self.n_planes > 0 and self.planes is None:
+            self.planes = {
+                s: np.random.default_rng(s).standard_normal((mat.shape[1], self.n_planes))
+                for s in self.seed_list
+            }
+        frames = []
+        for s in self.seed_list:
+            if self.n_planes > 0:
+                signs = (mat @ self.planes[s]) > 0
+                keys = (signs * (1 << np.arange(self.n_planes))).sum(axis=1).astype("int64")
+            else:
+                keys = np.zeros(len(mat), dtype="int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"].astype("int64"),
+                        "seed": np.int64(s),
+                        "bucket": keys,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
 
 def embedding_near_dup(
@@ -553,29 +637,12 @@ def embedding_near_dup(
     corpora <= ~1e5 vectors only; the LSH mode is the scale path."""
     seed_list = list(seeds) if n_planes > 0 else [0]
 
-    def bucketer(batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        frames = []
-        for s in seed_list:
-            if n_planes > 0:
-                rng = np.random.default_rng(s)
-                planes = rng.standard_normal((mat.shape[1], n_planes))
-                signs = (mat @ planes) > 0
-                keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype("int64")
-            else:
-                keys = np.zeros(len(mat), dtype="int64")
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": batch["vec_id"].astype("int64"),
-                        "seed": np.int64(s),
-                        "bucket": keys,
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    bucketed = ds.map_batches(bucketer, batch_format="pandas").materialize()
+    bucketed = ds.map_batches(
+        _PlaneBucketer,
+        fn_constructor_kwargs={"n_planes": n_planes, "seed_list": seed_list},
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).materialize()
     joined = bucketed.join(
         bucketed,
         join_type="inner",
@@ -629,6 +696,8 @@ def embedding_near_dup(
         nparts = num_partitions or _default_partitions()
 
     def payload(t: "_pa.Table") -> "_pa.Table":
+        if t.num_rows == 0:
+            return payload_schema.empty_table()
         v = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if ids_ref is not None:
             arr = _ray.get(ids_ref)

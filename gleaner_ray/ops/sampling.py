@@ -31,9 +31,19 @@ __all__ = ["hash_split", "pack_sequences", "split_threshold_hex"]
 
 
 def split_threshold_hex(frac: float) -> str:
-    """32-char lowercase hex literal h such that P(md5_hex < h) == frac
-    under a uniform hash. Shared by the engine and the SQL oracle, so
-    float rounding in the multiplication cannot diverge the two."""
+    """Lowercase hex-comparable literal h such that P(md5_hex < h) ==
+    frac under a uniform hash. Shared by the engine and the SQL oracle,
+    so float rounding in the multiplication cannot diverge the two.
+
+    Boundary clamps (the naive formula returns a 33-char string at
+    frac=1.0, which lexicographically classifies digests starting with
+    '2'..'f' as holdout): 'g' sorts after every 32-char hex digest in
+    both Python and SQL string comparison -> all-train; the all-zeros
+    literal admits nothing -> all-holdout."""
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "0" * 32
     return "%032x" % int(frac * (1 << 128))
 
 

@@ -38,6 +38,19 @@ def apply() -> None:
     if _PATCHED:
         return
     try:
+        import ray
+
+        # Known-affected range only (verified against the installed
+        # hash_shuffle source for 2.49.x). A future Ray that keeps the
+        # attribute names but changes broadcast semantics must NOT get
+        # the wrapper silently — outside the range this is a no-op, and
+        # `import gleaner_ray` no longer eagerly imports ray.data
+        # internals there either.
+        if not ray.__version__.startswith("2.49."):
+            return
+    except Exception:  # pragma: no cover - ray absent
+        return
+    try:
         from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
         from ray.data._internal.execution.operators.hash_shuffle import (
             HashShufflingOperatorBase,

@@ -107,46 +107,38 @@ def grouped_agg_q1(sf_dir: str):
 
 
 def broadcast_join_orders_customers(sf_dir: str):
-    """orders ⨝ customer on custkey — the small side broadcast once."""
+    """orders ⨝ customer on custkey — the small side broadcast once.
+
+    The customer table travels via ``ray.put`` ONCE (Arrow tables
+    deserialize zero-copy from plasma); each batch is joined against it
+    with pyarrow's hash join (Acero, C++) — no per-row Python work on
+    the large side."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
-    lookup_ref = ray.put(
-        {
-            k: (n, s)
-            for k, n, s in zip(
-                cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(), cust["c_mktsegment"].to_pylist()
-            )
-        }
-    )
+    cust_ref = ray.put(cust)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     class Join:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.cust = ray.get(cust_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            names, segs, keep = [], [], []
-            for i, k in enumerate(keys):
-                hit = self.lookup.get(k)
-                if hit is None:
-                    continue
-                keep.append(i)
-                names.append(hit[0])
-                segs.append(hit[1])
-            out = t.take(pa.array(keep, pa.int32())) if len(keep) < t.num_rows else t
-            return out.append_column("c_name", pa.array(names)).append_column(
-                "c_mktsegment", pa.array(segs)
+            # inner join: misses drop, left columns then right payload
+            # columns — same output schema as the previous row-wise path
+            return t.join(
+                self.cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner"
             )
 
     return orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
 
 
-def hash_join_lineitem_orders(sf_dir: str, num_partitions: int = 8):
+def hash_join_lineitem_orders(sf_dir: str, num_partitions: int | None = None):
     """Both sides large -> Ray Data's hash-partitioned join on the key."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
