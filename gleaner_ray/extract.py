@@ -25,7 +25,13 @@ from __future__ import annotations
 import re
 from urllib.parse import urlparse
 
-__all__ = ["file_extension_is_json", "is_json_content_type", "extract_script_jsonld", "extract_candidates"]
+__all__ = [
+    "file_extension_is_json",
+    "is_json_content_type",
+    "extract_script_jsonld",
+    "extract_script_jsonld_bytes",
+    "extract_candidates",
+]
 
 JSON_CONTENT_TYPE = "application/ld+json"
 
@@ -106,6 +112,39 @@ def extract_script_jsonld(html: str) -> list[str]:
     return out
 
 
+# byte-level twins of the scanner patterns: a batch's html stays a
+# zero-copy Arrow buffer slice (memoryview) and only the matched script
+# BODIES are ever decoded to Python str. Equivalence with the str
+# scanner: the structural chars (<, >, /, script, quotes) are ASCII and
+# UTF-8 continuation bytes are all >= 0x80, so byte matches and decoded
+# str matches land on the same boundaries; slices start/end on ASCII
+# delimiters so per-slice utf-8 "replace" decoding equals slicing the
+# decoded whole (pinned by test_extract parity tests).
+_SCRIPT_OPEN_B = re.compile(rb"<script\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+_SCRIPT_CLOSE_B = re.compile(rb"</script", re.IGNORECASE)
+
+
+def extract_script_jsonld_bytes(data) -> list[str]:
+    """``extract_script_jsonld`` over raw bytes / a memoryview of the
+    page — no whole-page decode; decodes only attr text and candidate
+    bodies (the hot path for Arrow binary page columns)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _SCRIPT_OPEN_B.search(data, pos)
+        if m is None:
+            break
+        attrs = _tag_attrs(str(m.group(1), "utf-8", "replace"))
+        body_start = m.end()
+        mclose = _SCRIPT_CLOSE_B.search(data, body_start)
+        body_end = mclose.start() if mclose else n
+        pos = mclose.end() if mclose else n
+        if attrs.get("type", "").startswith(JSON_CONTENT_TYPE):
+            out.append(str(data[body_start:body_end], "utf-8", "replace"))
+    return out
+
+
 def extract_candidates(
     url: str,
     html: bytes | str | None,
@@ -123,9 +162,15 @@ def extract_candidates(
             return [text], True
         if html is None:
             return [], True
-        body = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+        body = (
+            str(html, "utf-8", "replace")
+            if isinstance(html, (bytes, bytearray, memoryview))
+            else html
+        )
         return [body], True
     if html is None:
         return [], False
-    body = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
-    return extract_script_jsonld(body), False
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        # bytes-native scan: no whole-page decode
+        return extract_script_jsonld_bytes(html), False
+    return extract_script_jsonld(html), False

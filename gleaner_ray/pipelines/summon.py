@@ -62,34 +62,49 @@ class AttachFrontier:
         self.lookup = _build_lookup(frontier_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..stages.fused import FrontierIndex
 
         urls = batch.column("url").to_pylist()
         lookup = self.lookup
-        keep_idx, sources, hosts, seqs = [], [], [], []
         if isinstance(lookup, FrontierIndex):
+            # fully vectorized: membership + dictionary decode as array
+            # ops; the page payload columns move via one Arrow take
             hit_mask, positions = lookup.lookup_batch(urls)
-            for i in range(len(urls)):
-                if not hit_mask[i]:
-                    continue
-                source, host, seq = lookup.row(positions[i])
-                keep_idx.append(i)
-                sources.append(source)
-                hosts.append(host)
-                seqs.append(seq)
+            keep_idx = np.nonzero(hit_mask)[0]
+            pos = positions[keep_idx]
+            names_s = np.asarray(lookup.source_names, dtype=object)
+            names_h = np.asarray(lookup.host_names, dtype=object)
+            sources = pa.array(names_s[lookup.source_codes[pos]], pa.string())
+            hosts = pa.array(names_h[lookup.host_codes[pos]], pa.string())
+            seqs = pa.array(lookup.seqs[pos], pa.int64())
+            out = (
+                batch.take(pa.array(keep_idx, pa.int32()))
+                if len(keep_idx) < len(urls)
+                else batch
+            )
         else:
+            keep_list, src_list, host_list, seq_list = [], [], [], []
             for i, url in enumerate(urls):
                 hit = lookup.get(url)
                 if hit is None:
                     continue
-                keep_idx.append(i)
-                sources.append(hit[0])
-                hosts.append(hit[1])
-                seqs.append(hit[2])
-        out = batch.take(pa.array(keep_idx, pa.int32())) if len(keep_idx) < len(urls) else batch
-        out = out.append_column("source", pa.array(sources, pa.string()))
-        out = out.append_column("host", pa.array(hosts, pa.string()))
-        out = out.append_column("seq", pa.array(seqs, pa.int64()))
+                keep_list.append(i)
+                src_list.append(hit[0])
+                host_list.append(hit[1])
+                seq_list.append(hit[2])
+            sources = pa.array(src_list, pa.string())
+            hosts = pa.array(host_list, pa.string())
+            seqs = pa.array(seq_list, pa.int64())
+            out = (
+                batch.take(pa.array(keep_list, pa.int32()))
+                if len(keep_list) < len(urls)
+                else batch
+            )
+        out = out.append_column("source", sources)
+        out = out.append_column("host", hosts)
+        out = out.append_column("seq", seqs)
         return out
 
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 
 from ..config import ContextOption
-from ..extract import extract_candidates
+from ..extract import extract_candidates, file_extension_is_json
 from ..fixups import add_to_json_list_if_valid, process_json
 from ..jsonld_lite import Validator
 from ..state.seen import check_and_add_batched
@@ -102,6 +102,59 @@ class FrontierIndex:
         )
 
 
+class _ColumnBytes:
+    """Zero-copy per-row byte views over an Arrow binary/string column.
+
+    ``to_pylist()`` on a page batch copies EVERY html payload into a
+    Python object up front — the memory-bandwidth tax the scaling
+    measurement pays (VERDICT r2 #1). This wrapper combines chunks once
+    and serves each requested row as a memoryview slice of the Arrow
+    values buffer: rows that are never requested (frontier misses) are
+    never copied or decoded, and at most one row's payload is alive as
+    a Python object at a time."""
+
+    __slots__ = ("_arr", "_offsets", "_data", "_null")
+
+    def __init__(self, col):
+        import numpy as np
+
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = arr.type
+        if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+            off = np.int64
+        elif pa.types.is_binary(t) or pa.types.is_string(t):
+            off = np.int32
+        else:  # unknown layout (e.g. string_view): scalar fallback
+            self._arr, self._offsets, self._data, self._null = arr, None, None, None
+            return
+        self._arr = arr
+        bufs = arr.buffers()
+        self._offsets = np.frombuffer(
+            bufs[1], dtype=off, count=len(arr) + 1, offset=arr.offset * np.dtype(off).itemsize
+        )
+        self._data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        self._null = (
+            arr.is_null().to_numpy(zero_copy_only=False) if arr.null_count else None
+        )
+
+    def view(self, i):
+        """memoryview of row i's bytes (None for null)."""
+        if self._offsets is None:
+            v = self._arr[i].as_py()
+            if v is None:
+                return None
+            return v.encode("utf-8") if isinstance(v, str) else v
+        if self._null is not None and self._null[i]:
+            return None
+        return self._data[self._offsets[i] : self._offsets[i + 1]]
+
+    def text(self, i):
+        """Row i decoded to str (None for null) — call only when a str
+        is genuinely needed."""
+        v = self.view(i)
+        return None if v is None else str(v, "utf-8", "replace")
+
+
 def _build_lookup(frontier_ref):
     """Resolve the broadcast frontier reference (FrontierIndex, Arrow
     table, or plain dict) into per-actor lookup state."""
@@ -132,9 +185,14 @@ class FusedSummon:
         self.retrieval = retrieval or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        n = len(urls)
+        # html/text stay zero-copy Arrow buffers; rows are sliced out as
+        # memoryviews only when actually extracted (misses never decode)
+        html_bytes = _ColumnBytes(batch.column("html"))
+        text_bytes = _ColumnBytes(batch.column("text")) if "text" in batch.column_names else None
         lookup = self.lookup
         validator = self.validator
         opts = self.opts
@@ -148,20 +206,34 @@ class FusedSummon:
             hsts = batch.column("host").to_pylist()
             seq_col = "seq" if "seq" in batch.column_names else "sitemap_order"
             sqs = batch.column(seq_col).to_pylist()
-            rows_iter = zip(urls, htmls, texts, srcs, hsts, sqs)
+            rows_iter = zip(range(n), srcs, hsts, sqs)
         elif isinstance(lookup, FrontierIndex):
             hit_mask, positions = lookup.lookup_batch(urls)
-            rows_iter = (
-                (urls[i], htmls[i], texts[i]) + lookup.row(positions[i])
-                for i in range(len(urls))
-                if hit_mask[i]
+            hit_idx = np.nonzero(hit_mask)[0]
+            pos_hit = positions[hit_idx]
+            # vectorized dictionary decode of the frontier columns for
+            # the hit rows only
+            src_names = lookup.source_names
+            host_names = lookup.host_names
+            rows_iter = zip(
+                hit_idx.tolist(),
+                (src_names[c] for c in lookup.source_codes[pos_hit]),
+                (host_names[c] for c in lookup.host_codes[pos_hit]),
+                lookup.seqs[pos_hit].tolist(),
             )
         else:
             rows_iter = (
-                (u, h, t) + lookup[u] for u, h, t in zip(urls, htmls, texts) if u in lookup
+                (i, *lookup[u]) for i, u in enumerate(urls) if u in lookup
             )
-        for url, html, text, source, host, seq in rows_iter:
-            candidates, _ = extract_candidates(url, html, text)
+        for i, source, host, seq in rows_iter:
+            url = urls[i]
+            # text is only consulted on the whole-body (json-url) branch
+            text = (
+                text_bytes.text(i)
+                if text_bytes is not None and file_extension_is_json(url)
+                else None
+            )
+            candidates, _ = extract_candidates(url, html_bytes.view(i), text)
             jsonlds: list[str] = []
             for cand in candidates:
                 jsonlds, _err = add_to_json_list_if_valid(jsonlds, cand, validator)

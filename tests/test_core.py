@@ -164,3 +164,34 @@ class TestExtract:
             "https://x.org/d", b"{}", '{"a":1}', content_type="application/json; charset=utf-8"
         )
         assert whole and cands == ['{"a":1}']
+
+    def test_bytes_scanner_parity(self):
+        # the zero-copy bytes scanner must match the str scanner
+        # byte-for-byte on every structural shape, including invalid
+        # utf-8 (replacement chars can't create or destroy ASCII tags)
+        cases = [
+            HTML_PAGE.decode(),
+            '<script type=application/ld+json>{"c":3}</script>'
+            '<script type="application/ld+jsonX">{"d":4}',
+            "no scripts here",
+            '<script type="application/ld+json">unterminated {"e":5}',
+            "<script  data-x type='application/ld+json'>{\"f\":6}</script >trail",
+            '<script\ntype="application/ld+json"\n>{"nl": true}</script>',
+            "",
+        ]
+        for c in cases:
+            assert extract.extract_script_jsonld_bytes(memoryview(c.encode())) == (
+                extract.extract_script_jsonld(c)
+            )
+        raw = b'<script type="application/ld+json">{"g": "\xff\xfe"}</script>'
+        assert extract.extract_script_jsonld_bytes(raw) == extract.extract_script_jsonld(
+            raw.decode("utf-8", "replace")
+        )
+
+    def test_candidates_accept_memoryview(self):
+        mv = memoryview(HTML_PAGE)
+        a, wa = extract.extract_candidates("https://x.org/d.html", mv, None)
+        b, wb = extract.extract_candidates("https://x.org/d.html", HTML_PAGE.decode(), None)
+        assert (a, wa) == (b, wb)
+        c, whole = extract.extract_candidates("https://x.org/d.json", memoryview(b'{"j":1}'), None)
+        assert whole and c == ['{"j":1}']
