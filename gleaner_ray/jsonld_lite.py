@@ -94,7 +94,53 @@ class Validator:
     _CTX_DIRECTIVES = {"@base", "@vocab", "@version", "@language", "@direction",
                        "@propagate", "@import", "@protected"}
 
-    def _check_context(self, ctx, depth: int) -> None:
+    # legal @container values in 1.1 expansion (json-gold: anything else
+    # is an "invalid container mapping" error); arrays may combine @set
+    # with one of these, or @graph with @id/@index
+    _CONTAINERS = {"@list", "@set", "@index", "@language", "@graph", "@id", "@type"}
+
+    @staticmethod
+    def _term_target(defn):
+        """The IRI/compact-IRI a term maps to (simple string defn or
+        expanded-object @id), or None."""
+        if isinstance(defn, str):
+            return defn
+        if isinstance(defn, dict) and isinstance(defn.get("@id"), str):
+            return defn["@id"]
+        return None
+
+    def _check_term_cycles(self, ctx: dict) -> None:
+        """json-gold's "cyclic IRI mapping" expansion error: creating a
+        term definition must not require the term currently being
+        defined (directly — ``{"a": "a:x"}`` — or through a prefix
+        chain — ``{"a": "b:x", "b": "a:y"}``). A suffix starting with
+        ``//`` is an absolute IRI, never a prefix reference."""
+        edges: dict[str, str] = {}
+        for term, defn in ctx.items():
+            if term.startswith("@"):
+                continue
+            target = self._term_target(defn)
+            if not isinstance(target, str) or ":" not in target:
+                continue
+            prefix, _, suffix = target.partition(":")
+            if suffix.startswith("//"):
+                continue
+            if prefix in ctx:
+                edges[term] = prefix
+        for start in edges:
+            seen = {start}
+            cur = start
+            while cur in edges:
+                cur = edges[cur]
+                if cur in seen:
+                    raise ValidationError("cyclic IRI mapping: %s" % start)
+                seen.add(cur)
+
+    def _check_context(self, ctx, depth: int, protected: dict | None = None) -> None:
+        """``protected`` carries term definitions marked @protected by
+        ancestor contexts: a nested context that overrides one is
+        json-gold's "protected term redefinition" expansion error
+        (identical redefinition is legal per the 1.1 spec)."""
         if ctx is None:
             return
         if isinstance(ctx, str):
@@ -103,9 +149,10 @@ class Validator:
             return
         if isinstance(ctx, list):
             for c in ctx:
-                self._check_context(c, depth + 1)
+                self._check_context(c, depth + 1, protected)
             return
         if isinstance(ctx, dict):
+            self._check_term_cycles(ctx)
             for term, defn in ctx.items():
                 if term == "@base":
                     if defn is not None and not isinstance(defn, str):
@@ -120,10 +167,29 @@ class Validator:
                     if defn != 1.1:
                         raise ValidationError("invalid @version value: %r" % (defn,))
                     continue
+                if term == "@propagate":
+                    if not isinstance(defn, bool):
+                        raise ValidationError("invalid @propagate value: %r" % (defn,))
+                    continue
+                if term == "@import":
+                    if not isinstance(defn, str):
+                        raise ValidationError("invalid @import value: %r" % (defn,))
+                    continue
                 if term in self._CTX_DIRECTIVES:
                     continue
                 if term in _KEYWORDS and term != "@type":
                     raise ValidationError("keyword redefinition: %s" % term)
+                if protected and term in protected and defn != protected[term]:
+                    raise ValidationError("protected term redefinition: %s" % term)
+                target = self._term_target(defn)
+                if (
+                    isinstance(target, str)
+                    and target.startswith("@")
+                    and target not in _KEYWORDS
+                ):
+                    # "@"-prefixed non-keyword mapping ("@bogus"):
+                    # json-gold "invalid IRI mapping"
+                    raise ValidationError("invalid IRI mapping for term %s" % term)
                 if defn is None or isinstance(defn, str):
                     continue
                 if isinstance(defn, dict):
@@ -136,23 +202,58 @@ class Validator:
                     rev = defn.get("@reverse")
                     if rev is not None and not isinstance(rev, str):
                         raise ValidationError("invalid IRI mapping for reverse term %s" % term)
+                    cont = defn.get("@container")
+                    if cont is not None:
+                        vals = cont if isinstance(cont, list) else [cont]
+                        if not vals or not all(
+                            isinstance(c, str) and c in self._CONTAINERS for c in vals
+                        ):
+                            raise ValidationError("invalid container mapping for term %s" % term)
+                    scoped = defn.get("@context")
+                    if "@context" in defn:
+                        if not isinstance(scoped, (str, dict, list)) and scoped is not None:
+                            raise ValidationError("invalid scoped context for term %s" % term)
+                        self._check_context(scoped, depth + 1, protected)
                     continue
                 if isinstance(defn, (int, float, bool)):
                     raise ValidationError("invalid term definition for %s" % term)
             return
         raise ValidationError("invalid local context")
 
-    def _check_node(self, node, depth: int) -> None:
+    @staticmethod
+    def _collect_protected(ctx, into: dict) -> None:
+        """Record term definitions the context marks @protected (either
+        context-wide ``"@protected": true`` or per-term)."""
+        if isinstance(ctx, list):
+            for c in ctx:
+                Validator._collect_protected(c, into)
+            return
+        if not isinstance(ctx, dict):
+            return
+        ctx_wide = ctx.get("@protected") is True
+        for term, defn in ctx.items():
+            if term.startswith("@"):
+                continue
+            per_term = defn.get("@protected") if isinstance(defn, dict) else None
+            if per_term is True or (ctx_wide and per_term is not False):
+                into[term] = defn
+
+    def _check_node(self, node, depth: int, protected: dict | None = None) -> None:
         if depth > 200:
             raise ValidationError("context overflow")
         if isinstance(node, list):
             for item in node:
-                self._check_node(item, depth + 1)
+                self._check_node(item, depth + 1, protected)
             return
         if not isinstance(node, dict):
             return
         if "@context" in node:
-            self._check_context(node["@context"], depth)
+            self._check_context(node["@context"], depth, protected)
+            # terms this context protects bind every nested context below
+            collected: dict = {}
+            self._collect_protected(node["@context"], collected)
+            if collected:
+                protected = {**(protected or {}), **collected}
         if "@id" in node and not isinstance(node["@id"], str):
             raise ValidationError("invalid @id value")
         if "@type" in node:
@@ -182,7 +283,7 @@ class Validator:
             if k == "@context":
                 continue
             if isinstance(v, (dict, list)):
-                self._check_node(v, depth + 1)
+                self._check_node(v, depth + 1, protected)
 
 
 # ---------------------------------------------------------------------------

@@ -121,9 +121,15 @@ class ObjectStoreClient:
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, path)
+        elif self.protocol == "s3" and usermeta:
+            # native usermeta (jsonutils.go:360-372): S3 object metadata
+            # rides the same PutObject call — s3fs forwards extra
+            # pipe_file kwargs to put_object, so no sidecar is needed
+            self.fs.pipe_file(
+                path, data, Metadata={k: str(v) for k, v in usermeta.items()}
+            )
+            return True
         else:
-            # INTEGRATION POINT (s3): pass usermeta as PutObject
-            # UserMetadata instead of a sidecar
             with self.fs.open(path, "wb") as f:
                 f.write(data)
         if usermeta:

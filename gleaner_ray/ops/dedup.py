@@ -42,6 +42,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "ngram_jaccard_dedup",
+    "NGRAM_SCALE_MAX_DF",
     "embedding_near_dup",
     "minhash_jaccard_dedup",
     "simhash_jaccard_dedup",
@@ -91,21 +92,64 @@ def exact_dedup(ds):
     return agg
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of word k-shingles (k=5 words, lowercased)."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in shingles),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+# odd multiplier for the positional-polynomial shingle combine and a
+# splitmix64 finalizer for key mixing — both pure uint64 array math
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized — decorrelates polynomial sums
+    before they become join keys."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
+    """Word-k-shingle hashes for EVERY document of a batch in one pass.
+
+    All tokens of the batch are hashed with a single ``pd.util.
+    hash_array`` call (siphash, C speed); each document's shingle
+    hashes are then positional polynomials over its token-hash sliding
+    windows — pure numpy, no per-shingle Python, no shingle-string
+    construction. Identity contract (all that the Jaccard math needs):
+    equal word sequences hash equal, distinct ones collide w.p. ~2^-64.
+    Matches the old per-shingle semantics: no tokens -> empty; fewer
+    than k tokens -> ONE shingle of the whole token list."""
+    from itertools import chain
+
+    token_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
+    flat = np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+    th = pd.util.hash_array(flat, hash_key="gleaner_shingle!").astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _SHINGLE_P ** np.arange(k, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for n in lens:
+        h = th[pos : pos + int(n)]
+        pos += int(n)
+        if n == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        with np.errstate(over="ignore"):
+            if n < k:
+                vals = np.asarray([(h * powers[:n]).sum()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, k)
+                vals = (win * powers).sum(axis=1, dtype=np.uint64)
+        out.append(_mix64(vals))
     return out
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Single-document convenience wrapper over the batch kernel."""
+    return _shingle_hashes_batch([text], k)[0]
 
 
 class _MinHasher:
@@ -139,15 +183,28 @@ class MinHashBatch:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.hasher.signature(_shingle_hashes(text or "", self.shingle_k))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows].tobytes()
-                band_hashes.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
-                band_ids.append(b)
-                doc_ids.append(doc_id)
-        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes})
+        sh_list = _shingle_hashes_batch(list(batch["text"]), self.shingle_k)
+        n_docs = len(sh_list)
+        sigs = np.empty((n_docs, self.hasher.n_perm), dtype=np.uint64)
+        for i, sh in enumerate(sh_list):
+            sigs[i] = self.hasher.signature(sh)
+        # band key = mixed positional polynomial over the band's rows —
+        # equal chunks always collide; distinct ones w.p. ~2^-64 (false
+        # candidates are removed by the exact verify stage)
+        with np.errstate(over="ignore"):
+            powers = _SHINGLE_P ** np.arange(self.rows, dtype=np.uint64)
+            keys = _mix64(
+                (sigs.reshape(n_docs, self.bands, self.rows) * powers).sum(
+                    axis=2, dtype=np.uint64
+                )
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), self.bands),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n_docs),
+                "band_hash": pd.array(keys.ravel(), dtype="UInt64"),
+            }
+        )
 
 
 def minhash_signatures(ds, n_perm: int = 128, bands: int = 32, concurrency: int = 2):
@@ -244,9 +301,10 @@ class _ShingleSets:
         self.k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh_list = _shingle_hashes_batch(list(batch["text"]), self.k)
         ids, sets_, sizes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sh = np.unique(_shingle_hashes(text or "", self.k))
+        for doc_id, sh_raw in zip(batch["doc_id"], sh_list):
+            sh = np.unique(sh_raw)
             ids.append(doc_id)
             sets_.append(sh.tobytes())
             sizes.append(len(sh))
@@ -351,13 +409,21 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
     return paired.map_batches(verify, batch_format="pandas")
 
 
+# Scale preset for ``ngram_jaccard_dedup(max_df="auto")``: a shingle
+# kept by the prefix filter emits at most max_df^2 ≈ 262k self-join
+# rows, so the join size is bounded by (distinct shingles) x 262k
+# regardless of how Zipfian the corpus is; a stopword 5-gram with
+# df=10^7 would otherwise emit 10^14 rows on its own.
+NGRAM_SCALE_MAX_DF = 512
+
+
 def ngram_jaccard_dedup(
     ds,
     shingle_k: int = 5,
     threshold: float = 0.8,
     concurrency: int = 2,
     num_partitions: int | None = None,
-    max_df: int | None = None,
+    max_df: int | str | None = None,
 ):
     """EXACT near-dup pairs by shingle Jaccard via the inverted index.
 
@@ -365,10 +431,21 @@ def ngram_jaccard_dedup(
     on the shingle -> per-batch partial pair counts -> small groupby of
     partials -> jaccard = i / (n_a + n_b - i) >= threshold. Exact (no
     sketching), so the DuckDB shingle-set oracle reproduces it
-    value-for-value. ``max_df`` drops shingles appearing in more than
-    that many documents (prefix-filter practice for web-scale corpora —
-    a stopword shingle would otherwise emit df^2 join rows); leave None
-    for oracle parity."""
+    value-for-value.
+
+    ``max_df`` is the web-scale prefix filter: shingles appearing in
+    more than ``max_df`` documents are dropped from the inverted index
+    BEFORE the self-join (standard prefix-filter practice — a stopword
+    shingle emits df^2 join rows, so one df=10^7 shingle alone would
+    dwarf the rest of the exchange). ``"auto"`` selects the documented
+    scale preset ``NGRAM_SCALE_MAX_DF``; ``None`` keeps every shingle
+    (oracle-parity mode — the default so the DuckDB all-pairs oracle
+    matches value-for-value). NB the filter only removes candidate
+    evidence: set sizes n_a/n_b are computed before it, so filtered
+    Jaccard is a lower bound and near-dup pairs sharing only stopword
+    shingles are (intentionally) not reported."""
+    if max_df == "auto":
+        max_df = NGRAM_SCALE_MAX_DF
     exploded = ds.map_batches(
         _ExplodeShingles,
         fn_constructor_kwargs={"shingle_k": shingle_k},
@@ -380,10 +457,48 @@ def ngram_jaccard_dedup(
         from ray.data.aggregate import Count
 
         df_counts = exploded.groupby("sh").aggregate(Count(alias_name="df"))
-        keep = df_counts.map_batches(
-            lambda d: d[d["df"] <= max_df][["sh"]], batch_format="pandas"
-        )
-        exploded = exploded.join(keep, join_type="inner", num_partitions=nparts, on=("sh",))
+        hot = df_counts.map_batches(
+            lambda d: d[d["df"] > max_df][["sh"]], batch_format="pandas"
+        ).materialize()
+        n_hot = hot.count()
+        if n_hot == 0:
+            pass  # no stopword shingles — index unchanged
+        elif n_hot <= 5_000_000:
+            # the hot set is tiny by construction (each member has >max_df
+            # index rows): broadcast it and drop members in map_batches —
+            # the inverted index itself is never re-shuffled for the filter.
+            # Gather via Arrow refs: Dataset.to_pandas pads empty blocks
+            # into the concat, promoting int64 keys to float64 (exactness
+            # loss on 64-bit hashes).
+            import ray as _ray
+
+            parts = [
+                t.column("sh").to_numpy(zero_copy_only=False)
+                for t in _ray.get(hot.to_arrow_refs())
+                if t.num_rows and "sh" in t.column_names
+            ]
+            hot_arr = (
+                np.sort(np.concatenate(parts).astype(np.int64))
+                if parts
+                else np.zeros(0, np.int64)
+            )
+            hot_ref = _ray.put(hot_arr)
+
+            def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+                arr = _ray.get(hot_ref)
+                v = df["sh"].to_numpy(dtype=np.int64)
+                idx = np.searchsorted(arr, v)
+                is_hot = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == v)
+                return df[~is_hot]
+
+            exploded = exploded.map_batches(drop_hot, batch_format="pandas")
+        else:
+            # degenerate corpus (millions of distinct stopword shingles):
+            # fall back to a keyed semi-join at cluster width
+            keep = df_counts.map_batches(
+                lambda d: d[d["df"] <= max_df][["sh"]], batch_format="pandas"
+            )
+            exploded = exploded.join(keep, join_type="inner", num_partitions=nparts, on=("sh",))
     joined = exploded.join(
         exploded, join_type="inner", num_partitions=nparts, on=("sh",), left_suffix="", right_suffix="_r"
     )
@@ -441,17 +556,19 @@ class _ExplodeShingles:
         self.k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, shs, ns = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sh = np.unique(_shingle_hashes(text or "", self.k))
-            ids.extend([doc_id] * len(sh))
-            shs.append(sh)
-            ns.extend([len(sh)] * len(sh))
+        sh_list = [np.unique(sh) for sh in _shingle_hashes_batch(list(batch["text"]), self.k)]
+        sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+        flat = np.concatenate(sh_list) if sh_list else np.zeros(0, np.uint64)
         return pd.DataFrame(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "sh": pd.array(np.concatenate(shs) if shs else [], dtype="UInt64"),
-                "n": pd.Series(ns, dtype="int64"),
+                "doc_id": np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), sizes),
+                # bit-cast uint64 -> int64: equality-preserving, and the
+                # plain numpy dtype survives groupby/join block round
+                # trips exactly (the nullable UInt64 extension can get
+                # promoted to float64 when empty blocks concat, which
+                # silently corrupts 64-bit keys)
+                "sh": flat.view(np.int64),
+                "n": np.repeat(sizes, sizes),
             }
         )
 

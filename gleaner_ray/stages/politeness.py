@@ -26,7 +26,19 @@ import ray
 
 from ..robots import parse_robots
 
-__all__ = ["PolitenessShard", "merge_crawl_delay", "admission_ms"]
+__all__ = ["PolitenessShard", "merge_crawl_delay", "admission_ms", "wait_for_slot"]
+
+
+def wait_for_slot(wall: float) -> None:
+    """Sleep (in the CALLER, never in the shard actor) until the
+    reserved admission instant returned by ``PolitenessShard.admit``.
+    ``wall <= 0`` means no reservation (logical mode / disallowed)."""
+    import time
+
+    if wall > 0:
+        d = wall - time.monotonic()
+        if d > 0:
+            time.sleep(d)
 
 
 def admission_ms(seq: int, delay_ms: int, threads: int) -> int:
@@ -50,14 +62,17 @@ def merge_crawl_delay(config_delay_ms: int, robots_crawl_delay_s: float) -> int:
 @ray.remote(num_cpus=0.25)
 class PolitenessShard:
     """``live=False`` (default): purely logical admission (the Parquet
-    data plane). ``live=True``: admission is enforced against a real
-    monotonic clock — each delayed host's URLs are spaced at least
-    ``delay_ms`` apart by sleeping inside the shard actor, mirroring the
-    reference's serialize-then-sleep loop (acquire.go:118-124,210:
-    semaphore of width ``threads``, delay>0 forces width 1, sleep(delay)
-    after every URL). Because one host lives on exactly one shard actor
-    and actor calls serialize, the spacing guarantee holds across every
-    fetch worker in the cluster."""
+    data plane). ``live=True``: admission slots are RESERVED against a
+    real monotonic clock — each delayed host's URLs are spaced at least
+    ``delay_ms`` apart, mirroring the reference's serialize-then-sleep
+    loop (acquire.go:118-124,210: semaphore of width ``threads``,
+    delay>0 forces width 1, sleep(delay) after every URL). The actor
+    itself NEVER sleeps: it hands back wake-at instants and the fetch
+    worker sleeps until its own slot (``wait_for_slot``), so a delayed
+    mega-host cannot block its shard's other hosts for the sleep
+    duration. Because one host lives on exactly one shard actor and
+    reservations serialize, the spacing guarantee still holds across
+    every fetch worker in the cluster."""
 
     def __init__(self, shard_id: int, user_agent: str = "EarthCube_DataBot/1.0", live: bool = False):
         self.shard_id = shard_id
@@ -86,11 +101,11 @@ class PolitenessShard:
     def admit(self, host: str, urls: list[str]) -> dict:
         """Admit URLs for one host in order. Returns per-url allow flags,
         seq numbers, simulated admission times (ms since host start) and,
-        in live mode, the wall-clock admission instants (monotonic s).
-
-        Live mode is a rate limiter, not a scheduler: the call BLOCKS
-        until every allowed URL has cleared its slot (the reference
-        blocks its goroutines the same way on the semaphore + sleep)."""
+        in live mode, the reserved wall-clock admission instants
+        (monotonic s) — wake-at times the CALLER sleeps until
+        (``wait_for_slot``). The call itself returns immediately in
+        both modes, so other hosts hashed to this shard are admitted
+        while a delayed host's slots stretch into the future."""
         import time
 
         state = self.hosts.get(host)
@@ -99,6 +114,7 @@ class PolitenessShard:
             self.hosts[host] = state
         group = state["group"]
         allowed, seqs, times, walls = [], [], [], []
+        now = time.monotonic() if self.live else 0.0
         for url in urls:
             ok = group.test(url) if group is not None else True
             allowed.append(ok)
@@ -108,13 +124,9 @@ class PolitenessShard:
                 times.append(state["clock_ms"])
                 state["seq"] += 1
                 if self.live:
-                    now = time.monotonic()
-                    next_free = state.get("next_free", 0.0)
-                    if next_free > now:
-                        time.sleep(next_free - now)
-                        now = next_free
-                    walls.append(now)
-                    state["next_free"] = now + state["delay_ms"] / 1000.0
+                    slot = max(now, state.get("next_free", 0.0))
+                    walls.append(slot)
+                    state["next_free"] = slot + state["delay_ms"] / 1000.0
                 else:
                     walls.append(-1.0)
             else:

@@ -275,6 +275,96 @@ class TestValidator:
         assert not valid and err is not None
 
 
+class TestValidatorExpansionDepth:
+    """Expansion-level rejections that json-gold's ToRDF raises deep
+    inside context processing (jsonutils.go:69-96 via ldproc.go) — a
+    curated surface check would wrongly accept every one of these.
+    Fixtures follow the JSON-LD 1.1 expansion error codes json-gold
+    implements (cyclic IRI mapping, protected term redefinition,
+    invalid container mapping, invalid IRI mapping, invalid @propagate
+    value)."""
+
+    def _invalid(self, doc: str) -> str:
+        valid, err = Validator().is_valid(doc)
+        assert not valid and err is not None, doc
+        return err
+
+    def test_cyclic_iri_mapping_self(self):
+        err = self._invalid('{"@context": {"a": "a:suffix"}, "a:name": "v"}')
+        assert "cyclic" in err
+
+    def test_cyclic_iri_mapping_chain(self):
+        err = self._invalid('{"@context": {"a": "b:x", "b": "a:y"}, "a:name": "v"}')
+        assert "cyclic" in err
+
+    def test_http_like_term_is_not_a_cycle(self):
+        # a compact-IRI suffix starting with // is an absolute IRI —
+        # {"http": ...} must not make "http://x" a prefix reference
+        v = Validator()
+        ok, err = v.is_valid(
+            '{"@context": {"http": "https://schema.org/http"}, "@id": "http://x.org/1"}'
+        )
+        assert ok, err
+
+    def test_protected_term_redefinition_in_nested_context(self):
+        doc = json.dumps(
+            {
+                "@context": {"@protected": True, "name": "https://schema.org/name"},
+                "name": "outer",
+                "child": {
+                    "@context": {"name": "https://example.org/other-name"},
+                    "name": "inner",
+                },
+            }
+        )
+        err = self._invalid(doc)
+        assert "protected" in err
+
+    def test_identical_protected_redefinition_is_legal(self):
+        doc = json.dumps(
+            {
+                "@context": {"@protected": True, "name": "https://schema.org/name"},
+                "child": {
+                    "@context": {"@protected": True, "name": "https://schema.org/name"},
+                    "name": "inner",
+                },
+            }
+        )
+        ok, err = Validator().is_valid(doc)
+        assert ok, err
+
+    def test_invalid_container_mapping(self):
+        doc = (
+            '{"@context": {"tags": {"@id": "https://schema.org/keywords",'
+            ' "@container": "@bogus"}}, "tags": ["a"]}'
+        )
+        err = self._invalid(doc)
+        assert "container" in err
+
+    def test_invalid_iri_mapping_keyword_like(self):
+        err = self._invalid('{"@context": {"foo": "@bogus"}, "foo": 1}')
+        assert "IRI mapping" in err
+
+    def test_invalid_propagate_value(self):
+        err = self._invalid('{"@context": {"@propagate": "yes"}, "@type": "Dataset"}')
+        assert "@propagate" in err
+
+    def test_invalid_scoped_context(self):
+        doc = (
+            '{"@context": {"t": {"@id": "https://schema.org/t", "@context": 5}},'
+            ' "t": "x"}'
+        )
+        err = self._invalid(doc)
+        assert "scoped" in err or "context" in err
+
+    def test_keyword_alias_still_legal(self):
+        # simple keyword aliasing is legal 1.1 — must stay accepted
+        ok, err = Validator().is_valid(
+            '{"@context": {"id": "@id", "type": "@type"}, "id": "https://x.org/1", "type": "Dataset"}'
+        )
+        assert ok, err
+
+
 class TestAddToJsonListIfValid:
     def test_appends_valid(self):
         v = Validator()

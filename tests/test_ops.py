@@ -117,6 +117,87 @@ class TestNearDup:
         pairs = set(map(tuple, embedding_near_dup(ds, threshold=0.99).to_pandas()[["a", "b"]].values))
         assert (3, 7) in pairs
 
+    def test_ngram_max_df_bounds_stopword_joins(self, ray_session):
+        # stopword-heavy corpus: every doc shares the same filler
+        # shingles; with max_df the filler is dropped from the inverted
+        # index (bounded join size) while a planted near-dup pair that
+        # shares RARE shingles is still found
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import NGRAM_SCALE_MAX_DF, ngram_jaccard_dedup
+
+        stop = "the of and a to in is it that on for as with was at " * 4
+        rare = "peculiar osprey nesting survey in the tidal marsh of cascadia region nine"
+        rows = [{"doc_id": i, "text": stop} for i in range(20)]
+        rows.append({"doc_id": 100, "text": rare})
+        rows.append({"doc_id": 101, "text": rare.replace("nine", "ten")})
+        ds = rd.from_items(rows)
+        got = ngram_jaccard_dedup(ds, threshold=0.5, max_df=5).to_pandas()
+        pairs = set(map(tuple, got[["a", "b"]].values))
+        # the planted rare-shingle pair survives the prefix filter
+        assert (100, 101) in pairs
+        # stopword-only docs share ONLY df>max_df shingles -> no pairs
+        assert not any(a < 100 for a, _ in pairs)
+        # the auto preset resolves to the documented constant and runs
+        auto = ngram_jaccard_dedup(ds, threshold=0.5, max_df="auto").to_pandas()
+        assert NGRAM_SCALE_MAX_DF == 512  # documented bound: <=512^2 rows/shingle
+        assert (100, 101) in set(map(tuple, auto[["a", "b"]].values))
+
+    def test_lsh_candidate_recall_precondition(self, ray_session):
+        # The driver oracles for dedup_minhash_lsh / dedup_simhash reuse
+        # the exact all-pairs SQL, which is valid ONLY while candidate
+        # recall is 1.0 at the shipped parameters. Assert the
+        # precondition directly (candidates ⊇ exact pairs) on the real
+        # sf0.001 documents table, so parameter or data drift fails here
+        # with a clear message instead of an opaque oracle diff.
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import minhash_lsh, ngram_jaccard_dedup, simhash_dedup
+
+        docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        exact = ngram_jaccard_dedup(docs, threshold=0.8).to_pandas()
+        exact_pairs = set(map(tuple, exact[["a", "b"]].values))
+        assert exact_pairs, "fixture corpus lost its planted near-dups"
+        mh = set(map(tuple, minhash_lsh(docs).to_pandas()[["a", "b"]].values))
+        missing = exact_pairs - mh
+        assert not missing, (
+            "minhash-LSH candidate recall < 1.0 at shipped params; the "
+            "all-pairs oracle for dedup_minhash_lsh is no longer valid: %s" % missing
+        )
+        sh = set(
+            map(
+                tuple,
+                simhash_dedup(docs, bands=8, max_hamming=16).to_pandas()[["a", "b"]].values,
+            )
+        )
+        missing = exact_pairs - sh
+        assert not missing, (
+            "simhash candidate recall < 1.0 at shipped params; the "
+            "all-pairs oracle for dedup_simhash is no longer valid: %s" % missing
+        )
+
+    def test_embedding_lsh_recall_precondition(self, ray_session):
+        # same precondition for dedup_embedding_lsh: the bucketed path's
+        # candidates must cover every exact cos>=0.25 pair at the
+        # shipped (n_planes=2, seeds=100..139) parameters
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import embedding_near_dup
+
+        embs = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = embedding_near_dup(embs, threshold=0.25, n_planes=0).to_pandas()
+        lsh = embedding_near_dup(
+            embs, threshold=0.25, n_planes=2, seeds=tuple(range(100, 140))
+        ).to_pandas()
+        exact_pairs = set(map(tuple, exact[["a", "b"]].values))
+        lsh_pairs = set(map(tuple, lsh[["a", "b"]].values))
+        assert exact_pairs, "fixture corpus lost its cos>=0.25 pairs"
+        missing = exact_pairs - lsh_pairs
+        assert not missing, (
+            "embedding-LSH recall < 1.0 at shipped params; the exact "
+            "oracle for dedup_embedding_lsh is no longer valid: %d missing" % len(missing)
+        )
+
     def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
         import ray.data as rd
 

@@ -148,6 +148,31 @@ class TestPoliteness:
         assert all(g >= 0.05 - 1e-3 for g in gaps), gaps
         ray.kill(actor)
 
+    def test_live_mode_delayed_host_does_not_block_shard(self):
+        # one shard actor, two hosts: the delayed mega-host's slots
+        # stretch minutes into the future, but admission for the other
+        # host on the same shard returns immediately with now-ish slots
+        # (reservation scheduling — the actor never sleeps)
+        import time
+
+        import ray
+
+        from gleaner_ray.stages.politeness import PolitenessShard
+
+        actor = PolitenessShard.remote(7, live=True)
+        ray.get(actor.configure.remote("mega.example.org", None, 10_000, 5))
+        t0 = time.monotonic()
+        slow = ray.get(actor.admit.remote("mega.example.org", ["s%d" % i for i in range(5)]))
+        fast = ray.get(actor.admit.remote("other.example.org", ["f%d" % i for i in range(50)]))
+        elapsed = time.monotonic() - t0
+        # both calls return without serving the 10s-spaced reservations
+        assert elapsed < 2.0, elapsed
+        # the delayed host's schedule is spaced, the other host's is not
+        gaps = [b - a for a, b in zip(slow["admit_wall"], slow["admit_wall"][1:])]
+        assert all(g >= 10.0 - 1e-3 for g in gaps), gaps
+        assert all(w - t0 < 2.0 for w in fast["admit_wall"])
+        ray.kill(actor)
+
     def test_live_mode_no_delay_does_not_sleep(self):
         import ray
 
