@@ -284,6 +284,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
+        # corpus vocab statistics: top-k word bigrams (partial counts per
+        # batch -> Sum groupby -> bounded driver merge)
+        "text_ngram_topk": lambda sf: tx.ngram_top_k(docs(sf), n=2, k=20),
+        # benchmark decontamination: flag docs sharing any 5-shingle with
+        # the "benchmark" slice (doc_id < 20); bench shingle set is
+        # broadcast, the corpus is never shuffled
+        "text_decontaminate": lambda sf: dd.decontaminate(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # composed corpus-cleaning pipeline: length + punct + language
         # filters, then exact dedup (keep lowest doc_id per md5)
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
@@ -569,6 +581,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(gagg.top_c AS DOUBLE) / gagg.n_grams, 0.0)
                        AS top_2gram_frac
             FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN gagg USING (doc_id)
+        """,
+        # top-20 word bigrams; same tokenization as the shingle oracle,
+        # tie-break (cnt DESC, ngram ASC) matches the engine's merge
+        "text_ngram_topk": r"""
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            g AS (
+              SELECT unnest(CASE WHEN len(w) < 2 THEN []
+                            ELSE list_transform(range(1, len(w)),
+                                                i -> array_to_string(w[i:i+1], ' ')) END) AS ngram
+              FROM toks)
+            SELECT ngram, count(*) AS cnt FROM g
+            GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        # decontamination vs the doc_id<20 "benchmark" slice: a doc is
+        # contaminated iff it shares any 5-shingle with the benchmark
+        # (shingle CASE identical to the jaccard oracle)
+        "text_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS s
+              FROM toks),
+            b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+            hits AS (SELECT DISTINCT g.doc_id FROM sh g JOIN b ON g.s = b.s)
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         # corpus_prep oracle: the same signal expressions as text_quality /
         # text_langid / fingerprint_md5, composed (langid SQL nests as a CTE)

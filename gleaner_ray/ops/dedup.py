@@ -43,6 +43,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_dedup",
     "NGRAM_SCALE_MAX_DF",
+    "decontaminate",
     "embedding_near_dup",
     "minhash_jaccard_dedup",
     "simhash_jaccard_dedup",
@@ -867,6 +868,62 @@ def embedding_near_dup(
         )
 
     return paired.map_batches(verify, batch_format="pandas")
+
+
+def decontaminate(ds, bench_ds, shingle_k: int = 5):
+    """Benchmark decontamination: flag documents sharing ANY word
+    k-shingle with a benchmark corpus (the standard training-data
+    hygiene step — GPT-3 Appendix C / Gopher A.2 style n-gram overlap).
+
+    Scale shape: benchmark corpora are small by definition, so the
+    benchmark's distinct shingle-hash set is collected once (bounded by
+    the benchmark size, never the corpus), broadcast via ``ray.put``,
+    and every corpus batch probes it with a vectorized searchsorted —
+    the corpus is never shuffled and nothing corpus-sized reaches the
+    driver. Returns (doc_id, contaminated) for every document."""
+    import ray as _ray
+
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"sh": pd.Series(dtype="int64")})
+        flat = np.concatenate(_shingle_hashes_batch(list(df["text"]), shingle_k))
+        return pd.DataFrame({"sh": np.unique(flat).view(np.int64)})
+
+    parts = [
+        t.column("sh").to_numpy(zero_copy_only=False)
+        for t in _ray.get(
+            bench_ds.map_batches(bench_shingles, batch_format="pandas").to_arrow_refs()
+        )
+        if t.num_rows and "sh" in t.column_names
+    ]
+    bench_arr = (
+        np.unique(np.concatenate(parts).astype(np.int64)) if parts else np.zeros(0, np.int64)
+    )
+    bench_ref = _ray.put(bench_arr)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        arr = _ray.get(bench_ref)
+        sh_list = _shingle_hashes_batch(list(df["text"]), shingle_k)
+        sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+        total = int(sizes.sum())
+        if total == 0 or len(arr) == 0:
+            hit_any = np.zeros(len(sh_list), dtype=bool)
+        else:
+            flat = np.concatenate(sh_list).view(np.int64)
+            idx = np.searchsorted(arr, flat)
+            hits = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == flat)
+            # per-doc "any" via cumsum difference (empty docs -> False)
+            c = np.concatenate([[0], np.cumsum(hits)])
+            ends = np.cumsum(sizes)
+            hit_any = (c[ends] - c[ends - sizes]) > 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(df["doc_id"], dtype=np.int64),
+                "contaminated": hit_any,
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pandas")
 
 
 def minhash_jaccard_dedup(

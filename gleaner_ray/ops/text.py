@@ -33,6 +33,7 @@ __all__ = [
     "fingerprints",
     "repetition_scores",
     "add_text_ops",
+    "ngram_top_k",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -375,6 +376,81 @@ def corpus_prep(
         return m[["doc_id", "n_chars", "punct_ratio", "lang_pred"]].reset_index(drop=True)
 
     return joined.map_batches(only_keepers, batch_format="pandas")
+
+
+class _NgramPartial:
+    """Per-batch word n-gram partial counts (vocab statistics).
+
+    Tokenization matches the corpus shingle oracle (lowercase, split on
+    whitespace, empties dropped); n-grams are built by vectorized
+    pandas ``str.cat`` over position-shifted token arrays with
+    cross-document windows masked, then ``value_counts`` — no per-gram
+    Python loop. Documents shorter than n contribute nothing (plain
+    n-grams, not shingle semantics)."""
+
+    def __init__(self, n: int = 2):
+        self.n = n
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")}
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        import numpy as np
+
+        n = self.n
+        token_lists = [(t or "").lower().split() for t in batch["text"]]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+        total = int(lens.sum())
+        if total < n:
+            return self._empty()
+        flat = np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        m = total - n + 1
+        # a window is valid iff it does not cross a document boundary
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        if not valid.any():
+            return self._empty()
+        first = pd.Series(flat[:m], dtype="object")
+        rest = [pd.Series(flat[i : m + i], dtype="object") for i in range(1, n)]
+        grams = first.str.cat(rest, sep=" ") if rest else first
+        vc = grams[valid].value_counts()
+        return pd.DataFrame({"ngram": vc.index.to_numpy(), "cnt": vc.to_numpy(dtype="int64")})
+
+
+def ngram_top_k(ds, n: int = 2, k: int = 20, concurrency: int = 2) -> pd.DataFrame:
+    """Top-k most frequent word n-grams of the corpus (vocabulary /
+    contamination statistics for training-data pipelines).
+
+    Shape: per-batch partial counts (one small table per batch, NOT the
+    exploded grams) -> Sum-aggregate groupby on the gram -> per-block
+    top-k -> driver merge of the bounded k x blocks rows. Ties break
+    deterministically on (count DESC, ngram ASC) — the same ORDER BY
+    the SQL oracle uses."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
+    )
+    totals = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
+        return df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+
+    merged = totals.map_batches(topk, batch_format="pandas").to_pandas()
+    if merged.empty:
+        return pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
+    merged["cnt"] = merged["cnt"].astype("int64")
+    return (
+        merged.sort_values(["cnt", "ngram"], ascending=[False, True], ignore_index=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def add_text_ops(ds, op: str, **kwargs):

@@ -198,6 +198,47 @@ class TestNearDup:
             "oracle for dedup_embedding_lsh is no longer valid: %d missing" % len(missing)
         )
 
+    def test_ngram_top_k_counts(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import ngram_top_k
+
+        rows = [
+            {"doc_id": 1, "text": "a b a b c"},   # bigrams: ab ba ab bc
+            {"doc_id": 2, "text": "a b"},          # ab
+            {"doc_id": 3, "text": "x"},            # too short
+            {"doc_id": 4, "text": ""},
+        ]
+        df = ngram_top_k(rd.from_items(rows), n=2, k=3)
+        assert df["ngram"].iloc[0] == "a b"  # most frequent bigram first
+        top = dict(zip(df["ngram"], df["cnt"]))
+        assert top["a b"] == 3 and top["b a"] == 1 and top["b c"] == 1
+        # cross-document windows are never counted ("c a" from doc1->doc2)
+        assert "c a" not in top and len(df) == 3
+
+    def test_decontaminate_flags_overlap(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import decontaminate
+
+        bench = rd.from_items(
+            [{"doc_id": 0, "text": "the secret benchmark question about turtles and rivers"}]
+        )
+        corpus = rd.from_items(
+            [
+                # contains a full 5-shingle of the benchmark
+                {"doc_id": 10, "text": "intro text the secret benchmark question about turtles end"},
+                {"doc_id": 11, "text": "completely unrelated corpus document with many words"},
+                {"doc_id": 12, "text": ""},
+            ]
+        )
+        got = (
+            decontaminate(corpus, bench, shingle_k=5)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+        )
+        assert bool(got[10]) and not bool(got[11]) and not bool(got[12])
+
     def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
         import ray.data as rd
 

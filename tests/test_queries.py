@@ -115,6 +115,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_fingerprint_md5",
         "text_langid",
         "text_repetition",
+        "text_ngram_topk",
+        "text_decontaminate",
         "pipe_corpus_prep",
         "samp_hash_split",
         "samp_pack_sequences",
