@@ -298,7 +298,11 @@ def _rewrite_ctx_member(v: str, ctx: str) -> str:
     return v
 
 
-def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str | None:
+# sentinel: "no pre-parsed object supplied" (None is a legal parse result)
+_UNSET = object()
+
+
+def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT, parsed=_UNSET) -> str | None:
     """Analytic fast path: compute the fixup chain's byte splices with
     C-speed json.loads + string finds instead of the pure-Python span
     parser. Returns the fixed document (possibly unchanged) or None to
@@ -313,10 +317,15 @@ def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str | None:
     rewrites, @vocab insertion, ItemList item rewrites) falls back."""
     import json as _json
 
-    try:
-        obj = _json.loads(jsonld)
-    except ValueError:
-        return None
+    if parsed is not _UNSET:
+        obj = parsed  # one json.loads shared with the validator
+        if obj is None:
+            return None  # upstream parse failed: exact path decides
+    else:
+        try:
+            obj = _json.loads(jsonld)
+        except ValueError:
+            return None
     if not isinstance(obj, dict):
         # sjson-on-non-object-root quirk: fix_context_url's @vocab insert
         # errors on an array/scalar root and the chain yields the empty
@@ -439,15 +448,34 @@ def add_to_json_list_if_valid(jsonlds: list[str], new_json: str, validator) -> t
     *error*, try the graph-array path, which (reference quirk) returns the
     exploded elements PLUS the original string, replacing the running list
     (jsonutils.go:29-31). Returns (list, error_message_or_None)."""
-    valid, err = validator.is_valid(new_json)
+    pairs, err = add_to_json_list_if_valid_parsed([(d, _UNSET) for d in jsonlds], new_json, validator)
+    return [d for d, _ in pairs], err
+
+
+def add_to_json_list_if_valid_parsed(
+    pairs: list[tuple], new_json: str, validator
+) -> tuple[list[tuple], str | None]:
+    """``add_to_json_list_if_valid`` over (document, parsed_obj) pairs:
+    the ONE ``json.loads`` done for validation is handed onward so the
+    fixup chain never re-parses the same bytes (the crawl hot path).
+    Graph-array elements carry their already-parsed dicts; validation
+    of each element checks the dict directly (the marshal round trip
+    preserves every type the structural checks look at)."""
+    valid, err, obj = validator.is_valid_parsed(new_json)
     if err is not None:
-        ok, arr = is_graph_array(new_json, validator)
-        if ok:
-            return arr + [new_json], None
-        return jsonlds, "error checking for valid json: %s" % err
+        if isinstance(obj, list) and all(isinstance(x, dict) for x in obj):
+            exploded = []
+            for element in obj:
+                el_ok, el_err = validator.check_obj(element)
+                if el_ok and el_err is None:
+                    # Go json.Marshal re-serialization (jsonutils.go:51)
+                    exploded.append((marshal(element), element))
+            if exploded:
+                return exploded + [(new_json, obj)], None
+        return pairs, "error checking for valid json: %s" % err
     if not valid:
-        return jsonlds, "invalid json; continuing"
-    return jsonlds + [new_json], None
+        return pairs, "invalid json; continuing"
+    return pairs + [(new_json, obj)], None
 
 
 def get_options(ctx_option: ContextOption) -> tuple[ContextOption, str]:
@@ -465,6 +493,7 @@ def process_json(
     jsonld: str,
     fix_context_option: ContextOption = ContextOption.HTTPS,
     context_strict: bool = False,
+    parsed=_UNSET,
 ) -> str:
     """ProcessJson (jsonutils.go:299-331) minus the SHA step.
 
@@ -481,7 +510,7 @@ def process_json(
         # array-@context standardization, relative-@id rewrite); any
         # non-provable shape returns None and takes the exact splice path
         # (equivalence pinned by tests)
-        fast = _fast_fixups(jsonld, src_http_option)
+        fast = _fast_fixups(jsonld, src_http_option, parsed=parsed)
         if fast is not None:
             return fast
         # parse once; re-parse only after a fixup actually changed bytes

@@ -72,10 +72,32 @@ class Validator:
     def is_valid(self, jsonld: str) -> tuple[bool, str | None]:
         """(valid, error) — mirrors isValid(): False + error message on any
         parse or structural failure, (True, None) otherwise."""
+        valid, err, _obj = self.is_valid_parsed(jsonld)
+        return valid, err
+
+    def is_valid_parsed(self, jsonld: str):
+        """(valid, error, parsed_obj) — same contract as ``is_valid``
+        but also hands back the json.loads result (None on parse
+        failure) so the fixup chain can reuse the one parse instead of
+        re-parsing the identical string (the crawl hot path parses
+        every document exactly once this way)."""
         try:
             obj = json.loads(jsonld)
         except (ValueError, RecursionError) as e:
-            return False, "error in unmarshaling json: %s" % e
+            return False, "error in unmarshaling json: %s" % e, None
+        if not isinstance(obj, dict):
+            return False, "error in unmarshaling json: cannot unmarshal into map", obj
+        try:
+            self._check_node(obj, depth=0)
+        except ValidationError as e:
+            return False, "error in JSON-LD to RDF call: %s" % e, obj
+        return True, None, obj
+
+    def check_obj(self, obj) -> tuple[bool, str | None]:
+        """Validate an ALREADY-PARSED document (graph-array elements:
+        the reference marshals each element and re-validates the text,
+        but the structural checks see the same dict either way — types
+        survive the marshal round trip)."""
         if not isinstance(obj, dict):
             return False, "error in unmarshaling json: cannot unmarshal into map"
         try:

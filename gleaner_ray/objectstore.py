@@ -102,19 +102,21 @@ class ObjectStoreClient:
     def put(
         self,
         object_name: str,
-        text: str,
+        text: str | bytes | memoryview,
         usermeta: dict | None = None,
         overwrite: bool = False,
     ) -> bool:
         """Write one object; returns False (no write) when it already
         exists and ``overwrite`` is unset — the reference's
-        StatObject-then-Put never-overwrite rule (jsonutils.go:383-388)."""
+        StatObject-then-Put never-overwrite rule (jsonutils.go:383-388).
+        Accepts raw utf-8 bytes so Arrow payload slices avoid a decode/
+        re-encode round trip."""
         path = self._path(object_name)
         if not overwrite and self.fs.exists(path):
             return False
         parent = path.rsplit("/", 1)[0]
         self.fs.makedirs(parent, exist_ok=True)
-        data = text.encode("utf-8")
+        data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
         if self.protocol == "file":
             # atomic publish on the local filesystem: tmp + rename
             tmp = path + ".tmp.%d" % os.getpid()

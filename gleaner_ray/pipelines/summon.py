@@ -138,14 +138,21 @@ class ObjectSink:
         self.write_usermeta = write_usermeta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.fused import _ColumnBytes
+
         sources = batch.column("source").to_pylist()
         urls = batch.column("url").to_pylist()
         shas = batch.column("sha").to_pylist()
         names = batch.column("object_name").to_pylist()
-        docs = batch.column("jsonld").to_pylist()
         firsts = batch.column("seen_first").to_pylist()
+        # jsonld payloads stay Arrow buffers end to end; only
+        # first-writer rows are sliced out, as raw utf-8 bytes (a
+        # duplicate-heavy crawl re-puts nothing)
+        docs = _ColumnBytes(batch.column("jsonld"))
         srcs = list(self.source_info.values())
-        for source, url, sha, name, doc, first in zip(sources, urls, shas, names, docs, firsts):
+        for i, (source, url, sha, name, first) in enumerate(
+            zip(sources, urls, shas, names, firsts)
+        ):
             if not name:
                 continue  # zero-candidate marker row
             prov = prov_graph(self.bucket, source, sha, url, srcs, self.run_date)
@@ -154,7 +161,7 @@ class ObjectSink:
                 usermeta = (
                     {"url": url, "sha1": sha, "uniqueid": sha} if self.write_usermeta else None
                 )
-                self.client.put(name, doc, usermeta=usermeta, overwrite=False)
+                self.client.put(name, docs.view(i), usermeta=usermeta, overwrite=False)
         return batch
 
 

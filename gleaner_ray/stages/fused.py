@@ -22,8 +22,12 @@ import pyarrow as pa
 import ray
 
 from ..config import ContextOption
-from ..extract import extract_candidates, file_extension_is_json
-from ..fixups import add_to_json_list_if_valid, process_json
+from ..extract import (
+    extract_candidates,
+    extract_script_jsonld_bytes,
+    file_extension_is_json,
+)
+from ..fixups import add_to_json_list_if_valid_parsed, process_json
 from ..jsonld_lite import Validator
 from ..state.seen import check_and_add_batched
 
@@ -227,21 +231,26 @@ class FusedSummon:
             )
         for i, source, host, seq in rows_iter:
             url = urls[i]
-            # text is only consulted on the whole-body (json-url) branch
-            text = (
-                text_bytes.text(i)
-                if text_bytes is not None and file_extension_is_json(url)
-                else None
-            )
-            candidates, _ = extract_candidates(url, html_bytes.view(i), text)
-            jsonlds: list[str] = []
+            # arbitration computed ONCE per url (extract_candidates
+            # would otherwise redo the suffix check); text is only
+            # consulted on the whole-body (json-url) branch
+            is_json_url = file_extension_is_json(url)
+            if is_json_url:
+                text = text_bytes.text(i) if text_bytes is not None else None
+                candidates, _ = extract_candidates(url, html_bytes.view(i), text, content_type="application/json")
+            else:
+                html_view = html_bytes.view(i)
+                candidates = (
+                    extract_script_jsonld_bytes(html_view) if html_view is not None else []
+                )
+            pairs: list[tuple] = []
             for cand in candidates:
-                jsonlds, _err = add_to_json_list_if_valid(jsonlds, cand, validator)
+                pairs, _err = add_to_json_list_if_valid_parsed(pairs, cand, validator)
             emitted = 0
-            for di, doc in enumerate(jsonlds):
+            for di, (doc, obj) in enumerate(pairs):
                 if doc == "":
                     continue
-                fixed = process_json(doc, opts.get(source, ContextOption.HTTPS), strict)
+                fixed = process_json(doc, opts.get(source, ContextOption.HTTPS), strict, parsed=obj)
                 sha = hashlib.sha1(fixed.encode("utf-8")).hexdigest()
                 out_url.append(url)
                 out_source.append(source)
