@@ -614,16 +614,18 @@ class SimHashBatch:
             flat = np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
             h = _hash_tokens(flat)
             # (total, 64) bit matrix, bit i of the hash at column i
-            bits = np.unpackbits(
-                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            ).astype(np.int32)
-            signs = bits * 2 - 1
-            # per-doc segment sums via cumsum difference (empty docs -> 0)
-            cs = np.zeros((total + 1, 64), dtype=np.int64)
-            np.cumsum(signs, axis=0, out=cs[1:])
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
             ends = np.cumsum(lens)
             starts = ends - lens
-            acc = cs[ends] - cs[starts]
+            # per-doc segment sums: one contiguous C-sum per document
+            # (sign sum = 2*ones - n). Axis-0 cumsum/reduceat over the
+            # whole (total, 64) matrix is ~20x slower in this numpy
+            # build than these row-major partial sums.
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            for j in range(n_docs):
+                if lens[j]:
+                    ones = bits[starts[j] : ends[j]].sum(axis=0, dtype=np.int64)
+                    acc[j] = 2 * ones - lens[j]
         else:
             acc = np.zeros((n_docs, 64), dtype=np.int64)
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
