@@ -222,6 +222,17 @@ def _q_hash_split(sf_dir: str):
     return hash_split(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]), frac=0.9)
 
 
+def _q_stratified(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]),
+        {"en": 0.5, "zh": 0.25},
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     import ray.data as rd
 
@@ -301,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
         # -- split / packing ---------------------------------------------------
         "samp_hash_split": lambda sf: _q_hash_split(sf),
+        # deterministic data mixing: downsample en to 50%, zh to 25%,
+        # keep the rest — same md5-vs-hex-literal contract as hash_split
+        "samp_stratified": lambda sf: _q_stratified(sf),
         "samp_pack_sequences": lambda sf: _q_pack_sequences(sf),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
@@ -723,6 +737,11 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'train' ELSE 'holdout' END AS split
         FROM documents
     """ % split_threshold_hex(0.9)
+    sqls["samp_stratified"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE lang WHEN 'en' THEN '%s' WHEN 'zh' THEN '%s' ELSE '%s' END
+    """ % (split_threshold_hex(0.5), split_threshold_hex(0.25), split_threshold_hex(1.0))
     sqls["samp_pack_sequences"] = r"""
         WITH t AS (SELECT doc_id,
                           CASE WHEN trim(text) = '' THEN 0

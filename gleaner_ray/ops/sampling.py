@@ -27,7 +27,7 @@ import hashlib
 
 import pandas as pd
 
-__all__ = ["hash_split", "pack_sequences", "split_threshold_hex"]
+__all__ = ["hash_split", "pack_sequences", "split_threshold_hex", "stratified_sample"]
 
 
 def split_threshold_hex(frac: float) -> str:
@@ -64,6 +64,34 @@ def hash_split(ds, frac: float = 0.9, key: str = "doc_id"):
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    fracs: dict[str, float],
+    group_col: str = "lang",
+    default_frac: float = 1.0,
+    key: str = "doc_id",
+):
+    """Deterministic per-group downsampling (the data-mixing step of a
+    training-data pipeline: e.g. keep 10% of English, all of the rest).
+
+    Keep a row iff ``md5(str(key)) < threshold(frac_of_its_group)`` —
+    the same stable-hash contract as ``hash_split``: no shuffle, no
+    state, identical assignment across runs, machines and engines, and
+    composable with it (the hashes are keyed on the same column, so a
+    sampled corpus splits consistently)."""
+    thresholds = {g: split_threshold_hex(f) for g, f in fracs.items()}
+    default_thresh = split_threshold_hex(default_frac)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        hs = pd.Series(
+            [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]], index=df.index
+        )
+        th = df[group_col].map(lambda g: thresholds.get(g, default_thresh))
+        return df[hs < th]
+
+    return ds.map_batches(pick, batch_format="pandas")
 
 
 def pack_sequences(ds, budget: int = 2048, bucket_size: int = 1000, key: str = "doc_id"):

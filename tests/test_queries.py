@@ -119,6 +119,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_decontaminate",
         "pipe_corpus_prep",
         "samp_hash_split",
+        "samp_stratified",
         "samp_pack_sequences",
         "dedup_exact",
         "dedup_ngram_jaccard",
