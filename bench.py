@@ -272,8 +272,87 @@ def run_scaling() -> dict:
     }
 
 
+def _inflation_worker(args):
+    """One process of the contention probe: the fused stage's pure-CPU
+    per-URL work (bytes scan -> validate -> fixups -> sha1) over a
+    cached in-memory batch — no Ray, no plasma, no disk — so the only
+    thing that differs between 8 and 32 concurrent copies is the box's
+    shared per-core resources (cache, membw, turbo)."""
+    corpus_file, iters = args
+    import hashlib
+    import time
+
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.extract import extract_script_jsonld_bytes
+    from gleaner_ray.fixups import add_to_json_list_if_valid_parsed, process_json
+    from gleaner_ray.jsonld_lite import Validator
+    from gleaner_ray.stages.fused import _ColumnBytes
+
+    batch = pq.read_table(corpus_file, columns=["url", "html", "text"]).slice(0, 2048)
+    v = Validator(None)
+    cb = _ColumnBytes(batch.column("html"))
+    n = batch.num_rows
+    t0, c0 = time.perf_counter(), time.process_time()
+    for _ in range(iters):
+        for i in range(n):
+            view = cb.view(i)
+            cands = extract_script_jsonld_bytes(view) if view is not None else []
+            pairs: list = []
+            for cand in cands:
+                pairs, _err = add_to_json_list_if_valid_parsed(pairs, cand, v)
+            for doc, obj in pairs:
+                if doc:
+                    hashlib.sha1(process_json(doc, parsed=obj).encode()).hexdigest()
+    return time.perf_counter() - t0, time.process_time() - c0
+
+
+def run_inflation(iters: int = 40) -> dict:
+    """Per-core cpu-time inflation at 32 vs 8 concurrent processes of
+    the crawl's per-URL compute. Adding NODES (the north rule's
+    criterion) never adds this contention — each node brings its own
+    memory controllers/thermal budget — so the measured inflation bounds
+    how much the single-box 32-CPU scaling sample UNDERSTATES true
+    node scaling: eff_nodes >= eff_raw * inflation."""
+    import statistics
+    from concurrent.futures import ProcessPoolExecutor
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gleaner_ray.sources import synth
+
+    corpus = synth.generate_corpus(
+        sf_dir, out_dir=synth.corpus_dir_for(sf_dir) + "_bench2x", n_pages=None
+    )
+    pages_dir = os.path.join(corpus, "pages")
+    corpus_file = os.path.join(pages_dir, sorted(os.listdir(pages_dir))[0])
+    out = {}
+    for n_procs in (8, 32):
+        with ProcessPoolExecutor(max_workers=n_procs) as ex:
+            res = list(ex.map(_inflation_worker, [(corpus_file, iters)] * n_procs))
+        out[str(n_procs)] = {
+            "mean_wall_sec": round(statistics.mean(r[0] for r in res), 3),
+            "mean_cpu_sec": round(statistics.mean(r[1] for r in res), 3),
+        }
+    return {
+        "metric": "percore_inflation_32v8",
+        "value": round(out["32"]["mean_cpu_sec"] / out["8"]["mean_cpu_sec"], 3),
+        "wall_inflation": round(out["32"]["mean_wall_sec"] / out["8"]["mean_wall_sec"], 3),
+        "unit": "ratio",
+        "levels": out,
+        "method": (
+            "identical pure-CPU per-URL workload (bytes scan + validate + "
+            "fixups + sha1 on a cached batch) in 8 vs 32 concurrent "
+            "processes; cpu-time ratio isolates shared cache/membw/turbo "
+            "contention the 32-CPU scaling level pays and real N->4N NODE "
+            "scaling does not"
+        ),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--inflation" in sys.argv:
+        print(json.dumps(run_inflation()))
     else:
         print(json.dumps(run_bench()))
