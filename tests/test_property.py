@@ -131,3 +131,70 @@ class TestFixupProperties:
         out = fixups.process_json(text, ContextOption.HTTPS, False)
         if out != "":  # the sjson-on-array-root quirk yields ""
             json.loads(out)
+
+
+class TestVectorizedKernelProperties:
+    """The round-3 vectorized dedup kernels must agree with naive
+    per-document reference implementations on arbitrary text."""
+
+    texts = st.lists(
+        st.one_of(st.none(), st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def test_simhash_batch_matches_naive(self, texts):
+        import numpy as np
+        import pandas as pd
+
+        from gleaner_ray.ops.dedup import SimHashBatch, _hash_tokens
+
+        batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = SimHashBatch(bands=4)(batch)
+        # naive per-doc reference with the same token hash
+        for d, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            if toks:
+                hs = _hash_tokens(np.array(toks, dtype=object))
+                for h in hs:
+                    for b in range(64):
+                        acc[b] += 1 if (int(h) >> b) & 1 else -1
+            sim = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    sim |= 1 << b
+            rows = got[got["doc_id"] == d]
+            assert set(rows["simhash"]) == {sim}, (text, sim, list(rows["simhash"]))
+            # band keys are shift/mask of the simhash
+            for _, r in rows.iterrows():
+                width = 64 // 4
+                assert int(r["band_key"]) == (sim >> (int(r["band_id"]) * width)) & ((1 << width) - 1)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def test_shingle_batch_matches_single(self, texts):
+        import numpy as np
+
+        from gleaner_ray.ops.dedup import _shingle_hashes, _shingle_hashes_batch
+
+        outs = _shingle_hashes_batch(texts, 5)
+        for text, sh in zip(texts, outs):
+            # single-doc call == batch member (identity across batching)
+            np.testing.assert_array_equal(sh, _shingle_hashes(text, 5))
+            toks = (text or "").lower().split()
+            expect_n = 0 if not toks else (1 if len(toks) < 5 else len(toks) - 4)
+            assert len(sh) == expect_n
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=50))
+    def test_popcount64_matches_bin(self, vals):
+        import numpy as np
+
+        from gleaner_ray.ops.dedup import _popcount64
+
+        arr = np.array(vals, dtype=np.uint64)
+        got = _popcount64(arr)
+        assert list(got) == [bin(v).count("1") for v in vals]
