@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..extract import extract_candidates
+from ..extract import extract_candidates, file_extension_is_json
 from ..fixups import add_to_json_list_if_valid
 from ..jsonld_lite import Validator
 
@@ -38,16 +38,28 @@ class ExtractValidate:
         self.validator = Validator(context_maps)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .fused import _ColumnBytes
+
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist() if "html" in batch.column_names else [None] * len(urls)
-        texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
-        sources = batch.column("source").to_pylist() if "source" in batch.column_names else [""] * len(urls)
-        hosts = batch.column("host").to_pylist() if "host" in batch.column_names else [""] * len(urls)
-        seqs = batch.column("seq").to_pylist() if "seq" in batch.column_names else list(range(len(urls)))
+        n = len(urls)
+        # zero-copy Arrow views of the payload columns (same discipline
+        # as the fused stage: html bytes are scanned in place, text is
+        # decoded only on the whole-body branch)
+        html_bytes = _ColumnBytes(batch.column("html")) if "html" in batch.column_names else None
+        text_bytes = _ColumnBytes(batch.column("text")) if "text" in batch.column_names else None
+        sources = batch.column("source").to_pylist() if "source" in batch.column_names else [""] * n
+        hosts = batch.column("host").to_pylist() if "host" in batch.column_names else [""] * n
+        seqs = batch.column("seq").to_pylist() if "seq" in batch.column_names else list(range(n))
 
         out_url, out_source, out_host, out_seq, out_idx, out_jsonld = [], [], [], [], [], []
         validator = self.validator
-        for url, html, text, source, host, seq in zip(urls, htmls, texts, sources, hosts, seqs):
+        for i, (url, source, host, seq) in enumerate(zip(urls, sources, hosts, seqs)):
+            html = html_bytes.view(i) if html_bytes is not None else None
+            text = (
+                text_bytes.text(i)
+                if text_bytes is not None and file_extension_is_json(url)
+                else None
+            )
             candidates, _ = extract_candidates(url, html, text)
             jsonlds: list[str] = []
             for cand in candidates:
