@@ -704,10 +704,13 @@ class _PlaneBucketer:
         self.seed_list = seed_list
         self.planes: dict | None = None  # dim known from the first batch
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
+    def __call__(self, batch) -> pd.DataFrame:
+        from .embutil import embedding_matrix
+
+        if batch.num_rows == 0:
             return self._EMPTY
-        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat = embedding_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype("int64")
         if self.n_planes > 0 and self.planes is None:
             self.planes = {
                 s: np.random.default_rng(s).standard_normal((mat.shape[1], self.n_planes))
@@ -721,13 +724,7 @@ class _PlaneBucketer:
             else:
                 keys = np.zeros(len(mat), dtype="int64")
             frames.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": batch["vec_id"].astype("int64"),
-                        "seed": np.int64(s),
-                        "bucket": keys,
-                    }
-                )
+                pd.DataFrame({"vec_id": vec_ids, "seed": np.int64(s), "bucket": keys})
             )
         return pd.concat(frames, ignore_index=True)
 
@@ -760,7 +757,7 @@ def embedding_near_dup(
     bucketed = ds.map_batches(
         _PlaneBucketer,
         fn_constructor_kwargs={"n_planes": n_planes, "seed_list": seed_list},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     ).materialize()
     joined = bucketed.join(
@@ -829,9 +826,19 @@ def embedding_near_dup(
             v = v[ok]
         # plain binary column: Arrow's hash join cannot carry the
         # tensor-extension type as a payload
-        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        from .embutil import embedding_matrix
+
+        mat = np.ascontiguousarray(embedding_matrix(t.column("embedding")))
+        row_bytes = mat.shape[1] * 8
+        flat = mat.tobytes()  # one buffer; rows sliced as fixed strides
         return _pa.Table.from_arrays(
-            [_pa.array(v, _pa.int64()), _pa.array([m.tobytes() for m in mat], _pa.binary())],
+            [
+                _pa.array(v, _pa.int64()),
+                _pa.array(
+                    [flat[i * row_bytes : (i + 1) * row_bytes] for i in range(len(mat))],
+                    _pa.binary(),
+                ),
+            ],
             schema=payload_schema,
         )
 

@@ -29,27 +29,35 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Per-batch cosine top-k against the broadcast query matrix."""
+    """Per-batch cosine top-k against the broadcast query matrix.
+
+    Arrow batch in (the embedding matrix is a reshape of the list
+    column's values buffer — no per-row Python), vectorized top-k
+    selection and output construction."""
 
     def __init__(self, query_ref, k: int):
         queries = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.qids = queries["qids"]
+        self.qids = np.asarray(queries["qids"])
         self.qmat = _normalize(np.asarray(queries["vectors"], dtype=np.float64))
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+    def __call__(self, batch) -> pd.DataFrame:
+        from .embutil import embedding_matrix
+
+        if batch.num_rows == 0:
+            return pd.DataFrame({"qid": [], "vec_id": [], "cosine": []})
+        mat = _normalize(embedding_matrix(batch.column("embedding")))
         sims = self.qmat @ mat.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        vec_ids = batch["vec_id"].to_numpy()
-        rows = {"qid": [], "vec_id": [], "cosine": []}
-        for qi, qid in enumerate(self.qids):
-            for j in idx[qi]:
-                rows["qid"].append(qid)
-                rows["vec_id"].append(int(vec_ids[j]))
-                rows["cosine"].append(float(sims[qi, j]))
-        return pd.DataFrame(rows)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(self.qids, k),
+                "vec_id": vec_ids[idx].ravel().astype("int64"),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+        )
 
 
 def knn_bruteforce(ds, query_vectors: dict, k: int = 10, concurrency: int = 2) -> pd.DataFrame:
@@ -59,7 +67,7 @@ def knn_bruteforce(ds, query_vectors: dict, k: int = 10, concurrency: int = 2) -
     batch, trivially small next to the scanned embeddings)."""
     query_ref = ray.put(query_vectors)
     partials = ds.map_batches(
-        _BatchTopK, fn_constructor_args=(query_ref, k), batch_format="pandas", concurrency=concurrency
+        _BatchTopK, fn_constructor_args=(query_ref, k), batch_format="pyarrow", concurrency=concurrency
     )
     best: dict = {}
     for row in partials.take_all():
@@ -111,17 +119,23 @@ def ivf_knn(ds, query_vectors: dict, k: int = 10, n_centroids: int = 16, n_probe
             super().__init__(query_ref, k)
             info = ray.get(cent_ref)
             self.centroids = info["centroids"]
-            self.cells = set(info["cells"])
+            self.cells = np.asarray(info["cells"])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        def __call__(self, batch) -> pd.DataFrame:
+            import pyarrow as pa
+
+            from .embutil import embedding_matrix
+
+            if batch.num_rows == 0:
+                return pd.DataFrame({"qid": [], "vec_id": [], "cosine": []})
+            mat = _normalize(embedding_matrix(batch.column("embedding")))
             assign = np.argmax(mat @ self.centroids.T, axis=1)
-            mask = np.isin(assign, list(self.cells))
+            mask = np.isin(assign, self.cells)
             if not mask.any():
                 return pd.DataFrame({"qid": [], "vec_id": [], "cosine": []})
-            return super().__call__(batch[mask])
+            return super().__call__(batch.filter(pa.array(mask)))
 
-    partials = ds.map_batches(ProbeTopK, batch_format="pandas", concurrency=concurrency)
+    partials = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=concurrency)
     best: dict = {}
     for row in partials.take_all():
         heap = best.setdefault(row["qid"], [])
