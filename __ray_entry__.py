@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
     from gleaner_ray import relational as rel
+    from gleaner_ray.ops import cluster as cl
     from gleaner_ray.ops import dedup as dd
     from gleaner_ray.ops import similarity as sim
     from gleaner_ray.ops import text as tx
@@ -337,6 +338,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embs(sf), threshold=0.25, n_planes=2, seeds=tuple(range(100, 140))
         ).select_columns(["a", "b"]),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_dedup(docs(sf), threshold=0.8),
+        # chunk-level (paragraph) exact dedup: keep the globally-first
+        # occurrence of each distinct line — the CCNet/RefinedWeb
+        # boilerplate-stripping step before document-level dedup
+        "dedup_chunk": lambda sf: dd.chunk_dedup(docs(sf)),
+        # corpus-level fuzzy dedup: near-dup pairs (recall-1 minhash-LSH
+        # + exact verify) -> connected components -> keep-first flags
+        "dedup_fuzzy_keep": lambda sf: dd.fuzzy_dedup_keep(
+            docs(sf),
+            dd.minhash_jaccard_dedup(docs(sf), threshold=0.8).select_columns(["a", "b"]),
+        ),
+        # -- clustering (data mixing / domain discovery) ------------------------
+        # 2 Lloyd iterations, deterministic init (vec_id < k), float64
+        # math on both sides; ties break to the lowest cluster id
+        "cluster_kmeans": lambda sf: cl.kmeans_assign(embs(sf), k=8, iters=2),
         # -- similarity search -------------------------------------------------
         "sim_knn_bruteforce": lambda sf: sim.knn_bruteforce(embs(sf), _knn_queries(sf), k=10)[
             ["qid", "vec_id"]
@@ -674,6 +689,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
             FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # chunk explode with aligned unnest positions; keep-first via the
+        # same (doc_id << 20 | idx) rank encoding as the engine
+        "dedup_chunk": """
+            WITH t AS (SELECT doc_id, string_split(coalesce(text,''), chr(10)) AS l
+                       FROM documents),
+            ch AS (SELECT doc_id, unnest(l) AS chunk,
+                          CAST(unnest(range(len(l))) AS BIGINT) AS chunk_idx FROM t),
+            w AS (SELECT chunk, min(doc_id * 1048576 + chunk_idx) AS r FROM ch GROUP BY 1)
+            SELECT ch.doc_id, ch.chunk_idx,
+                   (ch.doc_id * 1048576 + ch.chunk_idx) = w.r AS keep
+            FROM ch JOIN w ON ch.chunk = w.chunk
+        """,
+        # near-dup pairs (exact all-pairs shingle Jaccard, valid for the
+        # engine's recall-1 minhash-LSH composition) -> min-label
+        # connected components via a recursive CTE -> keep-first flags
+        "dedup_fuzzy_keep": r"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+              FROM toks),
+            dsh AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            ip AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM ip JOIN sizes sa ON sa.doc_id = a
+                              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+            edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+                   COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        # 2 Lloyd iterations in float64, same deterministic convention as
+        # the engine: init = vectors with vec_id < 8, argmin ties to the
+        # lowest cluster id, empty clusters keep the previous centroid
+        "cluster_kmeans": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, (SELECT cid FROM c0
+                                   ORDER BY list_distance(e.v, c0.c), cid LIMIT 1) AS cluster
+                   FROM e),
+            m1 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                     SELECT a1.cluster, unnest(e.v) AS val,
+                            CAST(unnest(range(len(e.v))) AS BIGINT) AS pos
+                     FROM a1 JOIN e USING (vec_id)) GROUP BY 1, 2),
+            c1agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY 1),
+            c1 AS (SELECT c0.cid, COALESCE(c1agg.c, c0.c) AS c
+                   FROM c0 LEFT JOIN c1agg ON c0.cid = c1agg.cid),
+            a2 AS (SELECT vec_id, (SELECT cid FROM c1
+                                   ORDER BY list_distance(e.v, c1.c), cid LIMIT 1) AS cluster
+                   FROM e),
+            m2 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                     SELECT a2.cluster, unnest(e.v) AS val,
+                            CAST(unnest(range(len(e.v))) AS BIGINT) AS pos
+                     FROM a2 JOIN e USING (vec_id)) GROUP BY 1, 2),
+            c2agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY 1),
+            c2 AS (SELECT c1.cid, COALESCE(c2agg.c, c1.c) AS c
+                   FROM c1 LEFT JOIN c2agg ON c1.cid = c2agg.cid),
+            af AS (SELECT vec_id, (SELECT cid FROM c2
+                                   ORDER BY list_distance(e.v, c2.c), cid LIMIT 1) AS cluster
+                   FROM e)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af
         """,
         # exact all-pairs cosine at threshold 0.25 (double-cast so DuckDB
         # computes in float64 like the engine; nearest pair margin to the

@@ -182,6 +182,17 @@ def run_bench() -> dict:
     timed("text_quality", lambda: tx.add_text_ops(docs(), "quality").count())
     timed("dedup_exact", lambda: dd.exact_dedup(docs()).count())
     timed("dedup_minhash_lsh", lambda: dd.minhash_lsh(docs(), concurrency=max(2, num_cpus // 4)).count())
+    timed("text_ngram_topk", lambda: len(tx.ngram_top_k(docs(), n=2, k=20, concurrency=max(2, num_cpus // 4))))
+    timed(
+        "text_decontaminate",
+        lambda: dd.decontaminate(
+            docs(), docs().map_batches(lambda df: df[df["doc_id"] < 20], batch_format="pandas")
+        ).count(),
+    )
+    timed("dedup_chunk", lambda: dd.chunk_dedup(docs()).count())
+    from gleaner_ray.ops import cluster as cluster_ops
+
+    timed("cluster_kmeans", lambda: cluster_ops.kmeans_assign(embs(), k=8, iters=2).count())
     import pyarrow.parquet as pq2
 
     emb_head = pq2.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id").head(4)

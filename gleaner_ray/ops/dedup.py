@@ -47,6 +47,9 @@ __all__ = [
     "embedding_near_dup",
     "minhash_jaccard_dedup",
     "simhash_jaccard_dedup",
+    "connected_components",
+    "fuzzy_dedup_keep",
+    "chunk_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -972,7 +975,350 @@ def simhash_jaccard_dedup(
     J>=0.8 pair sits within hamming 8 and all collide — measured recall
     1.0), ``max_hamming`` keeps the hamming pre-filter permissive, and
     the exact verify makes the output equal the all-pairs answer, so
-    the same ANSI-SQL shingle oracle applies."""
+    the same ANSI-SQL shingle oracle applies.
+
+    SCALE DIAL: band width trades recall for candidate volume — with
+    b bands over 64 bits each band key has 64/b bits, so a corpus of N
+    docs yields ~b * N^2 / 2^(64/b) candidate pairs from random
+    collisions alone. bands=8 (8-bit keys, this oracle-recall preset)
+    is quadratic beyond ~10^4 docs; at corpus scale use bands=4
+    (16-bit keys, the classic hamming<=3 pigeonhole config,
+    ``simhash_dedup``'s default) or bands=2 (32-bit keys), accepting
+    the standard recall/cost tradeoff the verify stage makes safe."""
     cands = simhash_dedup(ds, bands=bands, max_hamming=max_hamming, concurrency=concurrency)
     pairs = cands.select_columns(["a", "b"])
     return ngram_jaccard_pairs(ds, pairs, shingle_k=shingle_k, threshold=threshold)
+
+
+def connected_components(pairs_ds, max_iters: int = 64):
+    """Connected components over a near-dup pair graph.
+
+    Input: a Dataset of undirected edges ``(a, b)`` (any near-dup pair
+    producer above). Output: one row ``(node, component)`` per distinct
+    endpoint, where ``component`` is the minimum node id reachable —
+    the canonical-doc id of that duplicate cluster. This is the step
+    that turns *pairs* into corpus-level fuzzy dedup (keep one doc per
+    cluster), the tail of the CCNet/SlimPajama-style pipeline.
+
+    Scale shape: the pair graph is bounded by the duplicate count, not
+    the corpus. Small graphs (<= _SMALL_PAIRSET edges, the same bound
+    the pair-dedupe uses for driver work) collapse with one union-find
+    pass on the driver. Larger graphs run distributed min-label
+    propagation: each round hash-joins labels across edges and then
+    shortcuts ``label -> label(label)`` (pointer doubling), giving
+    O(log diameter) rounds; labels are monotone non-increasing, so
+    convergence is detected by an unchanged Sum aggregate.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Min, Sum
+
+    pairs_ds = pairs_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["a"].astype("int64"), "b": df["b"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    n_edges = pairs_ds.count()
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")}
+    )
+    if n_edges == 0:
+        return _rd.from_pandas(empty)
+
+    if n_edges <= _SMALL_PAIRSET:
+        # bounded driver-side union-find (path halving + union by min)
+        df = pairs_ds.to_pandas()
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in zip(a, b):
+            rx, ry = find(idx[int(x)]), find(idx[int(y)])
+            if rx != ry:
+                # union by smaller ORIGINAL id so the root is the min node
+                if nodes[rx] < nodes[ry]:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        comp = nodes[[find(i) for i in range(len(nodes))]]
+        return _rd.from_pandas(
+            pd.DataFrame({"node": nodes, "component": comp.astype(np.int64)})
+        )
+
+    # distributed min-label propagation with pointer doubling
+    nparts = _default_partitions(n_rows=n_edges)
+    edges = pairs_ds.map_batches(
+        lambda df: pd.concat(
+            [
+                pd.DataFrame({"u": df["a"], "v": df["b"]}),
+                pd.DataFrame({"u": df["b"], "v": df["a"]}),
+            ],
+            ignore_index=True,
+        ).astype("int64"),
+        batch_format="pandas",
+    ).materialize()
+    nodes_ds = _dedupe_pairs(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["u"]}), batch_format="pandas"
+        ),
+        subset=("node",),
+    )
+    labels = nodes_ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]}),
+        batch_format="pandas",
+    ).materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    for _ in range(max_iters):
+        # relax across edges: node v receives label(u) for each (u, v)
+        relaxed = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("u",),
+            right_on=("node",),
+        ).map_batches(
+            lambda df: pd.DataFrame({"node": df["v"], "label": df["label"]}),
+            batch_format="pandas",
+        )
+        merged = (
+            relaxed.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"], "label": df["min(label)"]}
+                ),
+                batch_format="pandas",
+            )
+        )
+        # pointer doubling: label <- label(label) (labels are monotone,
+        # so the mapped value is always <= the current one)
+        shortcut = merged.join(
+            merged.map_batches(
+                lambda df: pd.DataFrame({"node2": df["node"], "label2": df["label"]}),
+                batch_format="pandas",
+            ),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("label",),
+            right_on=("node2",),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype("int64"),
+                    "label": df["label2"].fillna(df["label"]).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        labels = shortcut.materialize()
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "component": df["label"]}),
+        batch_format="pandas",
+    )
+
+
+def fuzzy_dedup_keep(ds, pairs_ds, key: str = "doc_id", broadcast_limit: int = 5_000_000):
+    """Corpus-level fuzzy dedup: assign every doc to its duplicate
+    cluster and flag the canonical keeper.
+
+    Output: ``(doc_id, component, keep)`` for EVERY input doc —
+    singletons are their own component; ``keep`` is true iff the doc is
+    the minimum id of its cluster (the standard keep-first policy).
+
+    Scale shape: the component table is bounded by the duplicate count;
+    when it fits a broadcast (<= ~5M nodes) the corpus is never
+    shuffled — membership is a sorted-array lookup inside map_batches
+    (the same semi-join pattern the Jaccard verify uses); beyond that
+    it falls back to a left-outer hash join at cluster width.
+    """
+    import ray as _ray
+
+    comp = connected_components(pairs_ds).materialize()
+    ids = ds.map_batches(
+        lambda df: pd.DataFrame({key: df[key].astype("int64")}), batch_format="pandas"
+    )
+    if comp.count() <= broadcast_limit:
+        cdf = comp.to_pandas()
+        order = np.argsort(cdf["node"].to_numpy())
+        nodes_arr = cdf["node"].to_numpy(dtype=np.int64)[order]
+        comp_arr = cdf["component"].to_numpy(dtype=np.int64)[order]
+        ref = _ray.put((nodes_arr, comp_arr))
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            nodes_a, comp_a = _ray.get(ref)
+            v = df[key].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(nodes_a, v)
+            hit = (idx < len(nodes_a)) & (
+                nodes_a[np.minimum(idx, len(nodes_a) - 1)] == v
+            )
+            component = np.where(hit, comp_a[np.minimum(idx, len(nodes_a) - 1)], v)
+            return pd.DataFrame(
+                {
+                    key: v,
+                    "component": component.astype(np.int64),
+                    "keep": component == v,
+                }
+            )
+
+        return ids.map_batches(assign, batch_format="pandas")
+
+    joined = ids.join(
+        comp,
+        join_type="left_outer",
+        num_partitions=_default_partitions(),
+        on=(key,),
+        right_on=("node",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        component = df["component"].fillna(df[key]).astype("int64")
+        return pd.DataFrame(
+            {key: df[key].astype("int64"), "component": component, "keep": component == df[key]}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+# chunks per document are encoded into one int64 rank (doc_id << 20 | idx)
+# so keep-first arbitration is a single Min aggregate; 2^20 chunks/doc is
+# the documented ceiling (a 1M-paragraph web page does not exist).
+_CHUNK_IDX_BITS = 20
+
+
+def chunk_dedup(
+    ds,
+    key: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    broadcast_limit: int = 5_000_000,
+):
+    """Chunk-level (paragraph) exact dedup, CCNet/RefinedWeb-style.
+
+    Splits every document on ``sep``, and for each distinct chunk string
+    keeps only its globally-first occurrence — lowest ``(doc_id,
+    chunk_idx)``. Output: one row per chunk ``(doc_id, chunk_idx,
+    keep)``; a reassembly of ``keep`` chunks is the boilerplate-stripped
+    corpus (the step CCNet runs before document-level dedup).
+
+    Scale shape: the explode is vectorized (one str.split + repeat per
+    batch); global arbitration is ONE ``groupby(h).aggregate(Min(rank),
+    Count)`` over narrow (hash, rank) rows — the only shuffle. Hashes
+    seen more than once (bounded by the *duplicate* volume, not the
+    corpus) are filtered distributed; when that winners table fits
+    ``broadcast_limit`` it is broadcast once (``ray.put``) and ``keep``
+    is a vectorized merge inside ``map_batches`` — the chunk stream is
+    never shuffled a second time. Larger winner tables fall back to a
+    hash join at cluster width.
+    """
+    import ray as _ray
+    import ray.data as _rd
+    from ray.data.aggregate import Count, Min
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        parts = texts.str.split(sep)
+        n = parts.str.len().to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="int64"),
+                    "chunk_idx": pd.Series(dtype="int64"),
+                    "h": pd.Series(dtype="object"),
+                }
+            )
+        doc = np.repeat(df[key].to_numpy(dtype=np.int64), n)
+        starts = np.repeat(np.cumsum(n) - n, n)
+        idx = np.arange(total, dtype=np.int64) - starts
+        flat = [c for chunks in parts for c in chunks]
+        return pd.DataFrame(
+            {
+                key: doc,
+                "chunk_idx": idx,
+                "h": [_md5(c) for c in flat],
+            }
+        )
+
+    chunks = ds.map_batches(explode, batch_format="pandas")
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": df["h"],
+                "rank": (df[key].to_numpy(dtype=np.int64) << _CHUNK_IDX_BITS)
+                | df["chunk_idx"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    agg = (
+        chunks.map_batches(add_rank, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("rank", alias_name="min_rank"), Count(alias_name="n"))
+    )
+    # only hashes that actually repeat need arbitration; filtered
+    # DISTRIBUTED before anything reaches the driver
+    dups = agg.map_batches(
+        lambda df: df.loc[df["n"] > 1, ["h", "min_rank"]], batch_format="pandas"
+    ).materialize()
+
+    def finish(df: pd.DataFrame, winners: pd.DataFrame) -> pd.DataFrame:
+        rank = (df[key].to_numpy(dtype=np.int64) << _CHUNK_IDX_BITS) | df[
+            "chunk_idx"
+        ].to_numpy(dtype=np.int64)
+        merged = df[["h"]].merge(winners, on="h", how="left")
+        min_rank = merged["min_rank"].to_numpy()
+        keep = np.isnan(min_rank) | (min_rank == rank)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(dtype=np.int64),
+                "chunk_idx": df["chunk_idx"].to_numpy(dtype=np.int64),
+                "keep": keep,
+            }
+        )
+
+    if dups.count() <= broadcast_limit:
+        wdf = dups.to_pandas()
+        if wdf.empty:
+            wdf = pd.DataFrame(
+                {"h": pd.Series(dtype="object"), "min_rank": pd.Series(dtype="int64")}
+            )
+        ref = _ray.put(wdf)
+        return chunks.map_batches(
+            lambda df: finish(df, _ray.get(ref)), batch_format="pandas"
+        )
+
+    joined = chunks.join(
+        dups,
+        join_type="left_outer",
+        num_partitions=_default_partitions(),
+        on=("h",),
+    )
+
+    def finish_joined(df: pd.DataFrame) -> pd.DataFrame:
+        rank = (df[key].to_numpy(dtype=np.int64) << _CHUNK_IDX_BITS) | df[
+            "chunk_idx"
+        ].to_numpy(dtype=np.int64)
+        min_rank = df["min_rank"].to_numpy(dtype="float64", na_value=np.nan)
+        keep = np.isnan(min_rank) | (min_rank == rank)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(dtype=np.int64),
+                "chunk_idx": df["chunk_idx"].to_numpy(dtype=np.int64),
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(finish_joined, batch_format="pandas")

@@ -469,3 +469,129 @@ class TestMultimodal:
         assert list(out["n_frames"]) == [3]
         assert out["shape"][0] == "3x64x64x3"
         assert len(out["frame_means"][0]) == 3
+
+
+class TestFuzzyDedupGraph:
+    """connected_components / fuzzy_dedup_keep / chunk_dedup / kmeans."""
+
+    def _cc_df(self, pairs, **kw):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import connected_components
+
+        ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+        return (
+            connected_components(ds, **kw)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    def test_cc_driver_path(self, ray_session):
+        # chain 1-2-3, separate 5-6, plus a cross edge arriving late
+        df = self._cc_df([(2, 3), (1, 2), (5, 6), (8, 9), (6, 9)])
+        got = dict(zip(df["node"], df["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 9: 5}
+
+    def test_cc_distributed_path(self, ray_session, monkeypatch):
+        # force the min-label-propagation branch on a tiny graph
+        import gleaner_ray.ops.dedup as dd
+
+        monkeypatch.setattr(dd, "_SMALL_PAIRSET", 0)
+        df = self._cc_df([(2, 3), (1, 2), (5, 6), (8, 9), (6, 9)])
+        got = dict(zip(df["node"], df["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 9: 5}
+
+    def test_cc_long_chain_pointer_doubling(self, ray_session, monkeypatch):
+        # a 40-node path graph needs ~log2(40) doubling rounds, far fewer
+        # than 40 plain-propagation rounds; max_iters=8 proves doubling
+        import gleaner_ray.ops.dedup as dd
+
+        monkeypatch.setattr(dd, "_SMALL_PAIRSET", 0)
+        df = self._cc_df([(i, i + 1) for i in range(40)], max_iters=8)
+        assert (df["component"] == 0).all()
+        assert len(df) == 41
+
+    def test_cc_empty(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import connected_components
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        )
+        assert connected_components(ds).count() == 0
+
+    def test_fuzzy_keep_flags(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import fuzzy_dedup_keep
+
+        docs = rd.from_items([{"doc_id": i} for i in range(6)])
+        pairs = rd.from_items([{"a": 1, "b": 4}, {"a": 4, "b": 2}])
+        for limit in (5_000_000, 0):  # broadcast path and join fallback
+            out = (
+                fuzzy_dedup_keep(docs, pairs, broadcast_limit=limit)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert list(out["component"]) == [0, 1, 1, 3, 1, 5]
+            assert list(out["keep"]) == [True, True, False, True, False, True]
+
+    def test_chunk_dedup_keep_first(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import chunk_dedup
+
+        docs = rd.from_items(
+            [
+                {"doc_id": 10, "text": "alpha\nbeta\nalpha"},
+                {"doc_id": 11, "text": "beta\ngamma"},
+                {"doc_id": 12, "text": ""},
+                {"doc_id": 13, "text": ""},
+            ]
+        )
+        for limit in (5_000_000, 0):  # broadcast path and join fallback
+            out = (
+                chunk_dedup(docs, broadcast_limit=limit)
+                .to_pandas()
+                .sort_values(["doc_id", "chunk_idx"])
+                .reset_index(drop=True)
+            )
+            # alpha@10:0 keeps; beta@10:1 keeps; alpha@10:2 dup; beta@11:0 dup;
+            # gamma keeps; first empty-string chunk (12:0) keeps, 13:0 dup
+            assert list(out["keep"]) == [True, True, False, False, True, True, False]
+
+    def test_kmeans_empty_cluster_keeps_centroid(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.cluster import kmeans_assign
+
+        # centroid 1 starts on an outlier but every point is closer to
+        # centroid 0 after the first recompute; the empty cluster must
+        # keep its previous centroid without crashing
+        rows = [
+            {"vec_id": 0, "embedding": [0.0, 0.0]},
+            {"vec_id": 1, "embedding": [100.0, 100.0]},
+            {"vec_id": 2, "embedding": [0.1, 0.0]},
+            {"vec_id": 3, "embedding": [0.0, 0.1]},
+            {"vec_id": 4, "embedding": [120.0, 100.0]},
+        ]
+        out = (
+            kmeans_assign(rd.from_items(rows), k=2, iters=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["cluster"]) == [0, 1, 0, 0, 1]
+
+    def test_kmeans_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.cluster import kmeans_assign
+
+        embs = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = kmeans_assign(embs, k=4, iters=2).to_pandas().sort_values("vec_id")
+        b = kmeans_assign(embs, k=4, iters=2).to_pandas().sort_values("vec_id")
+        assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()

@@ -122,6 +122,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_stratified",
         "samp_pack_sequences",
         "dedup_exact",
+        "dedup_chunk",
+        "dedup_fuzzy_keep",
+        "cluster_kmeans",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",
