@@ -352,6 +352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2 Lloyd iterations, deterministic init (vec_id < k), float64
         # math on both sides; ties break to the lowest cluster id
         "cluster_kmeans": lambda sf: cl.kmeans_assign(embs(sf), k=8, iters=2),
+        # SemDeDup: k-means clusters confine the O(n^2) cosine prune;
+        # keep-first within each cluster at cos >= 0.3 (nearest pair
+        # margin to the threshold is ~7e-6 at sf0.001, ~7e-5 at sf0.01)
+        "dedup_semdedup": lambda sf: cl.semdedup(embs(sf), k=8, iters=2, threshold=0.3),
         # -- similarity search -------------------------------------------------
         "sim_knn_bruteforce": lambda sf: sim.knn_bruteforce(embs(sf), _knn_queries(sf), k=10)[
             ["qid", "vec_id"]
@@ -768,6 +772,41 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY list_distance(e.v, c2.c), cid LIMIT 1) AS cluster
                    FROM e)
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af
+        """,
+        # SemDeDup: the cluster_kmeans CTE chain plus a within-cluster
+        # keep-first EXISTS at cos >= 0.3
+        "dedup_semdedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, (SELECT cid FROM c0
+                                   ORDER BY list_distance(e.v, c0.c), cid LIMIT 1) AS cluster
+                   FROM e),
+            m1 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                     SELECT a1.cluster, unnest(e.v) AS val,
+                            CAST(unnest(range(len(e.v))) AS BIGINT) AS pos
+                     FROM a1 JOIN e USING (vec_id)) GROUP BY 1, 2),
+            c1agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY 1),
+            c1 AS (SELECT c0.cid, COALESCE(c1agg.c, c0.c) AS c
+                   FROM c0 LEFT JOIN c1agg ON c0.cid = c1agg.cid),
+            a2 AS (SELECT vec_id, (SELECT cid FROM c1
+                                   ORDER BY list_distance(e.v, c1.c), cid LIMIT 1) AS cluster
+                   FROM e),
+            m2 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                     SELECT a2.cluster, unnest(e.v) AS val,
+                            CAST(unnest(range(len(e.v))) AS BIGINT) AS pos
+                     FROM a2 JOIN e USING (vec_id)) GROUP BY 1, 2),
+            c2agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY 1),
+            c2 AS (SELECT c1.cid, COALESCE(c2agg.c, c1.c) AS c
+                   FROM c1 LEFT JOIN c2agg ON c1.cid = c2agg.cid),
+            af AS (SELECT vec_id, (SELECT cid FROM c2
+                                   ORDER BY list_distance(e.v, c2.c), cid LIMIT 1) AS cluster
+                   FROM e)
+            SELECT x.vec_id, CAST(ax.cluster AS BIGINT) AS cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM e y JOIN af ay ON ay.vec_id = y.vec_id
+                     WHERE ay.cluster = ax.cluster AND y.vec_id < x.vec_id
+                       AND list_cosine_similarity(x.v, y.v) >= 0.3) AS keep
+            FROM e x JOIN af ax ON ax.vec_id = x.vec_id
         """,
         # exact all-pairs cosine at threshold 0.25 (double-cast so DuckDB
         # computes in float64 like the engine; nearest pair margin to the

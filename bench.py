@@ -193,6 +193,7 @@ def run_bench() -> dict:
     from gleaner_ray.ops import cluster as cluster_ops
 
     timed("cluster_kmeans", lambda: cluster_ops.kmeans_assign(embs(), k=8, iters=2).count())
+    timed("dedup_semdedup", lambda: cluster_ops.semdedup(embs(), k=8, iters=2, threshold=0.3).count())
     import pyarrow.parquet as pq2
 
     emb_head = pq2.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id").head(4)

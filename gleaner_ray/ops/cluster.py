@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kmeans_centroids", "semdedup"]
 
 
 def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
@@ -96,15 +96,15 @@ class _Assign:
         )
 
 
-def kmeans_assign(
+def kmeans_centroids(
     ds,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int = 2,
-):
-    """Full-corpus Lloyd k-means; returns a Dataset of (id, cluster).
+) -> np.ndarray:
+    """Final (k, dim) float64 centroids after ``iters`` Lloyd rounds.
 
     Deterministic convention shared with the SQL oracle: initial
     centroids are the vectors whose ``id_col < k`` (ids are dense from
@@ -137,7 +137,21 @@ def kmeans_assign(
                     vsum += np.frombuffer(b, dtype=np.float64)
                 new[c] = vsum / total
         centroids = new
+    return centroids
 
+
+def kmeans_assign(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+):
+    """Full-corpus Lloyd k-means; returns a Dataset of (id, cluster).
+
+    See ``kmeans_centroids`` for the deterministic convention."""
+    centroids = kmeans_centroids(ds, k, iters, id_col, vec_col, concurrency)
     ref = ray.put(centroids)
     return ds.map_batches(
         _Assign,
@@ -145,3 +159,95 @@ def kmeans_assign(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class _AssignKeepVec:
+    """Cluster assignment that keeps the embedding column for the
+    downstream per-cluster prune (one pass, no re-read)."""
+
+    def __init__(self, centroids_ref, id_col: str, vec_col: str):
+        self.centroids = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch) -> pd.DataFrame:
+        from .embutil import embedding_matrix
+
+        if batch.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    self.id_col: pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    self.vec_col: pd.Series(dtype="object"),
+                }
+            )
+        mat = embedding_matrix(batch.column(self.vec_col))
+        assign = _assign(mat, self.centroids)
+        return pd.DataFrame(
+            {
+                self.id_col: batch.column(self.id_col).to_numpy(
+                    zero_copy_only=False
+                ).astype("int64"),
+                "cluster": assign.astype("int64"),
+                self.vec_col: list(mat),
+            }
+        )
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering the embedding space, then dropping rows whose cosine
+    similarity to any LOWER-id member of the same cluster reaches
+    ``threshold`` (deterministic keep-first, SQL-expressible as an
+    EXISTS over within-cluster pairs).
+
+    Output: one row per input: ``(id, cluster, keep)``.
+
+    Scale shape: this is the whole point of the algorithm — the O(n^2)
+    cosine work is confined within clusters, so k is chosen to bound
+    the expected cluster size (SemDeDup uses k ~ sqrt(n); 100k clusters
+    over 10^9 embeddings keeps each group's similarity matrix ~10^4^2).
+    The corpus is shuffled ONCE by cluster id (`groupby.map_groups`);
+    within a group the prune is one normalized matmul plus a
+    lower-triangle any-reduction — no per-pair Python.
+    """
+    centroids = kmeans_centroids(ds, k, iters, id_col, vec_col, concurrency)
+    ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _AssignKeepVec,
+        fn_constructor_args=(ref, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(group[id_col].to_numpy())
+        ids = group[id_col].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(group[vec_col].to_numpy()[order]).astype(np.float64, copy=False)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sim = unit @ unit.T
+        # keep iff no lower-id member reaches the threshold
+        dup = np.tril(sim >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": group["cluster"].to_numpy(dtype=np.int64)[order],
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")

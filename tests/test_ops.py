@@ -595,3 +595,28 @@ class TestFuzzyDedupGraph:
         a = kmeans_assign(embs, k=4, iters=2).to_pandas().sort_values("vec_id")
         b = kmeans_assign(embs, k=4, iters=2).to_pandas().sort_values("vec_id")
         assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+    def test_semdedup_prunes_within_cluster(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.cluster import semdedup
+
+        # two tight groups far apart; within each group all vectors are
+        # near-identical -> each cluster keeps exactly its lowest id
+        rows = []
+        for i in range(4):
+            rows.append({"vec_id": i, "embedding": [1.0, 0.0 + i * 1e-4]})
+        for i in range(4, 8):
+            rows.append({"vec_id": i, "embedding": [-1.0, 100.0 + i * 1e-4]})
+        out = (
+            semdedup(rd.from_items(rows), k=2, iters=2, threshold=0.9)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["keep"]) == [True, False, False, False, True, False, False, False]
+        # exactly two clusters, split at the group boundary
+        assert out["cluster"].nunique() == 2
+        assert set(out.loc[out["vec_id"] < 4, "cluster"]) != set(
+            out.loc[out["vec_id"] >= 4, "cluster"]
+        )

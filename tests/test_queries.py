@@ -125,6 +125,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "dedup_chunk",
         "dedup_fuzzy_keep",
         "cluster_kmeans",
+        "dedup_semdedup",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",
