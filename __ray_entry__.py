@@ -243,6 +243,26 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _augment_pii(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PII planting shared (by construction) with the
+    ``text_pii_redact`` oracle's SQL concat — byte-identical strings."""
+    d = df["doc_id"].astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": d,
+            "text": (
+                df["text"].fillna("")
+                + " contact user"
+                + d.astype(str)
+                + "@example.com from 10."
+                + (d % 200).astype(str)
+                + ".0.1 call 555-010-"
+                + (1000 + d % 9000).astype(str)
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -296,6 +316,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
+        # PII scrub: the synthetic corpus carries no PII, so the query
+        # plants deterministic emails/IPs/phone numbers from doc_id on
+        # BOTH sides (engine and oracle build the same augmented text)
+        # and checks counts + redacted bytes value-for-value
+        "text_pii_redact": lambda sf: tx.pii_redact(
+            docs(sf).map_batches(_augment_pii, batch_format="pandas")
+        ),
         # corpus vocab statistics: top-k word bigrams (partial counts per
         # batch -> Sum groupby -> bounded driver merge)
         "text_ngram_topk": lambda sf: tx.ngram_top_k(docs(sf), n=2, k=20),
@@ -693,6 +720,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
             FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # PII scrub over the deterministically-augmented text (same
+        # concat as _augment_pii); counts on the original, replaces
+        # sequential in the engine's pattern order
+        "text_pii_redact": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(text,'') || ' contact user' || doc_id ||
+                     '@example.com from 10.' || (doc_id % 200) ||
+                     '.0.1 call 555-010-' || (1000 + doc_id % 9000) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(length(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(length(regexp_extract_all(t,
+                       '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS clean_text
+            FROM t
         """,
         # chunk explode with aligned unnest positions; keep-first via the
         # same (doc_id << 20 | idx) rank encoding as the engine

@@ -34,6 +34,7 @@ __all__ = [
     "repetition_scores",
     "add_text_ops",
     "ngram_top_k",
+    "pii_redact",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -464,3 +465,40 @@ def add_text_ops(ds, op: str, **kwargs):
     if op == "langid":
         return ds.map_batches(LangId, batch_format="pandas", concurrency=kwargs.get("concurrency", 2))
     return ds.map_batches(fns[op], batch_format="pandas")
+
+
+# PII scrubbing patterns (C4/Dolma-style). Kept to RE2-compatible
+# constructs (no lookaround, no backrefs) so the DuckDB
+# regexp_replace(..., 'g') oracle matches byte for byte.
+_PII_PATTERNS = (
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    ("ip", re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"), "<IP>"),
+    ("phone", re.compile(r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"), "<PHONE>"),
+)
+
+
+def pii_redact(ds, text_col: str = "text", concurrency: int | None = None):
+    """Redact emails / IPv4s / phone-like numbers (C4/Dolma pipeline
+    step). Adds ``clean_text`` plus per-category match counts
+    (``n_email``, ``n_ip``, ``n_phone``, counted on the ORIGINAL text);
+    replacements apply sequentially in pattern order.
+
+    Vectorized: pandas ``str.count`` / ``str.replace`` (compiled-regex C
+    loops) per batch — no per-row Python. Patterns are module-level
+    compiled constants, so there is no per-batch setup to hoist.
+    """
+
+    def redact(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("")
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        clean = text
+        for name, pat, repl in _PII_PATTERNS:
+            out["n_" + name] = text.str.count(pat).astype("int64")
+            clean = clean.str.replace(pat, repl, regex=True)
+        out["clean_text"] = clean
+        return out
+
+    kwargs = {"batch_format": "pandas"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(redact, **kwargs)

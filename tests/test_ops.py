@@ -620,3 +620,32 @@ class TestFuzzyDedupGraph:
         assert set(out.loc[out["vec_id"] < 4, "cluster"]) != set(
             out.loc[out["vec_id"] >= 4, "cluster"]
         )
+
+
+class TestPiiRedact:
+    def test_planted_pii_redacted(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import pii_redact
+
+        rows = [
+            {"doc_id": 0, "text": "mail bob.smith+x@corp.example.org now"},
+            {"doc_id": 1, "text": "server at 192.168.0.1 and 10.0.0.2"},
+            {"doc_id": 2, "text": "call 555-123-4567 or 555 1234 5678 today"},
+            {"doc_id": 3, "text": "clean document, nothing to scrub"},
+            {"doc_id": 4, "text": None},
+        ]
+        out = (
+            pii_redact(rd.from_items(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_email"]) == [1, 0, 0, 0, 0]
+        assert list(out["n_ip"]) == [0, 2, 0, 0, 0]
+        assert list(out["n_phone"]) == [0, 0, 2, 0, 0]
+        assert out.loc[0, "clean_text"] == "mail <EMAIL> now"
+        assert out.loc[1, "clean_text"] == "server at <IP> and <IP>"
+        assert out.loc[2, "clean_text"] == "call <PHONE> or <PHONE> today"
+        assert out.loc[3, "clean_text"] == "clean document, nothing to scrub"
+        assert out.loc[4, "clean_text"] == ""

@@ -116,6 +116,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_langid",
         "text_repetition",
         "text_ngram_topk",
+        "text_pii_redact",
         "text_decontaminate",
         "pipe_corpus_prep",
         "samp_hash_split",
