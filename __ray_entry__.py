@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gleaner_ray import relational as rel
     from gleaner_ray.ops import cluster as cl
     from gleaner_ray.ops import dedup as dd
+    from gleaner_ray.ops import sampling as smp
     from gleaner_ray.ops import similarity as sim
     from gleaner_ray.ops import text as tx
 
@@ -344,6 +345,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep the rest — same md5-vs-hex-literal contract as hash_split
         "samp_stratified": lambda sf: _q_stratified(sf),
         "samp_pack_sequences": lambda sf: _q_pack_sequences(sf),
+        # DSIR-style data-selection signal: token overlap with the
+        # doc_id<20 target slice's vocabulary (broadcast sorted vocab,
+        # searchsorted membership — corpus never shuffled)
+        "samp_vocab_overlap": lambda sf: smp.vocab_overlap(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -720,6 +730,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
             FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # token overlap vs the doc_id<20 slice's vocabulary — exact
+        # small-int division, same tokenization as the shingle oracle
+        "samp_vocab_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            v AS (SELECT DISTINCT unnest(w) AS tok FROM toks WHERE doc_id < 20),
+            flat AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            cnt AS (SELECT f.doc_id, count(*) AS n_in FROM flat f JOIN v USING (tok)
+                    GROUP BY 1),
+            n AS (SELECT doc_id, len(w) AS n_tokens FROM toks)
+            SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(cnt.n_in, 0) AS BIGINT) AS n_in_vocab,
+                   COALESCE(CAST(cnt.n_in AS DOUBLE) / nullif(n.n_tokens, 0), 0.0) AS overlap
+            FROM n LEFT JOIN cnt USING (doc_id)
         """,
         # PII scrub over the deterministically-augmented text (same
         # concat as _augment_pii); counts on the original, replaces

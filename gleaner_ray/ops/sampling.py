@@ -27,7 +27,13 @@ import hashlib
 
 import pandas as pd
 
-__all__ = ["hash_split", "pack_sequences", "split_threshold_hex", "stratified_sample"]
+__all__ = [
+    "hash_split",
+    "pack_sequences",
+    "split_threshold_hex",
+    "stratified_sample",
+    "vocab_overlap",
+]
 
 
 def split_threshold_hex(frac: float) -> str:
@@ -151,3 +157,65 @@ def pack_sequences(ds, budget: int = 2048, bucket_size: int = 1000, key: str = "
         )
 
     return counts.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def vocab_overlap(ds, target_ds, key: str = "doc_id", text_col: str = "text"):
+    """DSIR-style importance signal for data selection: the fraction of
+    a document's tokens that appear in a target corpus's vocabulary
+    (tokens of the benchmark / domain slice you want more of).
+
+    Output per doc: ``(key, n_tokens, n_in_vocab, overlap)`` with
+    ``overlap = n_in_vocab / n_tokens`` (0.0 for empty docs) — a ratio
+    of small ints, so the float64 value is bit-identical to the SQL
+    oracle's. Tokenization is the corpus-wide contract: lowercase,
+    split on whitespace, empties dropped.
+
+    Scale shape: the target vocabulary is assumed benchmark-sized
+    (same assumption as ``decontaminate``'s shingle set); it is
+    collected once, sorted, and broadcast via ``ray.put``, and each
+    batch scores by one flattened ``np.searchsorted`` membership probe
+    plus a per-doc segment sum — the corpus is never shuffled.
+    """
+    import numpy as np
+    import ray
+
+    def batch_vocab(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df[text_col]:
+            toks.update((t or "").lower().split())
+        return pd.DataFrame({"tok": sorted(toks)})
+
+    parts = target_ds.map_batches(batch_vocab, batch_format="pandas").to_pandas()
+    vocab = np.unique(parts["tok"].to_numpy(dtype=object)) if len(parts) else np.array([], dtype=object)
+    ref = ray.put(vocab)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        v = ray.get(ref)
+        token_lists = [(t or "").lower().split() for t in df[text_col]]
+        lens = _np.fromiter((len(t) for t in token_lists), dtype=_np.int64, count=len(token_lists))
+        total = int(lens.sum())
+        if total == 0 or len(v) == 0:
+            hits = _np.zeros(len(df), dtype=_np.int64)
+        else:
+            from itertools import chain
+
+            flat = _np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+            idx = _np.searchsorted(v, flat)
+            idx_c = _np.minimum(idx, len(v) - 1)
+            member = (v[idx_c] == flat).astype(_np.int64)
+            hits = _np.zeros(len(df), dtype=_np.int64)
+            _np.add.at(hits, _np.repeat(_np.arange(len(lens)), lens), member)
+        denom = lens.astype(_np.float64)
+        overlap = _np.divide(hits, denom, out=_np.zeros(len(df)), where=lens > 0)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(),
+                "n_tokens": lens,
+                "n_in_vocab": hits,
+                "overlap": overlap,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -649,3 +649,29 @@ class TestPiiRedact:
         assert out.loc[2, "clean_text"] == "call <PHONE> or <PHONE> today"
         assert out.loc[3, "clean_text"] == "clean document, nothing to scrub"
         assert out.loc[4, "clean_text"] == ""
+
+
+class TestVocabOverlap:
+    def test_overlap_fractions(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import vocab_overlap
+
+        target = rd.from_items([{"doc_id": 0, "text": "Alpha beta GAMMA"}])
+        docs = rd.from_items(
+            [
+                {"doc_id": 1, "text": "alpha alpha beta delta"},  # 3/4 in vocab
+                {"doc_id": 2, "text": "epsilon zeta"},  # 0/2
+                {"doc_id": 3, "text": ""},  # empty -> 0.0
+                {"doc_id": 4, "text": "gamma"},  # 1/1 (case-folded)
+            ]
+        )
+        out = (
+            vocab_overlap(docs, target)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_tokens"]) == [4, 2, 0, 1]
+        assert list(out["n_in_vocab"]) == [3, 0, 0, 1]
+        assert list(out["overlap"]) == [0.75, 0.0, 0.0, 1.0]

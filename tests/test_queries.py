@@ -122,6 +122,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_hash_split",
         "samp_stratified",
         "samp_pack_sequences",
+        "samp_vocab_overlap",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
