@@ -301,6 +301,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .to_pandas()
         .rename(columns={"count()": "n"}),
         "rel_window_events": lambda sf: rel.tumbling_window_events(sf),
+        # hopping windows: every event expands into width/slide
+        # overlapping windows (vectorized repeat/tile, partials reduced)
+        "rel_sliding_window": lambda sf: rel.sliding_window_events(sf),
+        # COUNT(DISTINCT) aggregate: local pair dedupe -> one pair
+        # groupby -> bounded per-type count
+        "rel_distinct_users": lambda sf: rel.distinct_users_per_type(sf),
         "rel_asof_events_orders": lambda sf: rel.asof_join_events_orders(sf).select_columns(
             ["event_id", "o_orderkey"]
         ),
@@ -537,6 +543,20 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rel_sliding_window": """
+            SELECT event_type,
+                   make_timestamp(ws * 1000000) AS window_start,
+                   COUNT(*) AS n
+            FROM (SELECT event_type,
+                         unnest(list_transform(range(0, 2), i ->
+                             CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT))) AS ws
+                  FROM events)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rel_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # right side made unique on (key, time): ASOF's pick among equal
         # o_orderdate rows is arbitrary in both engines, so ties collapse

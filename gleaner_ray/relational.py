@@ -44,6 +44,8 @@ __all__ = [
     "topk_orders",
     "distinct_segments",
     "tumbling_window_events",
+    "sliding_window_events",
+    "distinct_users_per_type",
     "asof_join_events_orders",
     "quantiles_lineitem",
     "sessionize_events",
@@ -253,6 +255,73 @@ def tumbling_window_events(sf_dir: str, window_s: int = 300):
         out = df.groupby(["event_type", "window_start"], as_index=False).agg(n=("n", "sum"))
         return out.sort_values(["event_type", "window_start"], ignore_index=True)
 
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
+
+
+def sliding_window_events(sf_dir: str, width_s: int = 600, slide_s: int = 300):
+    """Sliding (hopping) window counts per event_type: each event lands
+    in ``width/slide`` overlapping windows. The per-batch expansion is a
+    vectorized repeat/tile (k copies per row, k = width//slide — no
+    per-row Python), pre-aggregated locally before the bounded final
+    reduce, so the exchanged volume is windows x types, not events x k."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        base = (epoch // slide_s) * slide_s
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_s, len(df)
+        )
+        out = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "window_start": pd.to_datetime(starts, unit="s"),
+            }
+        )
+        g = out.groupby(["event_type", "window_start"], as_index=False)
+        return g.agg(n=("window_start", "size"))
+
+    partials = ds.map_batches(bucket, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "window_start"], as_index=False).agg(n=("n", "sum"))
+        return out.sort_values(["event_type", "window_start"], ignore_index=True)
+
+    # bounded final reduce, same rationale as tumbling_window_events
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
+
+
+def distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — the distinct-aggregate.
+
+    Two-level: local per-batch pair dedupe (shrinks the exchange to the
+    distinct pairs each block holds), ONE hash groupby on the pair to
+    finish global dedupe, then a bounded per-type count (the pair table
+    leaving the shuffle is already unique, so the final count is a
+    small-partials reduce like the window ops)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    pairs = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(n_users=("user_id", "size"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out.sort_values("event_type", ignore_index=True)
+
+    partials = pairs.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
 
 

@@ -106,6 +106,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_topk_orders",
         "rel_distinct_segments",
         "rel_window_events",
+        "rel_sliding_window",
+        "rel_distinct_users",
         "rel_asof_events_orders",
         "rel_quantiles",
         "rel_sessionize",
