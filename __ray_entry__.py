@@ -313,6 +313,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_quantiles": lambda sf: rel.quantiles_lineitem(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
+        # interval self-join (attribution window): same-user event pairs
+        # within 60 min, co-partitioned by user, searchsorted bounds
+        "rel_range_join": lambda sf: rel.range_join_events(sf),
+        # multi-grouping-set aggregate: finest-grain partials, coarser
+        # ROLLUP levels derived from the bounded finest table
+        "rel_rollup": lambda sf: rel.rollup_agg_lineitem(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -360,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # TF-IDF-family corpus statistic: distributed DF pass, broadcast
+        # DF table, exact-integer per-doc rarity score
+        "samp_df_rarity": lambda sf: smp.df_rarity(docs(sf)),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -598,6 +607,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
               FROM orders) WHERE rk <= 3
         """,
+        "rel_range_join": """
+            SELECT a.event_id AS src_event, b.event_id AS dst_event,
+                   a.user_id, a.ts AS src_ts, b.ts AS dst_ts
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "text_token_stats": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -768,6 +790,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.n_in, 0) AS BIGINT) AS n_in_vocab,
                    COALESCE(CAST(cnt.n_in AS DOUBLE) / nullif(n.n_tokens, 0), 0.0) AS overlap
             FROM n LEFT JOIN cnt USING (doc_id)
+        """,
+        # corpus DF rarity — same tokenization; sum_df counts each token
+        # OCCURRENCE at its corpus document frequency; one exact-int
+        # division for the score
+        "samp_df_rarity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+            agg AS (SELECT f.doc_id, count(*) AS n_tokens, SUM(d.df) AS sum_df
+                    FROM flat f JOIN dfreq d USING (tok) GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(agg.sum_df, 0) AS BIGINT) AS sum_df,
+                   COALESCE(CAST(agg.sum_df AS DOUBLE) / nullif(agg.n_tokens, 0), 0.0)
+                       AS mean_df
+            FROM toks t LEFT JOIN agg USING (doc_id)
         """,
         # PII scrub over the deterministically-augmented text (same
         # concat as _augment_pii); counts on the original, replaces

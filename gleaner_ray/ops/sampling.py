@@ -28,6 +28,7 @@ import hashlib
 import pandas as pd
 
 __all__ = [
+    "df_rarity",
     "hash_split",
     "pack_sequences",
     "split_threshold_hex",
@@ -215,6 +216,81 @@ def vocab_overlap(ds, target_ds, key: str = "doc_id", text_col: str = "text"):
                 "n_tokens": lens,
                 "n_in_vocab": hits,
                 "overlap": overlap,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def df_rarity(ds, key: str = "doc_id", text_col: str = "text"):
+    """Corpus document-frequency scoring — the TF-IDF family's
+    distributed shape, with exact-integer arithmetic so the score is
+    bit-identical to the SQL oracle (no log/float accumulation).
+
+    Per doc: ``(key, n_tokens, sum_df, mean_df)`` where ``df(tok)`` is
+    the number of distinct documents containing ``tok``, ``sum_df``
+    sums df over the doc's token OCCURRENCES (with multiplicity), and
+    ``mean_df = sum_df / n_tokens`` (0.0 for empty docs) — low mean_df
+    means rare vocabulary. Tokenization is the corpus-wide contract:
+    lowercase, whitespace split, empties dropped.
+
+    Scale shape (two passes, no corpus shuffle):
+
+    1. DF pass: each batch emits one ``(tok, n_docs)`` partial from its
+       rows' DISTINCT token sets (a doc is one row, so per-row distinct
+       is exact); a groupby-Sum over vocab-sized partials yields the DF
+       table.
+    2. Score pass: the DF table is sorted and broadcast once via
+       ``ray.put``; each batch maps all its token occurrences with ONE
+       flattened ``np.searchsorted`` and segment-sums per doc.
+
+    The broadcast assumes a boundable vocabulary (true after the usual
+    normalization; at open-web scale cap the table to the top-V
+    df-heaviest tokens, or swap the broadcast for a hash-partitioned
+    token join — both seams are at the ``ray.put`` below)."""
+    import numpy as np
+    import ray
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df[text_col]:
+            c.update(set((t or "").lower().split()))
+        return pd.DataFrame({"tok": list(c.keys()), "n_docs": list(c.values())})
+
+    parts = ds.map_batches(df_partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    df_tbl = parts.groupby("tok").aggregate(Sum("n_docs", alias_name="df")).to_pandas()
+    order = np.argsort(df_tbl["tok"].to_numpy(dtype=object))
+    vocab = df_tbl["tok"].to_numpy(dtype=object)[order]
+    dfs = df_tbl["df"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((vocab, dfs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        from itertools import chain
+
+        v, d = ray.get(ref)
+        token_lists = [(t or "").lower().split() for t in df[text_col]]
+        lens = _np.fromiter((len(t) for t in token_lists), dtype=_np.int64, count=len(token_lists))
+        total = int(lens.sum())
+        sums = _np.zeros(len(df), dtype=_np.int64)
+        if total and len(v):
+            flat = _np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+            idx = _np.searchsorted(v, flat)
+            # every occurrence is in-vocab by construction (DF pass saw
+            # the same corpus); the clamp only guards racing mutation
+            idx = _np.minimum(idx, len(v) - 1)
+            _np.add.at(sums, _np.repeat(_np.arange(len(lens)), lens), d[idx])
+        mean_df = _np.divide(sums, lens, out=_np.zeros(len(df)), where=lens > 0)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(),
+                "n_tokens": lens,
+                "sum_df": sums,
+                "mean_df": mean_df,
             }
         )
 

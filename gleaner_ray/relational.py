@@ -50,6 +50,8 @@ __all__ = [
     "quantiles_lineitem",
     "sessionize_events",
     "grouped_topk_orders",
+    "range_join_events",
+    "rollup_agg_lineitem",
 ]
 
 
@@ -483,6 +485,135 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800, num_partitions: int | None
         .groupby("pid")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def range_join_events(sf_dir: str, window_s: int = 3600, num_partitions: int | None = None):
+    """Interval (range) self-join: all pairs of events by the same user
+    where the second strictly follows the first within ``window_s``
+    seconds — the attribution-window shape
+    ``b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + W``.
+
+    Custom operator Ray Data lacks: ONE hash exchange co-partitions
+    users, then each partition answers every interval query fully
+    vectorized — rows sorted once by a composite monotone key
+    ``user_rank * span + ts_us`` (span exceeds the partition's time
+    range plus the window, so a window probe can never cross into the
+    next user's segment), window bounds from two ``np.searchsorted``
+    calls over the whole partition, and pair expansion via
+    repeat/arange. No per-row or per-user Python.
+
+    Partitioning assumptions (documented for 100-TB use): one user's
+    events fit a partition (salt by coarse time bucket upstream for
+    pathological users), and ``users_per_partition * (time_range + W)``
+    microseconds fits int64 — with daily time-bucketing that holds for
+    any realistic partition; the composite-key build asserts it.
+    Output size is sum over rows of their window occupancy — bound it
+    by choosing W, exactly as in the SQL it mirrors."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    window_us = np.int64(window_s) * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_event": pd.Series([], dtype="int64"),
+                "dst_event": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "src_ts": pd.Series([], dtype="datetime64[us]"),
+                "dst_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "ts"], kind="mergesort", ignore_index=True)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        off = ts_us - ts_us.min()
+        span = np.int64(off.max()) + window_us + 2
+        codes = pd.factorize(df["user_id"].to_numpy())[0].astype("int64")  # nondecreasing
+        if codes[-1] > 0 and span > np.iinfo(np.int64).max // (codes[-1] + 1):
+            raise OverflowError(
+                "range_join_events: partition composite key exceeds int64; "
+                "salt users by coarse time bucket upstream"
+            )
+        key = codes * span + off
+        lo = np.searchsorted(key, key, side="right")  # first strictly-later same-user row
+        hi = np.searchsorted(key, key + window_us, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        src = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        dst = np.repeat(lo, counts) + (np.arange(total, dtype=np.int64) - np.repeat(starts, counts))
+        ev = df["event_id"].to_numpy(dtype="int64")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        ts = df["ts"].to_numpy(dtype="datetime64[us]")
+        return pd.DataFrame(
+            {
+                "src_event": ev[src],
+                "dst_event": ev[dst],
+                "user_id": uid[src],
+                "src_ts": ts[src],
+                "dst_ts": ts[dst],
+            }
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def rollup_agg_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over sum(qty)/count:
+    the multi-grouping-set aggregate as a distributed plan — partials at
+    the FINEST grain per batch (one combine row per (flag, status) per
+    batch), a tiny groupby-sum exchange, then every coarser grouping set
+    derived from the finest table in one bounded task whose input
+    cardinality is the group count, independent of row count. NULL marks
+    the rolled-up level, matching SQL ROLLUP output."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(qty_i=df["l_quantity"].round().astype("int64"))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_i", "sum"), n=("qty_i", "size")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    finest = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n")
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum")
+        )
+        lvl1["l_linestatus"] = None
+        lvl0 = pd.DataFrame(
+            {
+                "l_returnflag": [None],
+                "l_linestatus": [None],
+                "sum_qty": [df["sum_qty"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        cols = ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+        out = pd.concat([df[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+        out["l_returnflag"] = out["l_returnflag"].astype(object)
+        out["l_linestatus"] = out["l_linestatus"].astype(object)
+        return out
+
+    return finest.repartition(1).map_batches(expand, batch_size=None, batch_format="pandas")
 
 
 def grouped_topk_orders(sf_dir: str, k: int = 3):

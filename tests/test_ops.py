@@ -675,3 +675,75 @@ class TestVocabOverlap:
         assert list(out["n_tokens"]) == [4, 2, 0, 1]
         assert list(out["n_in_vocab"]) == [3, 0, 0, 1]
         assert list(out["overlap"]) == [0.75, 0.0, 0.0, 1.0]
+
+
+class TestRangeJoinRollup:
+    @pytest.fixture(scope="class")
+    def tiny_sf(self, ray_session, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("tinysf")
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [7, 7, 7, 7, 8, 8],
+                "ts": [
+                    t0,  # src
+                    t0,  # same user, same ts: strict > excludes the pair
+                    t0 + pd.Timedelta(seconds=3600),  # exactly at the bound: included
+                    t0 + pd.Timedelta(seconds=3601),  # one past: excluded
+                    t0,  # other user at identical times: never pairs with 7
+                    t0 + pd.Timedelta(seconds=10),
+                ],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events), str(d / "events.parquet"))
+        lineitem = pd.DataFrame(
+            {
+                "l_returnflag": ["A", "A", "N"],
+                "l_linestatus": ["F", "O", "O"],
+                "l_quantity": [1.0, 2.0, 4.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(lineitem), str(d / "lineitem.parquet"))
+        return str(d)
+
+    def test_range_join_window_semantics(self, tiny_sf):
+        from gleaner_ray.relational import range_join_events
+
+        out = range_join_events(tiny_sf, window_s=3600).to_pandas()
+        pairs = set(zip(out["src_event"], out["dst_event"]))
+        # user 7: 1->3 and 2->3 (bound inclusive), 3->4 (1s apart), never
+        # 1->2 (equal ts), never 1->4 / 2->4 (past bound); user 8: 5->6;
+        # no cross-user pairs
+        assert pairs == {(1, 3), (2, 3), (3, 4), (5, 6)}
+        assert (out["src_ts"] < out["dst_ts"]).all()
+
+    def test_rollup_levels(self, tiny_sf):
+        from gleaner_ray.relational import rollup_agg_lineitem
+
+        out = rollup_agg_lineitem(tiny_sf).to_pandas()
+        total = out[out["l_returnflag"].isna()]
+        assert len(total) == 1 and int(total["sum_qty"].iloc[0]) == 7 and int(total["n"].iloc[0]) == 3
+        a_lvl = out[(out["l_returnflag"] == "A") & (out["l_linestatus"].isna())]
+        assert int(a_lvl["sum_qty"].iloc[0]) == 3 and int(a_lvl["n"].iloc[0]) == 2
+        finest = out[out["l_linestatus"].notna()]
+        assert len(finest) == 3
+
+    def test_df_rarity_exact(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import df_rarity
+
+        rows = [
+            {"doc_id": 1, "text": "a b a"},  # df(a)=2, df(b)=2 -> sum 2+2+2=6
+            {"doc_id": 2, "text": "a b c"},  # 2+2+1=5
+            {"doc_id": 3, "text": ""},  # empty: zeros
+        ]
+        out = df_rarity(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        assert int(out.loc[1, "sum_df"]) == 6 and int(out.loc[1, "n_tokens"]) == 3
+        assert int(out.loc[2, "sum_df"]) == 5
+        assert out.loc[1, "mean_df"] == 2.0
+        assert int(out.loc[3, "n_tokens"]) == 0 and out.loc[3, "mean_df"] == 0.0

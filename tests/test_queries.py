@@ -112,6 +112,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_quantiles",
         "rel_sessionize",
         "rel_grouped_topk",
+        "rel_range_join",
+        "rel_rollup",
         "text_token_stats",
         "text_quality",
         "text_fingerprint_md5",
@@ -125,6 +127,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_stratified",
         "samp_pack_sequences",
         "samp_vocab_overlap",
+        "samp_df_rarity",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
