@@ -369,6 +369,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TF-IDF-family corpus statistic: distributed DF pass, broadcast
         # DF table, exact-integer per-doc rarity score
         "samp_df_rarity": lambda sf: smp.df_rarity(docs(sf)),
+        # deterministic fixed-size uniform slice: n smallest md5(key),
+        # local top-n per batch + one bounded merge (no global sort)
+        "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
+        # soft dedup: every copy kept, per-copy weight 1/|dup cluster|
+        "samp_dup_weights": lambda sf: dd.dup_count_weights(docs(sf)),
+        # percentile-based length cutoff: corpus-quantile threshold
+        # (value-count reduction), broadcast scalar filter
+        "pipe_len_quantile_filter": lambda sf: tx.length_quantile_filter(docs(sf), q=0.2),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -810,6 +818,28 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(agg.sum_df AS DOUBLE) / nullif(agg.n_tokens, 0), 0.0)
                        AS mean_df
             FROM toks t LEFT JOIN agg USING (doc_id)
+        """,
+        "samp_uniform_n": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents ORDER BY h, doc_id LIMIT 100
+        """,
+        "samp_dup_weights": """
+            SELECT doc_id,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count,
+                   1.0 / COUNT(*) OVER (PARTITION BY md5(text)) AS weight
+            FROM documents
+        """,
+        # same n_tokens contract as text_token_stats; quantile_disc picks
+        # the smallest value whose cumulative count reaches ceil(q*n)
+        "pipe_len_quantile_filter": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents),
+            t AS (SELECT quantile_disc(n_tokens, 0.2) AS th FROM n)
+            SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens
+            FROM n, t WHERE n.n_tokens >= t.th
         """,
         # PII scrub over the deterministically-augmented text (same
         # concat as _augment_pii); counts on the original, replaces

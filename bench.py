@@ -180,6 +180,11 @@ def run_bench() -> dict:
     timed("join_hash", lambda: rel.hash_join_lineitem_orders(sf_dir).count())
     timed("window_events", lambda: rel.tumbling_window_events(sf_dir).to_pandas())
     timed("text_quality", lambda: tx.add_text_ops(docs(), "quality").count())
+    timed("range_join", lambda: rel.range_join_events(sf_dir).count())
+    timed("rollup", lambda: rel.rollup_agg_lineitem(sf_dir).to_pandas())
+    from gleaner_ray.ops import sampling as smp
+
+    timed("df_rarity", lambda: smp.df_rarity(docs()).count())
     timed("dedup_exact", lambda: dd.exact_dedup(docs()).count())
     timed("dedup_minhash_lsh", lambda: dd.minhash_lsh(docs(), concurrency=max(2, num_cpus // 4)).count())
     timed("text_ngram_topk", lambda: len(tx.ngram_top_k(docs(), n=2, k=20, concurrency=max(2, num_cpus // 4))))

@@ -50,6 +50,7 @@ __all__ = [
     "connected_components",
     "fuzzy_dedup_keep",
     "chunk_dedup",
+    "dup_count_weights",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1322,3 +1323,48 @@ def chunk_dedup(
         )
 
     return joined.map_batches(finish_joined, batch_format="pandas")
+
+
+def dup_count_weights(ds, num_partitions: int | None = None):
+    """Duplicate-count reweighting: ``(doc_id, dup_count, weight)`` with
+    ``weight = 1 / |exact-duplicate cluster|`` — the standard way to
+    keep every copy in the corpus but make each duplicated document
+    contribute one unit of training mass in total (soft dedup).
+
+    Scale shape: per-batch md5 + per-batch partial counts, ONE
+    groupby(h) Sum over hash-count partials, then one hash join of the
+    (doc_id, h) table against the counts table — two key-width
+    exchanges, no payload beyond the 32-byte hash. The division is one
+    exact float64 op (1.0 / int), bit-identical to the SQL window
+    ``COUNT(*) OVER (PARTITION BY md5(text))``."""
+    from ray.data.aggregate import Sum
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": [_md5(t or "") for t in batch["text"]]})
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(n=("h", "size"))
+
+    counts = (
+        hashed.map_batches(partial, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="dup_count"))
+    )
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    joined = hashed.join(
+        counts, join_type="inner", num_partitions=num_partitions, on=("h",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_count": df["dup_count"].astype("int64"),
+                "weight": 1.0 / df["dup_count"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

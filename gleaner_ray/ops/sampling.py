@@ -29,6 +29,7 @@ import pandas as pd
 
 __all__ = [
     "df_rarity",
+    "uniform_sample_n",
     "hash_split",
     "pack_sequences",
     "split_threshold_hex",
@@ -295,3 +296,29 @@ def df_rarity(ds, key: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def uniform_sample_n(ds, n: int = 100, key: str = "doc_id"):
+    """Deterministic uniform sample of exactly ``n`` rows: the n
+    smallest ``md5(str(key))`` values (ties broken by key) — the
+    shuffle-free way to cut a fixed-size representative slice that is
+    stable across runs, machines and engines, and composable with
+    ``hash_split`` / ``stratified_sample`` (same hash contract).
+
+    Scale shape: per-batch local top-n (sort + head), then ONE bounded
+    merge task over n x blocks candidate rows — no global sort, the
+    corpus is never shuffled. Matches ``ORDER BY md5(CAST(key AS
+    VARCHAR)), key LIMIT n`` exactly."""
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {key: df[key], "h": [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]]}
+        )
+        return out.sort_values(["h", key], kind="mergesort").head(n)
+
+    partials = ds.map_batches(local_top, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["h", key], kind="mergesort").head(n).reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")

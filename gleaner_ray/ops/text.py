@@ -35,6 +35,7 @@ __all__ = [
     "add_text_ops",
     "ngram_top_k",
     "pii_redact",
+    "length_quantile_filter",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -502,3 +503,47 @@ def pii_redact(ds, text_col: str = "text", concurrency: int | None = None):
     if concurrency:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(redact, **kwargs)
+
+
+def length_quantile_filter(ds, q: float = 0.2, concurrency: int | None = None):
+    """Percentile-based corpus filter: keep documents whose whitespace
+    token count is at or above the corpus ``q``-quantile (drop the
+    shortest ~q of the corpus) — thresholding on the distribution
+    itself instead of a magic constant, the way length cutoffs are
+    actually picked for web corpora.
+
+    Two passes, neither shuffles the corpus: (1) token counts reduce to
+    a bounded (value, count) table (same value-count trick as
+    ``relational.quantiles_lineitem`` — cardinality = distinct lengths,
+    independent of row count) from which the driver picks the exact
+    ``quantile_disc`` threshold (smallest value whose cumulative count
+    reaches ceil(q*n)); (2) the scalar threshold broadcasts into a
+    vectorized filter. Output: ``(doc_id, n_tokens)`` of the keepers."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    # narrow (doc_id, counts) table: materialized so pass 2 does not
+    # re-read the corpus (3 int64 cols per doc, object-store sized)
+    counted = ds.map_batches(token_stats, batch_format="pandas").materialize()
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_tokens_ws", as_index=False).agg(n=("n_tokens_ws", "size"))
+
+    tbl = (
+        counted.map_batches(vc, batch_format="pandas")
+        .groupby("n_tokens_ws")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_tokens_ws", ignore_index=True)
+    )
+    cum = tbl["n"].cumsum()
+    total = int(cum.iloc[-1]) if len(tbl) else 0
+    rank = max(1, int(np.ceil(q * total))) if total else 0
+    thresh = int(tbl["n_tokens_ws"][cum >= rank].iloc[0]) if total else 0
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_tokens_ws"] >= thresh]
+        return pd.DataFrame({"doc_id": out["doc_id"], "n_tokens": out["n_tokens_ws"]})
+
+    return counted.map_batches(keep, batch_format="pandas")

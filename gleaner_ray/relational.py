@@ -21,6 +21,9 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
 - ``sessionize``       — gap-based session windows, co-partitioned by
   key, vectorized island assignment per partition
 - ``grouped_topk``     — row_number()<=k parity without a global sort
+- ``range_join``       — interval self-join via co-partition + composite
+  monotone key + searchsorted window bounds (no per-key Python)
+- ``rollup_agg``       — GROUP BY ROLLUP from finest-grain partials
 """
 
 from __future__ import annotations

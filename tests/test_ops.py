@@ -747,3 +747,37 @@ class TestRangeJoinRollup:
         assert int(out.loc[2, "sum_df"]) == 5
         assert out.loc[1, "mean_df"] == 2.0
         assert int(out.loc[3, "n_tokens"]) == 0 and out.loc[3, "mean_df"] == 0.0
+
+
+class TestSamplingWeights:
+    def test_dup_weights_planted(self, docs_with_dups):
+        from gleaner_ray.ops.dedup import dup_count_weights
+
+        out = dup_count_weights(docs_with_dups).to_pandas().set_index("doc_id")
+        # docs 1 and 3 are exact copies -> cluster size 2, weight 0.5 each
+        assert int(out.loc[1, "dup_count"]) == 2 and out.loc[1, "weight"] == 0.5
+        assert int(out.loc[3, "dup_count"]) == 2
+        assert int(out.loc[4, "dup_count"]) == 1 and out.loc[4, "weight"] == 1.0
+        # total training mass = number of distinct contents
+        assert out["weight"].sum() == 4.0
+
+    def test_uniform_n_stable_across_block_splits(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import uniform_sample_n
+
+        rows = [{"doc_id": i} for i in range(200)]
+        one = uniform_sample_n(rd.from_items(rows, override_num_blocks=1), n=10).to_pandas()
+        many = uniform_sample_n(rd.from_items(rows, override_num_blocks=13), n=10).to_pandas()
+        assert list(one["doc_id"]) == list(many["doc_id"])
+        assert len(one) == 10 and one["h"].is_monotonic_increasing
+
+    def test_length_quantile_filter_threshold(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import length_quantile_filter
+
+        rows = [{"doc_id": i, "text": " ".join(["w"] * n)} for i, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+        out = length_quantile_filter(rd.from_items(rows), q=0.3).to_pandas()
+        # ceil(0.3*10)=3rd smallest value = 3 tokens -> keep n_tokens >= 3
+        assert sorted(out["n_tokens"]) == [3, 4, 5, 6, 7, 8, 9, 10]
