@@ -319,6 +319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-grouping-set aggregate: finest-grain partials, coarser
         # ROLLUP levels derived from the bounded finest table
         "rel_rollup": lambda sf: rel.rollup_agg_lineitem(sf),
+        # pivot / conditional aggregate: fixed-width per-batch partials,
+        # one groupby-Sum (COUNT FILTER parity)
+        "rel_pivot": lambda sf: rel.pivot_events(sf),
+        # LAG window function: co-partitioned, vectorized shift/diff,
+        # exact integer-microsecond gaps (NULL at user boundaries)
+        "rel_lag_delta": lambda sf: rel.lag_delta_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -627,6 +633,22 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "rel_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        """,
+        "rel_lag_delta": """
+            SELECT event_id, user_id, ts,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
         """,
         "text_token_stats": r"""
             SELECT doc_id,

@@ -55,6 +55,8 @@ __all__ = [
     "grouped_topk_orders",
     "range_join_events",
     "rollup_agg_lineitem",
+    "pivot_events",
+    "lag_delta_events",
 ]
 
 
@@ -643,3 +645,69 @@ def grouped_topk_orders(sf_dir: str, k: int = 3):
         return df.groupby("o_orderpriority", as_index=False).head(k).reset_index(drop=True)
 
     return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")
+
+
+def pivot_events(sf_dir: str, categories: tuple[str, ...] = ("click", "view", "purchase", "signup", "error")):
+    """Pivot / one-hot conditional aggregate: per user, one count column
+    per event type (``COUNT(*) FILTER (WHERE ...)`` parity). The column
+    set is declared up front — as SQL PIVOT requires — so each batch
+    reduces to a fixed-width partial (users x len(categories) ints) and
+    the only exchange is a groupby-Sum over partials."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    cols = {c: f"n_{c}" for c in categories}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"].unique()}).set_index("user_id")
+        g = df.groupby(["user_id", "event_type"]).size()
+        for c, name in cols.items():
+            s = g.xs(c, level="event_type") if c in g.index.get_level_values(1) else None
+            out[name] = s.reindex(out.index, fill_value=0) if s is not None else 0
+            out[name] = out[name].astype("int64")
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("user_id").aggregate(
+        *[Sum(name, alias_name=name) for name in cols.values()]
+    )
+
+
+def lag_delta_events(sf_dir: str, num_partitions: int | None = None):
+    """LAG window function: per event, the gap to the same user's
+    previous event in exact integer microseconds (NULL for a user's
+    first event) — ``date_diff('microsecond', lag(ts) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id), ts)`` parity, with the deterministic
+    (ts, event_id) tie order sessionize uses.
+
+    One hash exchange co-partitions users; within a partition the lag
+    and diff are a vectorized sort + shift + subtract, with user
+    boundaries masked to NULL. Integer microseconds avoid the
+    float-seconds epoch division, so values hash bit-identical."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        gap = pd.array(ts_us - np.roll(ts_us, 1), dtype="Int64")
+        new_user = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        gap[new_user] = pd.NA
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )

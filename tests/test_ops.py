@@ -781,3 +781,46 @@ class TestSamplingWeights:
         out = length_quantile_filter(rd.from_items(rows), q=0.3).to_pandas()
         # ceil(0.3*10)=3rd smallest value = 3 tokens -> keep n_tokens >= 3
         assert sorted(out["n_tokens"]) == [3, 4, 5, 6, 7, 8, 9, 10]
+
+
+class TestPivotLag:
+    def test_pivot_counts(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import pivot_events
+
+        events = pd.DataFrame(
+            {
+                "event_id": range(5),
+                "user_id": [1, 1, 1, 2, 2],
+                "ts": pd.to_datetime(["2024-01-01"] * 5),
+                "event_type": ["click", "click", "view", "purchase", "click"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+        out = pivot_events(str(tmp_path)).to_pandas().set_index("user_id")
+        assert int(out.loc[1, "n_click"]) == 2 and int(out.loc[1, "n_view"]) == 1
+        assert int(out.loc[2, "n_purchase"]) == 1 and int(out.loc[2, "n_click"]) == 1
+        assert int(out.loc[1, "n_error"]) == 0
+
+    def test_lag_delta_boundaries(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import lag_delta_events
+
+        t0 = pd.Timestamp("2024-01-01")
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 2, 2],
+                "ts": [t0, t0 + pd.Timedelta(microseconds=1500), t0, t0 + pd.Timedelta(seconds=2)],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+        out = lag_delta_events(str(tmp_path)).to_pandas().set_index("event_id")
+        # first event per user is NULL, gaps are exact microseconds
+        assert pd.isna(out.loc[1, "gap_us"]) and pd.isna(out.loc[3, "gap_us"])
+        assert int(out.loc[2, "gap_us"]) == 1500
+        assert int(out.loc[4, "gap_us"]) == 2_000_000
