@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-grouping-set aggregate: finest-grain partials, coarser
         # ROLLUP levels derived from the bounded finest table
         "rel_rollup": lambda sf: rel.rollup_agg_lineitem(sf),
+        "rel_cube": lambda sf: rel.cube_agg_lineitem(sf),
         # pivot / conditional aggregate: fixed-width per-batch partials,
         # one groupby-Sum (COUNT FILTER parity)
         "rel_pivot": lambda sf: rel.pivot_events(sf),
@@ -633,6 +634,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "rel_pivot": """
             SELECT user_id,

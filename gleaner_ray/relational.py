@@ -23,7 +23,10 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
 - ``grouped_topk``     — row_number()<=k parity without a global sort
 - ``range_join``       — interval self-join via co-partition + composite
   monotone key + searchsorted window bounds (no per-key Python)
-- ``rollup_agg``       — GROUP BY ROLLUP from finest-grain partials
+- ``rollup_agg`` / ``cube_agg`` — GROUP BY ROLLUP / CUBE from
+  finest-grain partials (all grouping sets from one bounded table)
+- ``pivot``            — conditional aggregate (COUNT FILTER parity)
+- ``lag_delta``        — LAG window fn, exact integer-µs gaps
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ __all__ = [
     "rollup_agg_lineitem",
     "pivot_events",
     "lag_delta_events",
+    "cube_agg_lineitem",
 ]
 
 
@@ -574,51 +578,69 @@ def range_join_events(sf_dir: str, window_s: int = 3600, num_partitions: int | N
     )
 
 
-def rollup_agg_lineitem(sf_dir: str):
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over sum(qty)/count:
-    the multi-grouping-set aggregate as a distributed plan — partials at
-    the FINEST grain per batch (one combine row per (flag, status) per
-    batch), a tiny groupby-sum exchange, then every coarser grouping set
-    derived from the finest table in one bounded task whose input
-    cardinality is the group count, independent of row count. NULL marks
-    the rolled-up level, matching SQL ROLLUP output."""
+def _grouping_sets_lineitem(sf_dir: str, sets: tuple[tuple[str, ...], ...]):
+    """Shared plan for multi-grouping-set aggregates (ROLLUP / CUBE):
+    partials at the FINEST grain per batch (one combine row per
+    (flag, status) per batch), a tiny groupby-sum exchange, then every
+    coarser grouping set derived from the finest table in one bounded
+    task whose input cardinality is the group count, independent of row
+    count. NULL marks a grouped-out column, matching SQL output."""
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
     )
+    keys = ["l_returnflag", "l_linestatus"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(qty_i=df["l_quantity"].round().astype("int64"))
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty_i", "sum"), n=("qty_i", "size")
-        )
+        return df.groupby(keys, as_index=False).agg(sum_qty=("qty_i", "sum"), n=("qty_i", "size"))
 
     partials = ds.map_batches(partial, batch_format="pandas")
     from ray.data.aggregate import Sum
 
-    finest = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    finest = partials.groupby(keys).aggregate(
         Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n")
     )
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        lvl1 = df.groupby("l_returnflag", as_index=False).agg(
-            sum_qty=("sum_qty", "sum"), n=("n", "sum")
-        )
-        lvl1["l_linestatus"] = None
-        lvl0 = pd.DataFrame(
-            {
-                "l_returnflag": [None],
-                "l_linestatus": [None],
-                "sum_qty": [df["sum_qty"].sum()],
-                "n": [df["n"].sum()],
-            }
-        )
-        cols = ["l_returnflag", "l_linestatus", "sum_qty", "n"]
-        out = pd.concat([df[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
-        out["l_returnflag"] = out["l_returnflag"].astype(object)
-        out["l_linestatus"] = out["l_linestatus"].astype(object)
+        cols = keys + ["sum_qty", "n"]
+        frames = []
+        for gs in sets:
+            if tuple(gs) == tuple(keys):
+                frames.append(df[cols])
+                continue
+            if gs:
+                lvl = df.groupby(list(gs), as_index=False).agg(
+                    sum_qty=("sum_qty", "sum"), n=("n", "sum")
+                )
+            else:
+                lvl = pd.DataFrame({"sum_qty": [df["sum_qty"].sum()], "n": [df["n"].sum()]})
+            for k in keys:
+                if k not in gs:
+                    lvl[k] = None
+            frames.append(lvl[cols])
+        out = pd.concat(frames, ignore_index=True)
+        for k in keys:
+            out[k] = out[k].astype(object)
         return out
 
     return finest.repartition(1).map_batches(expand, batch_size=None, batch_format="pandas")
+
+
+def rollup_agg_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the hierarchical
+    grouping sets — finest, per-flag, grand total."""
+    return _grouping_sets_lineitem(
+        sf_dir, (("l_returnflag", "l_linestatus"), ("l_returnflag",), ())
+    )
+
+
+def cube_agg_lineitem(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all 2^2 grouping sets,
+    adding the per-status margin to ROLLUP's three levels."""
+    return _grouping_sets_lineitem(
+        sf_dir,
+        (("l_returnflag", "l_linestatus"), ("l_returnflag",), ("l_linestatus",), ()),
+    )
 
 
 def grouped_topk_orders(sf_dir: str, k: int = 3):

@@ -824,3 +824,25 @@ class TestPivotLag:
         assert pd.isna(out.loc[1, "gap_us"]) and pd.isna(out.loc[3, "gap_us"])
         assert int(out.loc[2, "gap_us"]) == 1500
         assert int(out.loc[4, "gap_us"]) == 2_000_000
+
+
+def test_cube_adds_status_margin(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.relational import cube_agg_lineitem
+
+    lineitem = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "N"],
+            "l_linestatus": ["F", "O", "O"],
+            "l_quantity": [1.0, 2.0, 4.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(lineitem), str(tmp_path / "lineitem.parquet"))
+    out = cube_agg_lineitem(str(tmp_path)).to_pandas()
+    # CUBE = ROLLUP's 3 levels + the per-status margin (flag NULL)
+    margin = out[out["l_returnflag"].isna() & out["l_linestatus"].notna()].set_index("l_linestatus")
+    assert int(margin.loc["O", "sum_qty"]) == 6 and int(margin.loc["O", "n"]) == 2
+    assert int(margin.loc["F", "sum_qty"]) == 1
+    assert len(out) == 3 + 2 + 2 + 1  # finest + per-flag + per-status + total

@@ -114,6 +114,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_grouped_topk",
         "rel_range_join",
         "rel_rollup",
+        "rel_cube",
         "rel_pivot",
         "rel_lag_delta",
         "text_token_stats",
