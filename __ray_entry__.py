@@ -326,6 +326,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LAG window function: co-partitioned, vectorized shift/diff,
         # exact integer-microsecond gaps (NULL at user boundaries)
         "rel_lag_delta": lambda sf: rel.lag_delta_events(sf),
+        # cumulative window frame: row_number + running sum per user,
+        # co-partitioned, exact integer cents (float-order independent)
+        "rel_running_total": lambda sf: rel.running_total_events(sf),
+        # ordered per-group concatenation (string_agg / group_concat)
+        "rel_string_agg": lambda sf: rel.string_agg_orders(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -336,6 +341,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
+        # corpus length histogram: bounded (bin, count) partials per
+        # batch, one tiny groupby-Sum — no corpus shuffle
+        "text_histogram": lambda sf: tx.token_histogram(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        ),
+        # explode/unnest: one row per token with position (flat_map
+        # building block), fully vectorized expansion
+        "text_explode_tokens": lambda sf: tx.explode_tokens(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
         # PII scrub: the synthetic corpus carries no PII, so the query
         # plants deterministic emails/IPs/phone numbers from doc_id on
         # BOTH sides (engine and oracle build the same augmented text)
@@ -656,6 +671,40 @@ def oracle_sql() -> dict[str, str]:
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                              ts) AS gap_us
             FROM events
+        """,
+        "rel_running_total": """
+            SELECT event_id, user_id, ts,
+                   row_number() OVER w AS rn,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rel_string_agg": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS statuses
+            FROM orders GROUP BY o_custkey
+        """,
+        "text_histogram": r"""
+            WITH n AS (
+              SELECT CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents)
+            SELECT CAST((n_tokens // 100) * 100 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM n GROUP BY 1
+        """,
+        "text_explode_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+            SELECT doc_id,
+                   CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
+                   unnest(w) AS token
+            FROM toks
         """,
         "text_token_stats": r"""
             SELECT doc_id,

@@ -21,6 +21,7 @@ driver's oracle can verify them value-for-value.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 
 import numpy as np
@@ -547,3 +548,63 @@ def length_quantile_filter(ds, q: float = 0.2, concurrency: int | None = None):
         return pd.DataFrame({"doc_id": out["doc_id"], "n_tokens": out["n_tokens_ws"]})
 
     return counted.map_batches(keep, batch_format="pandas")
+
+
+def token_histogram(ds, bin_width: int = 100):
+    """Corpus length histogram: documents bucketed by whitespace token
+    count into fixed-width bins — ``GROUP BY (n_tokens // W) * W``
+    parity. The distribution every corpus report starts with.
+
+    Scale shape: each batch reduces to a (bin, count) partial (bounded
+    by distinct bins, independent of rows), then one tiny groupby-Sum —
+    no shuffle of the corpus, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.split().str.len().astype("int64")
+        bins = (n // bin_width) * bin_width
+        out = bins.to_frame(name="bin").groupby("bin", as_index=False).agg(n_docs=("bin", "size"))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def explode_tokens(ds):
+    """Explode / unnest: one output row per (lowercased, whitespace-split)
+    token with its 0-based position — ``unnest(string_split(...))``
+    parity, and the engine's flat_map building block for token-level ops
+    (inverted indexes, positional n-grams).
+
+    Vectorized expansion per batch: one pass splits the column, then
+    doc_ids replicate via ``np.repeat`` and positions come from a single
+    arange minus per-doc offsets — no per-row append loop. Output rows
+    stream block-by-block; nothing materializes beyond the batch."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(dtype="int64")
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype="object"),
+                }
+            )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = list(itertools.chain.from_iterable(toks))
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(dtype="int64"), lens),
+                "pos": np.arange(total, dtype="int64") - np.repeat(starts, lens),
+                "token": flat,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")

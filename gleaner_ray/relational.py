@@ -27,6 +27,10 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
   finest-grain partials (all grouping sets from one bounded table)
 - ``pivot``            — conditional aggregate (COUNT FILTER parity)
 - ``lag_delta``        — LAG window fn, exact integer-µs gaps
+- ``running_total``    — cumulative window frame (row_number + running
+  sum), co-partitioned by key, exact integer arithmetic
+- ``string_agg``       — ordered per-group concatenation (string_agg /
+  group_concat parity)
 """
 
 from __future__ import annotations
@@ -61,6 +65,8 @@ __all__ = [
     "pivot_events",
     "lag_delta_events",
     "cube_agg_lineitem",
+    "running_total_events",
+    "string_agg_orders",
 ]
 
 
@@ -727,6 +733,82 @@ def lag_delta_events(sf_dir: str, num_partitions: int | None = None):
                 "gap_us": gap,
             }
         )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def running_total_events(sf_dir: str, num_partitions: int | None = None):
+    """Cumulative window frame per user: ``row_number()`` and a running
+    sum of event value over ``(PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)``.
+
+    Same scale shape as lag/sessionize: ONE hash exchange co-partitions
+    users, then both window functions are a vectorized sort + grouped
+    cumcount/cumsum inside each partition — no per-user Python, no
+    global sort. The running sum accumulates exact integer cents
+    (``floor(value*100)``) so the result is independent of both
+    engines' float-summation order and hashes bit-identical."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        cents = pd.Series(np.floor(df["value"].to_numpy() * 100.0).astype("int64"))
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "rn": (g.cumcount() + 1).astype("int64"),
+                "cum_cents": cents.groupby(df["user_id"], sort=False).cumsum().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def string_agg_orders(sf_dir: str, num_partitions: int | None = None):
+    """Ordered per-group concatenation: per customer, order statuses
+    joined with ',' in ``(o_orderdate, o_orderkey)`` order plus the
+    group size — ``string_agg(x, ',' ORDER BY ...)`` / group_concat
+    parity.
+
+    One hash exchange co-partitions customers; inside a partition one
+    mergesort puts every group in emit order and the concatenation is a
+    single pandas groupby-agg over contiguous runs. Output is one row
+    per group, so the exchanged and returned volume is bounded by group
+    count x string budget — at corpus scale, cap the per-group length
+    upstream (LIMIT inside the group) exactly as SQL users do."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"],
+    )
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["o_custkey"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        out = df.groupby("o_custkey", sort=False, as_index=False).agg(
+            n_orders=("o_orderstatus", "size"), statuses=("o_orderstatus", ",".join)
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
 
     return (
         ds.map_batches(add_pid, batch_format="pandas")

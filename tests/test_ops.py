@@ -846,3 +846,81 @@ def test_cube_adds_status_margin(ray_session, tmp_path):
     assert int(margin.loc["O", "sum_qty"]) == 6 and int(margin.loc["O", "n"]) == 2
     assert int(margin.loc["F", "sum_qty"]) == 1
     assert len(out) == 3 + 2 + 2 + 1  # finest + per-flag + per-status + total
+
+
+class TestRunningTotalStringAgg:
+    def test_running_total_per_user(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import running_total_events
+
+        t0 = pd.Timestamp("2024-01-01")
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 1, 2],
+                "ts": [t0, t0 + pd.Timedelta(seconds=1), t0 + pd.Timedelta(seconds=2), t0],
+                "value": [1.25, 2.5, 0.999, 7.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+        out = running_total_events(str(tmp_path)).to_pandas().set_index("event_id")
+        assert list(out.loc[[1, 2, 3], "rn"]) == [1, 2, 3]
+        # floor(value*100) cents accumulate exactly: 125, 375, 474
+        assert list(out.loc[[1, 2, 3], "cum_cents"]) == [125, 375, 474]
+        assert int(out.loc[4, "rn"]) == 1 and int(out.loc[4, "cum_cents"]) == 700
+
+    def test_string_agg_ordered(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import string_agg_orders
+
+        d = pd.to_datetime
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [10, 11, 12, 13],
+                "o_custkey": [1, 1, 1, 2],
+                "o_orderstatus": ["F", "O", "P", "F"],
+                "o_orderdate": [d("2024-02-01"), d("2024-01-01"), d("2024-01-01"), d("2024-03-01")],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = string_agg_orders(str(tmp_path)).to_pandas().set_index("o_custkey")
+        # date asc, then orderkey asc: 11(O) then 12(P) then 10(F)
+        assert out.loc[1, "statuses"] == "O,P,F" and int(out.loc[1, "n_orders"]) == 3
+        assert out.loc[2, "statuses"] == "F"
+
+
+class TestHistogramExplode:
+    def test_token_histogram_bins(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import token_histogram
+
+        rows = [
+            {"doc_id": 0, "text": ""},  # 0 tokens -> bin 0
+            {"doc_id": 1, "text": "a b c"},  # 3 -> bin 0
+            {"doc_id": 2, "text": " ".join(["w"] * 105)},  # -> bin 100
+            {"doc_id": 3, "text": " ".join(["w"] * 100)},  # -> bin 100
+        ]
+        out = token_histogram(rd.from_items(rows)).to_pandas().set_index("bin")
+        assert int(out.loc[0, "n_docs"]) == 2
+        assert int(out.loc[100, "n_docs"]) == 2
+
+    def test_explode_tokens_positions(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import explode_tokens
+
+        rows = [
+            {"doc_id": 7, "text": "Hello  World"},
+            {"doc_id": 8, "text": ""},
+            {"doc_id": 9, "text": "x"},
+        ]
+        out = explode_tokens(rd.from_items(rows)).to_pandas()
+        out = out.sort_values(["doc_id", "pos"], ignore_index=True)
+        assert list(out["doc_id"]) == [7, 7, 9]
+        assert list(out["pos"]) == [0, 1, 0]
+        assert list(out["token"]) == ["hello", "world", "x"]

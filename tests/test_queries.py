@@ -117,7 +117,11 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_cube",
         "rel_pivot",
         "rel_lag_delta",
+        "rel_running_total",
+        "rel_string_agg",
         "text_token_stats",
+        "text_histogram",
+        "text_explode_tokens",
         "text_quality",
         "text_fingerprint_md5",
         "text_langid",
