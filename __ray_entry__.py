@@ -331,6 +331,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_total": lambda sf: rel.running_total_events(sf),
         # ordered per-group concatenation (string_agg / group_concat)
         "rel_string_agg": lambda sf: rel.string_agg_orders(sf),
+        # LEFT OUTER join: left rows survive misses (right side
+        # pre-filtered before the exchange)
+        "rel_join_left_outer": lambda sf: rel.left_outer_join_customers_orders(sf),
+        # FULL OUTER join: rows survive from both sides; left side
+        # pre-aggregated to one row per key before the exchange
+        "rel_join_full_outer": lambda sf: rel.full_outer_join_users_customers(sf),
+        # distinct set union (UNION parity): per-block key dedupe, then
+        # Dataset.union + one key-only groupby
+        "rel_union_distinct": lambda sf: rel.union_distinct_ids(sf),
+        # bounded window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
+        # ROW): grouped cumsum/shift subtract, exact integer cents
+        "rel_moving_sum": lambda sf: rel.moving_sum_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -396,6 +408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
         # soft dedup: every copy kept, per-copy weight 1/|dup cluster|
         "samp_dup_weights": lambda sf: dd.dup_count_weights(docs(sf)),
+        # deterministic weighted (length-proportional) Bernoulli sample:
+        # exact power-of-2 arithmetic, content-free md5 coin
+        "samp_bernoulli_weighted": lambda sf: smp.bernoulli_weighted(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
         # percentile-based length cutoff: corpus-quantile threshold
         # (value-count reduction), broadcast scalar filter
         "pipe_len_quantile_filter": lambda sf: tx.length_quantile_filter(docs(sf), q=0.2),
@@ -685,6 +702,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
                    string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS statuses
             FROM orders GROUP BY o_custkey
+        """,
+        "rel_join_left_outer": """
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM customer LEFT JOIN (
+                SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                WHERE o_orderpriority = '1-URGENT') o
+            ON o.o_custkey = customer.c_custkey
+        """,
+        "rel_join_full_outer": """
+            SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+                   e.n_events, c.c_mktsegment
+            FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1) e
+            FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "rel_union_distinct": """
+            SELECT user_id AS id FROM events
+            UNION
+            SELECT o_custkey FROM orders
+        """,
+        "rel_moving_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS moving_cents
+            FROM events
+        """,
+        "samp_bernoulli_weighted": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+              FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM t
+            WHERE CAST(h AS DOUBLE) / 4294967296.0
+                  < LEAST(1.0, CAST(n_tokens AS DOUBLE) / 512.0)
         """,
         "text_histogram": r"""
             WITH n AS (

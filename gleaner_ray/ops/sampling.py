@@ -28,6 +28,7 @@ import hashlib
 import pandas as pd
 
 __all__ = [
+    "bernoulli_weighted",
     "df_rarity",
     "uniform_sample_n",
     "hash_split",
@@ -322,3 +323,35 @@ def uniform_sample_n(ds, n: int = 100, key: str = "doc_id"):
         return df.sort_values(["h", key], kind="mergesort").head(n).reset_index(drop=True)
 
     return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")
+
+
+def bernoulli_weighted(ds, scale: int = 512, key: str = "doc_id", text_col: str = "text"):
+    """Deterministic weighted (quality-proportional) sampling: keep a
+    document with probability ``min(1, n_tokens / scale)`` — longer
+    docs kept more often — decided by a content-free coin
+    ``u = uint32(md5(str(key))[:8]) / 2^32 < p``. The standard
+    importance-sampling step when up/down-weighting corpus slices,
+    stable across runs and engines like ``hash_split``.
+
+    ``scale`` must be a power of two: then both ``u`` (a 32-bit integer
+    over 2^32) and ``p`` (n / 2^k) are EXACT in float64, the comparison
+    is bit-deterministic, and the SQL oracle reproduces it digit for
+    digit. Per-batch vectorized token counts; one md5 per row (same
+    string-work budget as fingerprinting); no shuffle, no state."""
+    if scale & (scale - 1):
+        raise ValueError("scale must be a power of two for exact float comparison")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[text_col].fillna("").str.split().str.len().astype("int64")
+        u = (
+            batch[key]
+            .map(lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16))
+            .astype("float64")
+            / 4294967296.0
+        )
+        p = (n.astype("float64") / float(scale)).clip(upper=1.0)
+        out = batch.loc[(u < p).to_numpy(), [key]].copy()
+        out["n_tokens"] = n[(u < p).to_numpy()]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -67,6 +67,10 @@ __all__ = [
     "cube_agg_lineitem",
     "running_total_events",
     "string_agg_orders",
+    "left_outer_join_customers_orders",
+    "full_outer_join_users_customers",
+    "union_distinct_ids",
+    "moving_sum_events",
 ]
 
 
@@ -809,6 +813,130 @@ def string_agg_orders(sf_dir: str, num_partitions: int | None = None):
         )
         out["n_orders"] = out["n_orders"].astype("int64")
         return out
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def left_outer_join_customers_orders(sf_dir: str, num_partitions: int | None = None):
+    """LEFT OUTER join: every customer, joined to their URGENT orders,
+    with NULL order columns for customers that have none — the
+    enrichment-join shape where the left side must survive misses.
+
+    Ray Data's hash-partitioned ``join(join_type="left_outer")`` —
+    both sides exchange once on the key; the right side is pre-filtered
+    BEFORE the shuffle so only joining rows move."""
+    if num_partitions is None:
+        num_partitions = _join_partitions(sf_dir, "orders")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))).drop_columns(
+            ["o_orderpriority"]
+        )
+
+    joined = cust.join(
+        orders.map_batches(urgent, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.select_columns(["c_custkey", "c_name", "o_orderkey", "o_totalprice"])
+
+
+def full_outer_join_users_customers(sf_dir: str, num_partitions: int | None = None):
+    """FULL OUTER join: per-user event counts against the customer
+    table — rows survive from BOTH sides (users with no customer row,
+    customers with no events). The left side is pre-aggregated to one
+    row per key before the exchange (partial combine per batch, then
+    groupby-Sum), so the join moves counts, not events."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(n_events=("user_id", "size"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    per_user = (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    return per_user.join(
+        cust,
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("user_id",),
+        right_on=("c_custkey",),
+    )
+
+
+def union_distinct_ids(sf_dir: str):
+    """Distinct set union across tables: every id appearing as an event
+    user or an order customer — ``UNION`` (distinct) parity via
+    ``Dataset.union`` + one key-only groupby. Each input is projected
+    to the bare key column and deduped per batch BEFORE the union, so
+    the exchange carries distinct keys per block, not raw rows."""
+
+    def ukeys(path: str, col: str):
+        ds = rd.read_parquet(path, columns=[col])
+
+        def distinct(t: pa.Table) -> pa.Table:
+            arr = pc.unique(t[col])
+            return pa.table({"id": arr})
+
+        return ds.map_batches(distinct, batch_format="pyarrow")
+
+    u = ukeys(f"{sf_dir}/events.parquet", "user_id").union(
+        ukeys(f"{sf_dir}/orders.parquet", "o_custkey")
+    )
+    return u.groupby("id").count().select_columns(["id"])
+
+
+def moving_sum_events(sf_dir: str, window_rows: int = 3, num_partitions: int | None = None):
+    """Bounded window frame: per user, the sum of event value over the
+    current row and the ``window_rows`` preceding rows —
+    ``SUM(...) OVER (... ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)``
+    parity.
+
+    Same co-partitioned shape as running_total; the bounded frame is
+    two vectorized passes (grouped cumsum, grouped shift, subtract) —
+    no rolling-window Python loop. Exact integer cents, so the sum is
+    float-order independent and hashes bit-identical."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        cents = pd.Series(np.floor(df["value"].to_numpy() * 100.0).astype("int64"))
+        g = cents.groupby(df["user_id"], sort=False)
+        cum = g.cumsum()
+        lagged = cum.groupby(df["user_id"], sort=False).shift(window_rows + 1)
+        moving = (cum - lagged.fillna(0)).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "moving_cents": moving,
+            }
+        )
 
     return (
         ds.map_batches(add_pid, batch_format="pandas")

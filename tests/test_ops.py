@@ -924,3 +924,77 @@ class TestHistogramExplode:
         assert list(out["doc_id"]) == [7, 7, 9]
         assert list(out["pos"]) == [0, 1, 0]
         assert list(out["token"]) == ["hello", "world", "x"]
+
+
+class TestOuterJoinsUnionMoving:
+    def test_left_outer_survives_misses(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import left_outer_join_customers_orders
+
+        cust = pd.DataFrame({"c_custkey": [1, 2], "c_name": ["a", "b"]})
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [10, 11],
+                "o_custkey": [1, 1],
+                "o_totalprice": [5.0, 6.0],
+                "o_orderpriority": ["1-URGENT", "3-MEDIUM"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet"))
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = left_outer_join_customers_orders(str(tmp_path)).to_pandas()
+        # customer 1 joins only its URGENT order; customer 2 survives with NULLs
+        assert len(out) == 2
+        row2 = out[out["c_custkey"] == 2].iloc[0]
+        assert pd.isna(row2["o_orderkey"]) and pd.isna(row2["o_totalprice"])
+        assert int(out[out["c_custkey"] == 1].iloc[0]["o_orderkey"]) == 10
+
+    def test_moving_sum_frame(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import moving_sum_events
+
+        t0 = pd.Timestamp("2024-01-01")
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [1] * 5 + [2],
+                "ts": [t0 + pd.Timedelta(seconds=i) for i in range(5)] + [t0],
+                "value": [1.0, 2.0, 4.0, 8.0, 16.0, 99.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+        out = moving_sum_events(str(tmp_path)).to_pandas().set_index("event_id")
+        # frame = 3 preceding + current: 100, 300, 700, 1500, 3000 cents
+        assert list(out.loc[[1, 2, 3, 4, 5], "moving_cents"]) == [100, 300, 700, 1500, 3000]
+        assert int(out.loc[6, "moving_cents"]) == 9900  # user boundary resets
+
+    def test_bernoulli_weighted_exact_coin(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import bernoulli_weighted
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in [(0, 0), (1, 600), (2, 100), (3, 256)]
+        ]
+        out = bernoulli_weighted(rd.from_items(rows), scale=512).to_pandas()
+        kept = set(out["doc_id"])
+        assert 0 not in kept  # p=0 never kept
+        assert 1 in kept  # p=1 always kept
+        for i, n in [(2, 100), (3, 256)]:
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+            assert (i in kept) == (u < n / 512)
+
+    def test_bernoulli_weighted_rejects_non_pow2(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import bernoulli_weighted
+
+        with pytest.raises(ValueError):
+            bernoulli_weighted(rd.from_items([{"doc_id": 0, "text": "x"}]), scale=500)

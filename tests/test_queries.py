@@ -119,6 +119,11 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_lag_delta",
         "rel_running_total",
         "rel_string_agg",
+        "rel_join_left_outer",
+        "rel_join_full_outer",
+        "rel_union_distinct",
+        "rel_moving_sum",
+        "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
         "text_explode_tokens",
