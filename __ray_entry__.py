@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
         # ROW): grouped cumsum/shift subtract, exact integer cents
         "rel_moving_sum": lambda sf: rel.moving_sum_events(sf),
+        # global ORDER BY rank + NTILE without a global sort: bounded
+        # bucket-count table -> driver prefix-sum -> per-bucket ranks
+        "rel_global_rank": lambda sf: rel.global_rank_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -728,6 +731,12 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS moving_cents
+            FROM events
+        """,
+        "rel_global_rank": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id) AS rank,
+                   ntile(4) OVER (ORDER BY ts, event_id) AS quartile
             FROM events
         """,
         "samp_bernoulli_weighted": r"""

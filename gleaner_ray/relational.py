@@ -31,6 +31,14 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
   sum), co-partitioned by key, exact integer arithmetic
 - ``string_agg``       — ordered per-group concatenation (string_agg /
   group_concat parity)
+- ``left/full outer join`` — misses survive; right side pre-filtered /
+  left side pre-aggregated before the exchange
+- ``union_distinct``   — UNION parity via per-block key dedupe +
+  Dataset.union + key-only groupby
+- ``moving_sum``       — bounded window frame (ROWS BETWEEN k PRECEDING
+  AND CURRENT ROW), grouped cumsum/shift subtract
+- ``global_rank``      — global ORDER BY row_number + NTILE via bounded
+  bucket counts + driver prefix-sum (no global payload sort)
 """
 
 from __future__ import annotations
@@ -71,6 +79,7 @@ __all__ = [
     "full_outer_join_users_customers",
     "union_distinct_ids",
     "moving_sum_events",
+    "global_rank_events",
 ]
 
 
@@ -942,4 +951,74 @@ def moving_sum_events(sf_dir: str, window_rows: int = 3, num_partitions: int | N
         ds.map_batches(add_pid, batch_format="pandas")
         .groupby("pid")
         .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def global_rank_events(sf_dir: str, ntiles: int = 4):
+    """Global ORDER BY rank + NTILE without a global sort:
+    ``row_number() OVER (ORDER BY ts, event_id)`` and ``ntile(n)`` over
+    the whole table.
+
+    Two-level prefix-sum (same seam as sequence packing): (1) each
+    batch reduces to per-day-bucket counts — a bounded (bucket, n)
+    table independent of row count; (2) the driver prefix-sums that
+    tiny table into per-bucket base offsets; (3) one exchange
+    co-locates each day bucket, which sorts locally and assigns
+    ``base + arange`` — exact global ranks, no all-to-all sort of the
+    payload. NTILE derives arithmetically from the rank and total
+    (first ``total % n`` tiles take the extra row, SQL semantics).
+
+    Partitioning assumption: one day bucket fits one group task — at
+    10^10 rows pick a finer bucket (hour/minute) so the bucket table
+    stays driver-sized; the documented tree-prefix-sum seam applies
+    beyond."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["ts"].to_numpy(dtype="datetime64[us]").view("int64") // 86_400_000_000).astype(
+            "int64"
+        )
+        out = pd.DataFrame({"bucket": b}).groupby("bucket", as_index=False).agg(n=("bucket", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tbl = (
+        ds.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    total = int(tbl["n"].sum())
+    base = {int(b): int(v) for b, v in zip(tbl["bucket"], tbl["n"].cumsum() - tbl["n"])}
+    base_ref = ray.put(base)
+    q, r = divmod(total, ntiles)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["ts"].to_numpy(dtype="datetime64[us]").view("int64") // 86_400_000_000).astype(
+            "int64"
+        )
+        return df.assign(bucket=b)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        df = df.sort_values(["ts", "event_id"], kind="mergesort", ignore_index=True)
+        rank = bases[int(df["bucket"].iloc[0])] + np.arange(1, len(df) + 1, dtype="int64")
+        # SQL NTILE: the first (total % n) tiles take ceil(total/n) rows
+        big = np.int64(r) * (q + 1)
+        tile = np.where(
+            rank <= big,
+            (rank - 1) // (q + 1) + 1,
+            r + (rank - big - 1) // max(q, 1) + 1,
+        ).astype("int64")
+        return pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"), "rank": rank, "quartile": tile}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
     )

@@ -998,3 +998,25 @@ class TestOuterJoinsUnionMoving:
 
         with pytest.raises(ValueError):
             bernoulli_weighted(rd.from_items([{"doc_id": 0, "text": "x"}]), scale=500)
+
+
+def test_global_rank_ntile_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.relational import global_rank_events
+
+    t0 = pd.Timestamp("2024-01-01")
+    # 6 events over 3 days; total=6, ntile(4): sizes 2,2,1,1 (SQL: first
+    # total%n tiles take the extra row)
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [t0 + pd.Timedelta(hours=h) for h in [0, 1, 30, 31, 60, 61]],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+    out = global_rank_events(str(tmp_path)).to_pandas().sort_values("rank", ignore_index=True)
+    assert list(out["event_id"]) == [1, 2, 3, 4, 5, 6]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5, 6]
+    assert list(out["quartile"]) == [1, 1, 2, 2, 3, 4]
