@@ -346,6 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global ORDER BY rank + NTILE without a global sort: bounded
         # bucket-count table -> driver prefix-sum -> per-bucket ranks
         "rel_global_rank": lambda sf: rel.global_rank_events(sf),
+        # Pearson correlation per group: exact int64 moment sums, one
+        # identical float expression on both engines
+        "rel_corr": lambda sf: rel.corr_value_hour_by_type(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -738,6 +741,25 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY ts, event_id) AS rank,
                    ntile(4) OVER (ORDER BY ts, event_id) AS quartile
             FROM events
+        """,
+        "rel_corr": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                     CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                     CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                     CAST(SUM(y * y) AS DOUBLE) AS syy
+              FROM (SELECT event_type,
+                           CAST(floor(value * 100) AS BIGINT) AS x,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type,
+                   (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                       AS corr_cents_hour
+            FROM m
         """,
         "samp_bernoulli_weighted": r"""
             WITH t AS (

@@ -39,6 +39,8 @@ surface a user of the engine gets, each op oracle-checkable in ANSI SQL:
   AND CURRENT ROW), grouped cumsum/shift subtract
 - ``global_rank``      — global ORDER BY row_number + NTILE via bounded
   bucket counts + driver prefix-sum (no global payload sort)
+- ``corr``             — Pearson correlation per group from exact int64
+  moment sums (one identical float expression both engines)
 """
 
 from __future__ import annotations
@@ -80,6 +82,7 @@ __all__ = [
     "union_distinct_ids",
     "moving_sum_events",
     "global_rank_events",
+    "corr_value_hour_by_type",
 ]
 
 
@@ -1022,3 +1025,59 @@ def global_rank_events(sf_dir: str, ntiles: int = 4):
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def corr_value_hour_by_type(sf_dir: str):
+    """Pearson correlation per group — ``corr(x, y) GROUP BY
+    event_type`` parity between event value (exact integer cents) and
+    hour-of-day.
+
+    Numeric-stability-by-exactness: each batch reduces to EXACT int64
+    moment sums (n, Sx, Sy, Sxy, Sxx, Syy) — order-independent, so the
+    partial-aggregate exchange is a 6-column groupby-Sum — and the
+    final correlation is ONE float expression evaluated identically
+    here and in the SQL oracle (every total cast to double first, then
+    mul/sub/sqrt in the same order; IEEE ops are exactly rounded, so
+    the doubles hash bit-identical). Int64 bound: |cents| <= 10^5 and
+    hour <= 23 keep Sxx below 2^63 up to ~10^12 rows; shard the moment
+    sums by key-salt beyond."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df["value"].to_numpy() * 100.0).astype("int64")
+        y = df["ts"].dt.hour.to_numpy().astype("int64")
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return t.groupby("event_type", as_index=False).sum()
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("float64")
+        sx = df["sx"].astype("float64")
+        sy = df["sy"].astype("float64")
+        num = n * df["sxy"].astype("float64") - sx * sy
+        den = np.sqrt(n * df["sxx"].astype("float64") - sx * sx) * np.sqrt(
+            n * df["syy"].astype("float64") - sy * sy
+        )
+        return pd.DataFrame({"event_type": df["event_type"], "corr_cents_hour": num / den})
+
+    # finish runs on the bounded totals table (one row per event type)
+    return totals.map_batches(finish, batch_format="pandas")

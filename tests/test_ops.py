@@ -1020,3 +1020,25 @@ def test_global_rank_ntile_semantics(ray_session, tmp_path):
     assert list(out["event_id"]) == [1, 2, 3, 4, 5, 6]
     assert list(out["rank"]) == [1, 2, 3, 4, 5, 6]
     assert list(out["quartile"]) == [1, 1, 2, 2, 3, 4]
+
+
+def test_corr_exact_moments(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.relational import corr_value_hour_by_type
+
+    t0 = pd.Timestamp("2024-01-01")
+    # perfectly correlated group (value rises with hour) and a
+    # perfectly anti-correlated one
+    events = pd.DataFrame(
+        {
+            "event_type": ["up"] * 3 + ["down"] * 3,
+            "ts": [t0 + pd.Timedelta(hours=h) for h in [1, 2, 3, 1, 2, 3]],
+            "value": [1.0, 2.0, 3.0, 3.0, 2.0, 1.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+    out = corr_value_hour_by_type(str(tmp_path)).to_pandas().set_index("event_type")
+    assert abs(out.loc["up", "corr_cents_hour"] - 1.0) < 1e-12
+    assert abs(out.loc["down", "corr_cents_hour"] + 1.0) < 1e-12

@@ -124,6 +124,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_union_distinct",
         "rel_moving_sum",
         "rel_global_rank",
+        "rel_corr",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
