@@ -369,6 +369,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_explode_tokens": lambda sf: tx.explode_tokens(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         ),
+        # type-token ratio: exact int64 counts, one IEEE division
+        "text_lexical_diversity": lambda sf: tx.lexical_diversity(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
+        # rare-token inverted index: distinct (token, doc) pairs, ONE
+        # token-hash exchange, df filter before any concat. The
+        # synthetic corpus has a 31-token vocabulary (min df 25), so
+        # the board query uses max_df=390 to split it meaningfully;
+        # real corpora use the small default.
+        "text_inverted_index": lambda sf: tx.inverted_index(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            max_df=390,
+        ),
         # PII scrub: the synthetic corpus carries no PII, so the query
         # plants deterministic emails/IPs/phone numbers from doc_id on
         # BOTH sides (engine and oracle build the same augmented text)
@@ -792,6 +805,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
                    unnest(w) AS token
             FROM toks
+        """,
+        "text_lexical_diversity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+                    FROM flat GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   COALESCE(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 0.0) AS ttr
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_inverted_index": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            flat AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM toks)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM flat GROUP BY token HAVING count(*) <= 390
         """,
         "text_token_stats": r"""
             SELECT doc_id,

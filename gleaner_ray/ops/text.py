@@ -608,3 +608,106 @@ def explode_tokens(ds):
         )
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def lexical_diversity(ds):
+    """Type-token ratio per document — the classic lexical-diversity
+    quality signal (low TTR flags boilerplate/template pages): token
+    count, distinct-token count, and their EXACT quotient (two int64
+    inputs, one IEEE division — bit-identical across engines, unlike
+    log-based entropy).
+
+    Vectorized: one batch-level explode (repeat/arange), a C-speed
+    pandas groupby-nunique over the flattened tokens, realigned to the
+    batch's docs. No shuffle; no per-row Python."""
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(dtype="int64")
+        total = int(lens.sum())
+        doc_ids = df["doc_id"].to_numpy(dtype="int64")
+        if total == 0:
+            distinct = np.zeros(len(df), dtype="int64")
+        else:
+            flat = pd.DataFrame(
+                {
+                    "doc": np.repeat(doc_ids, lens),
+                    "tok": list(itertools.chain.from_iterable(toks)),
+                }
+            )
+            per_doc = flat.groupby("doc")["tok"].nunique()
+            distinct = per_doc.reindex(doc_ids, fill_value=0).to_numpy(dtype="int64")
+        with np.errstate(invalid="ignore"):
+            ttr = np.where(lens > 0, distinct / np.maximum(lens, 1), 0.0)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "n_tokens": lens, "n_distinct": distinct, "ttr": ttr}
+        )
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def inverted_index(ds, max_df: int = 3, num_partitions: int | None = None):
+    """Rare-token inverted index: posting list (ordered doc_ids) per
+    token appearing in at most ``max_df`` documents — the retrieval /
+    contamination-lookup building block.
+
+    Scale shape: per-batch explode + per-doc distinct keeps the
+    exchange at one row per distinct (token, doc) pair (a doc is one
+    row, so within-batch dedupe IS global dedupe); ONE groupby
+    co-locates each token's postings; the df filter applies inside the
+    group before any string is built, so frequent tokens never
+    concatenate. ``max_df`` bounds the output row width exactly like
+    the SQL HAVING it mirrors."""
+    from gleaner_ray.cluster import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split().map(set)
+        lens = toks.map(len).to_numpy(dtype="int64")
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"), "doc_id": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "token": list(itertools.chain.from_iterable(toks)),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(dtype="int64"), lens),
+            }
+        )
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["token"].to_numpy(dtype=object)).astype("uint64")
+        return df.assign(pid=(h % np.uint64(num_partitions)).astype("int64"))
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per partition: size filter first, so
+        # frequent tokens never reach the string concat
+        sizes = df.groupby("token", as_index=False).agg(df_count=("token", "size"))
+        keep = sizes[sizes["df_count"] <= max_df]
+        empty = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="object"),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype="object"),
+            }
+        )
+        if keep.empty:
+            return empty
+        sub = df[df["token"].isin(set(keep["token"]))].copy()
+        sub["doc_str"] = sub["doc_id"].astype(str)
+        sub = sub.sort_values(["token", "doc_id"], kind="mergesort")
+        agg = sub.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"), postings=("doc_str", ",".join)
+        )
+        agg["df"] = agg["df"].astype("int64")
+        return agg[["token", "df", "postings"]]
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(postings, batch_format="pandas")
+    )

@@ -1042,3 +1042,39 @@ def test_corr_exact_moments(ray_session, tmp_path):
     out = corr_value_hour_by_type(str(tmp_path)).to_pandas().set_index("event_type")
     assert abs(out.loc["up", "corr_cents_hour"] - 1.0) < 1e-12
     assert abs(out.loc["down", "corr_cents_hour"] + 1.0) < 1e-12
+
+
+class TestLexicalInverted:
+    def test_lexical_diversity_exact(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import lexical_diversity
+
+        rows = [
+            {"doc_id": 0, "text": "a a a a"},  # ttr 1/4
+            {"doc_id": 1, "text": "a b c d"},  # ttr 1
+            {"doc_id": 2, "text": ""},  # ttr 0
+        ]
+        out = lexical_diversity(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "n_distinct"] == 1
+        assert out.loc[0, "ttr"] == 0.25
+        assert out.loc[1, "ttr"] == 1.0
+        assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "ttr"] == 0.0
+
+    def test_inverted_index_rare_only(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import inverted_index
+
+        # 'common' in 4 docs (> max_df=3, dropped); 'rare' in docs 2,0
+        # (order-tested); 'once' in doc 3; dup within a doc collapses
+        rows = [
+            {"doc_id": 0, "text": "common rare rare"},
+            {"doc_id": 1, "text": "common"},
+            {"doc_id": 2, "text": "common rare"},
+            {"doc_id": 3, "text": "common once"},
+        ]
+        out = inverted_index(rd.from_items(rows), max_df=3).to_pandas().set_index("token")
+        assert "common" not in out.index
+        assert out.loc["rare", "postings"] == "0,2" and int(out.loc["rare", "df"]) == 2
+        assert out.loc["once", "postings"] == "3"

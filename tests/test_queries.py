@@ -129,6 +129,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_token_stats",
         "text_histogram",
         "text_explode_tokens",
+        "text_lexical_diversity",
+        "text_inverted_index",
         "text_quality",
         "text_fingerprint_md5",
         "text_langid",
