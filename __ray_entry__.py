@@ -349,6 +349,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Pearson correlation per group: exact int64 moment sums, one
         # identical float expression on both engines
         "rel_corr": lambda sf: rel.corr_value_hour_by_type(sf),
+        # arbitrary (non-hierarchical) GROUPING SETS from the shared
+        # finest-grain-partials plan
+        "rel_grouping_sets": lambda sf: rel.grouping_sets_agg_lineitem(sf),
+        # set intersection / difference over distinct keys (INTERSECT /
+        # EXCEPT parity): per-block dedupe, keys-only semi/anti join
+        "rel_intersect": lambda sf: rel.intersect_ids(sf),
+        "rel_except": lambda sf: rel.except_ids(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -754,6 +761,22 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY ts, event_id) AS rank,
                    ntile(4) OVER (ORDER BY ts, event_id) AS quartile
             FROM events
+        """,
+        "rel_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "rel_intersect": """
+            SELECT user_id AS id FROM events
+            INTERSECT
+            SELECT o_custkey FROM orders
+        """,
+        "rel_except": """
+            SELECT o_custkey AS id FROM orders
+            EXCEPT
+            SELECT user_id FROM events
         """,
         "rel_corr": """
             WITH m AS (

@@ -83,6 +83,9 @@ __all__ = [
     "moving_sum_events",
     "global_rank_events",
     "corr_value_hour_by_type",
+    "grouping_sets_agg_lineitem",
+    "intersect_ids",
+    "except_ids",
 ]
 
 
@@ -1081,3 +1084,60 @@ def corr_value_hour_by_type(sf_dir: str):
 
     # finish runs on the bounded totals table (one row per event type)
     return totals.map_batches(finish, batch_format="pandas")
+
+
+def grouping_sets_agg_lineitem(sf_dir: str):
+    """Arbitrary GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)):
+    the non-hierarchical case ROLLUP/CUBE can't express — both margins,
+    neither the finest grain nor the grand total. Reuses the shared
+    finest-grain-partials plan: all requested sets still derive from
+    ONE bounded (flag, status) table, so adding sets costs no extra
+    pass over the data."""
+    return _grouping_sets_lineitem(sf_dir, (("l_returnflag",), ("l_linestatus",)))
+
+
+def intersect_ids(sf_dir: str):
+    """Distinct set intersection (INTERSECT parity): ids appearing BOTH
+    as an event user and an order customer. Per-block key dedupe on
+    each side, then Ray's left_semi hash join over distinct keys — the
+    exchange carries keys only."""
+    num_partitions = max(8, cluster_cpus(8))
+
+    def ukeys(path: str, col: str):
+        ds = rd.read_parquet(path, columns=[col])
+
+        def distinct(t: pa.Table) -> pa.Table:
+            return pa.table({"id": pc.unique(t[col])})
+
+        # one groupby collapses per-block distincts to global distincts
+        return ds.map_batches(distinct, batch_format="pyarrow").groupby("id").count().select_columns(["id"])
+
+    left = ukeys(f"{sf_dir}/events.parquet", "user_id")
+    right = ukeys(f"{sf_dir}/orders.parquet", "o_custkey")
+    return left.join(
+        right.map_batches(lambda t: t.rename_columns(["rid"]), batch_format="pyarrow"),
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("id",),
+        right_on=("rid",),
+    )
+
+
+def except_ids(sf_dir: str):
+    """Distinct set difference (EXCEPT parity): order customers with NO
+    events — same keys-only plan as intersect with a left_anti join."""
+    num_partitions = max(8, cluster_cpus(8))
+
+    def ukeys(path: str, col: str, out: str):
+        ds = rd.read_parquet(path, columns=[col])
+
+        def distinct(t: pa.Table) -> pa.Table:
+            return pa.table({out: pc.unique(t[col])})
+
+        return ds.map_batches(distinct, batch_format="pyarrow").groupby(out).count().select_columns([out])
+
+    left = ukeys(f"{sf_dir}/orders.parquet", "o_custkey", "id")
+    right = ukeys(f"{sf_dir}/events.parquet", "user_id", "rid")
+    return left.join(
+        right, join_type="left_anti", num_partitions=num_partitions, on=("id",), right_on=("rid",)
+    )

@@ -125,6 +125,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_moving_sum",
         "rel_global_rank",
         "rel_corr",
+        "rel_grouping_sets",
+        "rel_intersect",
+        "rel_except",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
