@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXCEPT parity): per-block dedupe, keys-only semi/anti join
         "rel_intersect": lambda sf: rel.intersect_ids(sf),
         "rel_except": lambda sf: rel.except_ids(sf),
+        # semi-structured sidecar: JSON field extraction (vectorized
+        # regex fast path, json.loads authoritative fallback)
+        "rel_json_extract": lambda sf: rel.json_extract_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -772,6 +775,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS id FROM events
             INTERSECT
             SELECT o_custkey FROM orders
+        """,
+        "rel_json_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "rel_except": """
             SELECT o_custkey AS id FROM orders

@@ -86,6 +86,7 @@ __all__ = [
     "grouping_sets_agg_lineitem",
     "intersect_ids",
     "except_ids",
+    "json_extract_events",
 ]
 
 
@@ -1141,3 +1142,46 @@ def except_ids(sf_dir: str):
     return left.join(
         right, join_type="left_anti", num_partitions=num_partitions, on=("id",), right_on=("rid",)
     )
+
+
+def json_extract_events(sf_dir: str, field: str = "k"):
+    """Per-row JSON field extraction from the ``props`` sidecar column
+    (``json_extract(props, '$.k')`` parity) — the
+    semi-structured-payload shape every crawl/event table carries.
+
+    Vectorized analytic fast path + exact fallback, the same pattern as
+    the crawl fixups: one compiled-regex ``str.extract`` handles the
+    canonical single-field form at C speed; rows it cannot prove are
+    re-parsed with ``json.loads`` (the authoritative semantics), so the
+    fast path can never change a result, only skip work. Missing field
+    or null/invalid JSON -> NULL, as in SQL. Pure map — no shuffle, no
+    state."""
+    import json
+    import re
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    # canonical '{"k": 123}' (single field, int value) — anchored so any
+    # extra structure falls through to the JSON parser
+    pat = re.compile(r'^\{"%s":\s*(-?\d+)\}$' % re.escape(field))
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        props = df["props"]
+        fast = props.str.extract(pat, expand=False)
+        need_slow = fast.isna() & props.notna()
+        if need_slow.any():
+            def slow(s):
+                try:
+                    v = json.loads(s).get(field)
+                except (ValueError, AttributeError):
+                    return None
+                return v if isinstance(v, int) else None
+
+            fast = fast.where(~need_slow, props[need_slow].map(slow))
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "k": pd.array(fast, dtype="Int64"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas")

@@ -1078,3 +1078,29 @@ class TestLexicalInverted:
         assert "common" not in out.index
         assert out.loc["rare", "postings"] == "0,2" and int(out.loc["rare", "df"]) == 2
         assert out.loc["once", "postings"] == "3"
+
+
+def test_json_extract_fallback_paths(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.relational import json_extract_events
+
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "props": [
+                '{"k": 42}',  # fast path
+                '{"k": -7}',  # fast path, negative
+                '{"j": 1, "k": 9}',  # slow path: extra field
+                '{"j": 1}',  # missing field -> NULL
+                "not json",  # invalid -> NULL
+                '{"k": "s"}',  # non-int value -> NULL
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+    out = json_extract_events(str(tmp_path)).to_pandas().set_index("event_id")
+    assert int(out.loc[1, "k"]) == 42 and int(out.loc[2, "k"]) == -7
+    assert int(out.loc[3, "k"]) == 9
+    assert pd.isna(out.loc[4, "k"]) and pd.isna(out.loc[5, "k"]) and pd.isna(out.loc[6, "k"])

@@ -128,6 +128,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_grouping_sets",
         "rel_intersect",
         "rel_except",
+        "rel_json_extract",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
