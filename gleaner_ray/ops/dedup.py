@@ -225,6 +225,11 @@ def minhash_signatures(ds, n_perm: int = 128, bands: int = 32, concurrency: int 
 # keyed shuffle (the common case: LSH candidates are rare by design)
 _SMALL_PAIRSET = 250_000
 
+# candidate-vector matrices up to this many bytes broadcast through
+# plasma for join-free verification (zero-copy read per task); larger
+# sets fall back to the hash-join attach path
+_BROADCAST_VERIFY_BYTES = 256 << 20
+
 
 def _dedupe_pairs(pairs_ds, subset=("a", "b")):
     """Unique pair rows, first occurrence kept.
@@ -848,6 +853,55 @@ def embedding_near_dup(
 
     emb_ds = ds.map_batches(payload, batch_format="pyarrow").materialize()
 
+    def _cosine_keep(df: pd.DataFrame, x: np.ndarray, y: np.ndarray) -> pd.DataFrame:
+        nx = np.linalg.norm(x, axis=1)
+        ny = np.linalg.norm(y, axis=1)
+        denom = np.where(nx * ny == 0, 1.0, nx * ny)
+        cos = (x * y).sum(axis=1) / denom
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep].astype("int64"),
+                "b": df["b"].to_numpy()[keep].astype("int64"),
+                "cosine": cos[keep],
+            }
+        )
+
+    _EMPTY_VERIFY = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+    )
+
+    # Bounded candidate sets: skip the attach joins entirely. Ray's
+    # hash-shuffle join pays ~10s fixed cost per join even at sf0.01
+    # (measured: the two attach joins dominated the exact-mode query);
+    # instead the candidate matrix broadcasts ONCE through plasma
+    # ((ids, float64 matrix) tuple, zero-copy on read) and each pairs
+    # batch gathers its rows by searchsorted. Cap: candidate-vector
+    # bytes <= _BROADCAST_VERIFY_BYTES; beyond that, the join path.
+    if ids_ref is not None:
+        emb_pdf = emb_ds.to_pandas()  # bounded: candidate vectors only
+        dim = len(emb_pdf["emb"].iloc[0]) // 8 if len(emb_pdf) else 0
+        if len(emb_pdf) * dim * 8 <= _BROADCAST_VERIFY_BYTES:
+            order = np.argsort(emb_pdf["vec_id"].to_numpy(), kind="stable")
+            ids_sorted = emb_pdf["vec_id"].to_numpy()[order].astype(np.int64)
+            mat = (
+                np.frombuffer(b"".join(emb_pdf["emb"].iloc[order]), dtype=np.float64)
+                .reshape(len(emb_pdf), -1)
+                if len(emb_pdf)
+                else np.zeros((0, 0))
+            )
+            mat_ref = _ray.put((ids_sorted, mat))
+
+            def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return _EMPTY_VERIFY.copy()
+                ids_s, m = _ray.get(mat_ref)
+                ia = np.searchsorted(ids_s, df["a"].to_numpy(dtype=np.int64))
+                ib = np.searchsorted(ids_s, df["b"].to_numpy(dtype=np.int64))
+                return _cosine_keep(df, m[ia], m[ib])
+
+            return pairs.map_batches(verify_broadcast, batch_format="pandas")
+
     def _as(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             return df.rename(columns={"vec_id": side, "emb": "emb_%s" % side})
@@ -862,23 +916,14 @@ def embedding_near_dup(
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")}
-            )
-        x = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_a"]])
-        y = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_b"]])
-        nx = np.linalg.norm(x, axis=1)
-        ny = np.linalg.norm(y, axis=1)
-        denom = np.where(nx * ny == 0, 1.0, nx * ny)
-        cos = (x * y).sum(axis=1) / denom
-        keep = cos >= threshold
-        return pd.DataFrame(
-            {
-                "a": df["a"].to_numpy()[keep].astype("int64"),
-                "b": df["b"].to_numpy()[keep].astype("int64"),
-                "cosine": cos[keep],
-            }
-        )
+            return _EMPTY_VERIFY.copy()
+        # ONE C-level concat + reshape per side: np.stack over per-row
+        # frombuffer views costs ~60x more at 100k+ pairs (measured
+        # 11.8s -> 0.19s on 124,750 sf0.01 exact-mode pairs), and the
+        # doubles are bit-identical
+        x = np.frombuffer(b"".join(df["emb_a"]), dtype=np.float64).reshape(len(df), -1)
+        y = np.frombuffer(b"".join(df["emb_b"]), dtype=np.float64).reshape(len(df), -1)
+        return _cosine_keep(df, x, y)
 
     return paired.map_batches(verify, batch_format="pandas")
 
