@@ -381,24 +381,9 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
         _ShingleSets, fn_constructor_kwargs={"shingle_k": shingle_k}, batch_format="pandas", concurrency=2
     ).materialize()
 
-    # pass 2: attach each side's set to the pair rows
-    def _as(side: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return df.rename(
-                columns={"doc_id": side, "shingles": "sh_%s" % side, "n_shingles": "n_%s" % side}
-            )
-
-        return fn
-
-    left = sets_ds.map_batches(_as("a"), batch_format="pandas")
-    right = sets_ds.map_batches(_as("b"), batch_format="pandas")
-    paired = pairs_ds.join(left, join_type="inner", num_partitions=nparts, on=("a",)).join(
-        right, join_type="inner", num_partitions=nparts, on=("b",)
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def _jaccard_rows(a_ids, b_ids, blobs_a, blobs_b) -> pd.DataFrame:
         rows_a, rows_b, jac = [], [], []
-        for a, b, ba, bb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
+        for a, b, ba, bb in zip(a_ids, b_ids, blobs_a, blobs_b):
             sa = np.frombuffer(ba, dtype=np.uint64)
             sb = np.frombuffer(bb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
@@ -415,6 +400,51 @@ def ngram_jaccard_pairs(ds, pairs_ds, shingle_k: int = 5, threshold: float = 0.8
                 "jaccard": pd.Series(jac, dtype="float64"),
             }
         )
+
+    # pass 2a: bounded set tables skip the attach joins — each hash
+    # join pays a fixed multi-second shuffle spin-up, pure overhead when
+    # candidates are rare (the LSH regime). The sorted (ids, blobs)
+    # tuple broadcasts once through plasma; each pairs batch looks its
+    # sides up by searchsorted.
+    if cand_ids.count() <= _SMALL_PAIRSET:
+        sets_pdf = sets_ds.to_pandas()  # bounded: candidate sets only
+        if int(sets_pdf["n_shingles"].sum()) * 8 <= _BROADCAST_VERIFY_BYTES:
+            import ray as _ray
+
+            order = np.argsort(sets_pdf["doc_id"].to_numpy(), kind="stable")
+            ids_sorted = sets_pdf["doc_id"].to_numpy()[order].astype(np.int64)
+            blobs = list(sets_pdf["shingles"].iloc[order])
+            sets_ref = _ray.put((ids_sorted, blobs))
+
+            def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return _jaccard_rows((), (), (), ())
+                ids_s, bl = _ray.get(sets_ref)
+                ia = np.searchsorted(ids_s, df["a"].to_numpy(dtype=np.int64))
+                ib = np.searchsorted(ids_s, df["b"].to_numpy(dtype=np.int64))
+                return _jaccard_rows(
+                    df["a"], df["b"], (bl[i] for i in ia), (bl[j] for j in ib)
+                )
+
+            return pairs_ds.map_batches(verify_broadcast, batch_format="pandas")
+
+    # pass 2b: attach each side's set to the pair rows (large sets)
+    def _as(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(
+                columns={"doc_id": side, "shingles": "sh_%s" % side, "n_shingles": "n_%s" % side}
+            )
+
+        return fn
+
+    left = sets_ds.map_batches(_as("a"), batch_format="pandas")
+    right = sets_ds.map_batches(_as("b"), batch_format="pandas")
+    paired = pairs_ds.join(left, join_type="inner", num_partitions=nparts, on=("a",)).join(
+        right, join_type="inner", num_partitions=nparts, on=("b",)
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        return _jaccard_rows(df["a"], df["b"], df["sh_a"], df["sh_b"])
 
     return paired.map_batches(verify, batch_format="pandas")
 
