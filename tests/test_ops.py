@@ -1104,3 +1104,52 @@ def test_json_extract_fallback_paths(ray_session, tmp_path):
     assert int(out.loc[1, "k"]) == 42 and int(out.loc[2, "k"]) == -7
     assert int(out.loc[3, "k"]) == 9
     assert pd.isna(out.loc[4, "k"]) and pd.isna(out.loc[5, "k"]) and pd.isna(out.loc[6, "k"])
+
+
+class TestWritePartitioned:
+    def _events_ds(self):
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": range(100),
+                    "event_type": ["click", "view", "purchase", "signup"] * 25,
+                    "value": [float(i) for i in range(100)],
+                }
+            )
+        )
+
+    def test_fresh_write_marks_all(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from gleaner_ray.sinks import write_partitioned
+
+        out = str(tmp_path / "out")
+        res = write_partitioned(self._events_ds(), out, by="event_type")
+        assert sorted(res["written"]) == ["click", "purchase", "signup", "view"]
+        assert res["skipped"] == []
+        assert rd.read_parquet(out).count() == 100
+
+    def test_resume_skips_done_and_rewrites_incomplete(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from gleaner_ray.sinks import write_partitioned
+
+        out = str(tmp_path / "out")
+        write_partitioned(self._events_ds(), out, by="event_type")
+        # simulate a crash: one partition lost its marker mid-write and
+        # holds a partial (corrupt) duplicate file
+        victim = os.path.join(out, "event_type=view")
+        os.remove(os.path.join(victim, "_SUCCESS"))
+        with open(os.path.join(victim, "extra.parquet"), "w") as f:
+            f.write("partial garbage")
+        res = write_partitioned(self._events_ds(), out, by="event_type")
+        # only the unmarked partition is rewritten; the rest skip whole
+        assert res["written"] == ["view"]
+        assert sorted(res["skipped"]) == ["click", "purchase", "signup"]
+        df = rd.read_parquet(out).to_pandas()
+        assert len(df) == 100  # no duplicated rows, garbage file gone
+        assert sorted(df[df.event_type == "view"]["event_id"])[:2] == [1, 5]
