@@ -1153,3 +1153,67 @@ class TestWritePartitioned:
         df = rd.read_parquet(out).to_pandas()
         assert len(df) == 100  # no duplicated rows, garbage file gone
         assert sorted(df[df.event_type == "view"]["event_id"])[:2] == [1, 5]
+
+
+class TestWindowOpsRandomizedParity:
+    """Seeded randomized parity: the distributed window operators vs
+    independent in-memory pandas references (duplicate timestamps, user
+    boundaries, negative values included by construction)."""
+
+    def _random_events(self, seed, n=400, users=7):
+        rng = np.random.default_rng(seed)
+        t0 = pd.Timestamp("2024-01-01")
+        # duplicate ts values on purpose: tie-break must come from event_id
+        ts = t0 + pd.to_timedelta(rng.integers(0, n // 2, n), unit="s")
+        return pd.DataFrame(
+            {
+                "event_id": rng.permutation(n).astype("int64"),
+                "user_id": rng.integers(0, users, n).astype("int64"),
+                "ts": ts,
+                "value": rng.normal(0, 50, n),  # negatives included
+            }
+        )
+
+    @pytest.mark.parametrize("seed", [1, 7, 23])
+    def test_running_total_matches_reference(self, ray_session, tmp_path, seed):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import running_total_events
+
+        df = self._random_events(seed)
+        d = tmp_path / str(seed)
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+        out = running_total_events(str(d)).to_pandas().sort_values("event_id", ignore_index=True)
+
+        ref = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        cents = pd.Series(np.floor(ref["value"].to_numpy() * 100.0).astype("int64"))
+        ref = ref.assign(
+            rn=ref.groupby("user_id").cumcount() + 1,
+            cum_cents=cents.groupby(ref["user_id"]).cumsum(),
+        ).sort_values("event_id", ignore_index=True)
+        assert list(out["rn"]) == list(ref["rn"])
+        assert list(out["cum_cents"]) == list(ref["cum_cents"])
+
+    @pytest.mark.parametrize("seed", [1, 23])
+    def test_global_rank_matches_argsort(self, ray_session, tmp_path, seed):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import global_rank_events
+
+        df = self._random_events(seed)
+        d = tmp_path / str(seed)
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+        out = global_rank_events(str(d)).to_pandas().sort_values("rank", ignore_index=True)
+
+        ref = df.sort_values(["ts", "event_id"], ignore_index=True)
+        assert list(out["event_id"]) == list(ref["event_id"])
+        assert list(out["rank"]) == list(range(1, len(ref) + 1))
+        # ntile sizes: first total%4 tiles carry the extra row
+        sizes = out.groupby("quartile").size()
+        n = len(ref)
+        q, r = divmod(n, 4)
+        assert list(sizes) == [q + 1] * r + [q] * (4 - r)
