@@ -359,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured sidecar: JSON field extraction (vectorized
         # regex fast path, json.loads authoritative fallback)
         "rel_json_extract": lambda sf: rel.json_extract_events(sf),
+        # LEAD window fn (forward complement of LAG), exact integer µs
+        "rel_lead_delta": lambda sf: rel.lead_delta_events(sf),
+        # FIRST_VALUE/LAST_VALUE per group: bounded per-block candidate
+        # rows, one narrow exchange — raw table never shuffled
+        "rel_first_last": lambda sf: rel.first_last_value_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -764,6 +769,22 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY ts, event_id) AS rank,
                    ntile(4) OVER (ORDER BY ts, event_id) AS quartile
             FROM events
+        """,
+        "rel_lead_delta": """
+            SELECT event_id, user_id, ts,
+                   date_diff('microsecond', ts,
+                             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       AS gap_next_us
+            FROM events
+        """,
+        "rel_first_last": """
+            SELECT DISTINCT user_id,
+                   first_value(value) OVER w AS first_value,
+                   last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS last_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "rel_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

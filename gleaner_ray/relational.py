@@ -87,6 +87,8 @@ __all__ = [
     "intersect_ids",
     "except_ids",
     "json_extract_events",
+    "lead_delta_events",
+    "first_last_value_events",
 ]
 
 
@@ -1185,3 +1187,78 @@ def json_extract_events(sf_dir: str, field: str = "k"):
         )
 
     return ds.map_batches(extract, batch_format="pandas")
+
+
+def lead_delta_events(sf_dir: str, num_partitions: int | None = None):
+    """LEAD window function: per event, the gap to the same user's NEXT
+    event in exact integer microseconds (NULL for a user's last event)
+    — the forward complement of ``lag_delta_events``, same
+    co-partitioned vectorized shape (sort + reverse shift + subtract,
+    user boundaries masked to NULL)."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        gap = pd.array(np.roll(ts_us, -1) - ts_us, dtype="Int64")
+        last_of_user = df["user_id"].ne(df["user_id"].shift(-1)).to_numpy()
+        gap[last_of_user] = pd.NA
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "gap_next_us": gap,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def first_last_value_events(sf_dir: str, num_partitions: int | None = None):
+    """FIRST_VALUE / LAST_VALUE per group over ``(ts, event_id)`` order:
+    each user's earliest and latest event value — the ordered-aggregate
+    shape (``arg_min`` / ``arg_max`` by a composite order key).
+
+    Two-level ordered reduction, the same seam as grouped_topk: each
+    batch keeps only its per-user first and last candidate rows (2
+    rows per user per block — bounded, payload-free), then ONE narrow
+    exchange co-partitions users and the winner is re-picked
+    vectorized. The raw table is never shuffled."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        out = pd.concat([g.head(1), g.tail(1)], ignore_index=True)
+        return out.assign(pid=(out["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        first = g.head(1).set_index("user_id")["value"]
+        last = g.tail(1).set_index("user_id")["value"]
+        return pd.DataFrame(
+            {
+                "user_id": first.index.to_numpy(dtype="int64"),
+                "first_value": first.to_numpy(),
+                "last_value": last.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(candidates, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -129,6 +129,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_intersect",
         "rel_except",
         "rel_json_extract",
+        "rel_lead_delta",
+        "rel_first_last",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
