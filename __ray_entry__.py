@@ -364,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FIRST_VALUE/LAST_VALUE per group: bounded per-block candidate
         # rows, one narrow exchange — raw table never shuffled
         "rel_first_last": lambda sf: rel.first_last_value_events(sf),
+        # time-based RANGE frame (peers included): composite monotone
+        # key + two searchsorted bounds + global exact-cents prefix sum
+        "rel_time_range_sum": lambda sf: rel.time_range_sum_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -785,6 +788,14 @@ def oracle_sql() -> dict[str, str]:
                                            AND UNBOUNDED FOLLOWING) AS last_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rel_time_range_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS range_cents
+            FROM events
         """,
         "rel_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

@@ -89,6 +89,7 @@ __all__ = [
     "json_extract_events",
     "lead_delta_events",
     "first_last_value_events",
+    "time_range_sum_events",
 ]
 
 
@@ -1261,4 +1262,59 @@ def first_last_value_events(sf_dir: str, num_partitions: int | None = None):
         ds.map_batches(candidates, batch_format="pandas")
         .groupby("pid")
         .map_groups(pick, batch_format="pandas")
+    )
+
+
+def time_range_sum_events(sf_dir: str, window_s: int = 3600, num_partitions: int | None = None):
+    """Time-based RANGE window frame: per event, the sum of event value
+    over the same user's events in ``[ts - window, ts]`` —
+    ``SUM(...) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    INTERVAL ... PRECEDING AND CURRENT ROW)`` parity, INCLUDING peer
+    rows at the same timestamp (SQL RANGE semantics).
+
+    The value-based frame Ray Data lacks: one hash exchange
+    co-partitions users, then each partition answers every frame from
+    TWO searchsorted calls over a composite monotone key (user_rank *
+    span + ts_us, the range_join construction — a bound can never
+    cross a user boundary) and a global exact-cents prefix sum:
+    ``win[i] = P[hi-1] - P[lo-1]``. No per-row loop; peers share a key
+    so side='right' bounds include them."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+    window_us = np.int64(window_s) * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pid=(df["user_id"] % np.int64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        off = ts_us - ts_us.min()
+        span = np.int64(off.max()) + window_us + 2
+        codes = pd.factorize(df["user_id"].to_numpy())[0].astype("int64")
+        if codes[-1] > 0 and span > np.iinfo(np.int64).max // (codes[-1] + 1):
+            raise OverflowError(
+                "time_range_sum_events: composite key exceeds int64; "
+                "salt users by coarse time bucket upstream"
+            )
+        key = codes * span + off
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype("int64")
+        prefix = np.concatenate(([0], np.cumsum(cents)))  # P[i] = sum of cents[:i]
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key, side="right")  # includes peers
+        win = prefix[hi] - prefix[lo]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "range_cents": win.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
     )

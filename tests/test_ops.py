@@ -1217,3 +1217,25 @@ class TestWindowOpsRandomizedParity:
         n = len(ref)
         q, r = divmod(n, 4)
         assert list(sizes) == [q + 1] * r + [q] * (4 - r)
+
+
+def test_time_range_sum_peers_and_window(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gleaner_ray.relational import time_range_sum_events
+
+    t0 = pd.Timestamp("2024-01-01")
+    # user 1: 00:00 (1.0), 00:30 (2.0), 01:20 (4.0), 01:20 (8.0 peer)
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=30), t0 + pd.Timedelta(minutes=80), t0 + pd.Timedelta(minutes=80)],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+    out = time_range_sum_events(str(tmp_path)).to_pandas().set_index("event_id")
+    # 00:00 -> 100; 00:30 -> 300; 01:20 peers both see [00:20,01:20] = 2+4+8
+    assert list(out.loc[[1, 2, 3, 4], "range_cents"]) == [100, 300, 1400, 1400]

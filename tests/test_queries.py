@@ -131,6 +131,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_json_extract",
         "rel_lead_delta",
         "rel_first_last",
+        "rel_time_range_sum",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
