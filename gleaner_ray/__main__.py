@@ -19,7 +19,89 @@ import logging
 import sys
 
 
+def _ops_main(argv: list[str]) -> int:
+    """``python -m gleaner_ray ops``: run any named operator pipeline
+    from the query board over a table directory and write parquet —
+    optionally hive-partitioned with per-partition resume markers
+    (``sinks.write_partitioned``). The board lives in the repo-root
+    driver contract (``__ray_entry__``), the single source of truth for
+    operator names, so the CLI and the correctness driver can never
+    disagree about what an operator computes."""
+    import os
+
+    ap = argparse.ArgumentParser(
+        prog="gleaner_ray ops", description="run a named operator pipeline to parquet"
+    )
+    ap.add_argument("--query", default=None, help="board entry name (see --list)")
+    ap.add_argument("--list", action="store_true", help="print available query names")
+    ap.add_argument("--sf-dir", default=None, dest="sf_dir", help="input table directory")
+    ap.add_argument("--out", default=None, help="output parquet directory")
+    ap.add_argument(
+        "--partition-by", default=None, dest="partition_by",
+        help="hive-partition the output by this column (resumable: per-partition _SUCCESS markers)",
+    )
+    ap.add_argument("--no-resume", action="store_true", help="with --partition-by: rewrite everything")
+    ap.add_argument("--cpus", type=int, default=None, help="ray.init num_cpus (local mode)")
+    args = ap.parse_args(argv)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    import __ray_entry__ as contract
+
+    board = contract.queries()
+    if args.list:
+        print(json.dumps(sorted(board)))
+        return 0
+    if not args.query or not args.sf_dir or not args.out:
+        ap.error("--query, --sf-dir and --out are required (or use --list)")
+    if args.query not in board:
+        ap.error("unknown query %r — see --list" % args.query)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        result = board[args.query](args.sf_dir)
+        if isinstance(result, pd.DataFrame):
+            result = rd.from_pandas(result)
+        elif isinstance(result, pa.Table):
+            result = rd.from_arrow(result)
+        if args.partition_by:
+            from .sinks import write_partitioned
+
+            info = write_partitioned(
+                result, args.out, by=args.partition_by, resume=not args.no_resume
+            )
+            rows = rd.read_parquet(args.out).count()
+            print(json.dumps({"query": args.query, "rows": rows, "out": args.out, **info}))
+        else:
+            result.write_parquet(args.out)
+            rows = rd.read_parquet(args.out).count()
+            print(json.dumps({"query": args.query, "rows": rows, "out": args.out}))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "ops":
+        return _ops_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_ray", description="Ray-Data-native Gleaner harvester")
     ap.add_argument("--cfg", required=True, help="gleaner YAML config file")
     ap.add_argument("--source", default=None, help="run only this source (forces active)")

@@ -88,3 +88,23 @@ class TestCLI:
         )
         assert proc.returncode != 0
         assert "diff" in (proc.stderr + proc.stdout)
+
+
+def test_ops_list_and_run(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "gleaner_ray", "ops", "--list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    names = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "rel_q1_agg" in names and "dedup_exact" in names
+
+    dest = str(tmp_path / "q1")
+    out = subprocess.run(
+        [sys.executable, "-m", "gleaner_ray", "ops", "--query", "rel_q1_agg",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", dest, "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 6 and info["query"] == "rel_q1_agg"
