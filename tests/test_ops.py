@@ -1239,3 +1239,65 @@ def test_time_range_sum_peers_and_window(ray_session, tmp_path):
     out = time_range_sum_events(str(tmp_path)).to_pandas().set_index("event_id")
     # 00:00 -> 100; 00:30 -> 300; 01:20 peers both see [00:20,01:20] = 2+4+8
     assert list(out.loc[[1, 2, 3, 4], "range_cents"]) == [100, 300, 1400, 1400]
+
+
+class TestFrameOpsRandomizedParity:
+    """Seeded randomized parity for the bounded/range window frames vs
+    brute-force per-row references."""
+
+    def _random_events(self, seed, n=300, users=5):
+        rng = np.random.default_rng(seed)
+        t0 = pd.Timestamp("2024-01-01")
+        ts = t0 + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")  # 2h span, many in-window hits
+        return pd.DataFrame(
+            {
+                "event_id": rng.permutation(n).astype("int64"),
+                "user_id": rng.integers(0, users, n).astype("int64"),
+                "ts": ts,
+                "value": rng.normal(0, 50, n),
+            }
+        )
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_moving_sum_matches_bruteforce(self, ray_session, tmp_path, seed):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import moving_sum_events
+
+        df = self._random_events(seed)
+        d = tmp_path / str(seed)
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+        out = moving_sum_events(str(d)).to_pandas().set_index("event_id")
+
+        ref = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        cents = np.floor(ref["value"].to_numpy() * 100.0).astype("int64")
+        for uid, g in ref.groupby("user_id"):
+            idx = g.index.to_numpy()
+            for pos, i in enumerate(idx):
+                lo = max(0, pos - 3)
+                expect = int(cents[idx[lo : pos + 1]].sum())
+                assert int(out.loc[ref.loc[i, "event_id"], "moving_cents"]) == expect
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_time_range_sum_matches_bruteforce(self, ray_session, tmp_path, seed):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import time_range_sum_events
+
+        df = self._random_events(seed)
+        d = tmp_path / str(seed)
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+        out = time_range_sum_events(str(d), window_s=3600).to_pandas().set_index("event_id")
+
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype("int64")
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        uid = df["user_id"].to_numpy()
+        win = np.int64(3600) * 1_000_000
+        for i in range(len(df)):
+            mask = (uid == uid[i]) & (ts_us >= ts_us[i] - win) & (ts_us <= ts_us[i])
+            expect = int(cents[mask].sum())  # peers at equal ts included
+            assert int(out.loc[df.loc[i, "event_id"], "range_cents"]) == expect
