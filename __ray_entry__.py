@@ -367,6 +367,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-based RANGE frame (peers included): composite monotone
         # key + two searchsorted bounds + global exact-cents prefix sum
         "rel_time_range_sum": lambda sf: rel.time_range_sum_events(sf),
+        # hot-key-salted join: heavy keys broadcast (no shuffle leg),
+        # cold remainder hash-joined; union == plain inner join
+        "rel_join_skew": lambda sf: rel.skew_join_events_customers(sf),
+        # per-group MODE, deterministic min-string tie-break; bounded
+        # nations x segments final reduce
+        "rel_mode": lambda sf: rel.mode_segment_by_nation(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -796,6 +802,21 @@ def oracle_sql() -> dict[str, str]:
                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS range_cents
             FROM events
+        """,
+        "rel_join_skew": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "rel_mode": """
+            SELECT c_nationkey, c_mktsegment AS mode_segment,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+                FROM customer GROUP BY 1, 2
+            ) WHERE rn = 1
+            ORDER BY c_nationkey
         """,
         "rel_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

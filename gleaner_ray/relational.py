@@ -90,6 +90,8 @@ __all__ = [
     "lead_delta_events",
     "first_last_value_events",
     "time_range_sum_events",
+    "skew_join_events_customers",
+    "mode_segment_by_nation",
 ]
 
 
@@ -1318,3 +1320,116 @@ def time_range_sum_events(sf_dir: str, window_s: int = 3600, num_partitions: int
         .groupby("pid")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def skew_join_events_customers(
+    sf_dir: str, hot_factor: float = 4.0, num_partitions: int | None = None
+):
+    """events ⨝ customer with hot-key salting — the join shape a skewed
+    web corpus needs (one mega-host/mega-user key would otherwise land
+    in a single hash partition and serialize the whole exchange).
+
+    Mechanism: (1) exact per-key counts via the partial-combine pattern
+    (one count row per key per block, then a key-only Sum groupby — the
+    exchanged table is bounded by distinct keys; at 10^10 rows swap in
+    a sampled heavy-hitter sketch, the seam is the `hot` set below);
+    (2) keys with count >= hot_factor x mean are HOT: their right-side
+    rows (bounded by the hot-key count) are collected once and
+    broadcast via ``ray.put``, so hot rows join per-batch with NO
+    shuffle; (3) the cold remainder takes the normal hash join.  The
+    union of both legs is exactly the plain inner join, which is what
+    the SQL oracle checks."""
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        return pd.DataFrame({"user_id": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        events.map_batches(key_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct key
+    )
+    mean_n = float(counts["n"].mean()) if len(counts) else 0.0
+    hot = counts.loc[counts["n"] >= hot_factor * mean_n, "user_id"].to_numpy(dtype="int64")
+    hot_arr = pa.array(hot)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def hot_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=hot_arr))
+
+    def cold_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=hot_arr)))
+
+    # bounded by the hot-key count (each right key is unique in customer)
+    hot_cust = pa.Table.from_pylist(
+        cust.map_batches(hot_side, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+    )
+    hot_ref = ray.put(hot_cust)
+
+    class HotJoin:
+        def __init__(self):
+            self.right = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["user_id"], value_set=hot_arr))
+            return t.join(
+                self.right, keys=["user_id"], right_keys=["c_custkey"], join_type="inner"
+            )
+
+    hot_leg = events.map_batches(HotJoin, batch_format="pyarrow", concurrency=2)
+
+    cold_events = events.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["user_id"], value_set=hot_arr))),
+        batch_format="pyarrow",
+    )
+    cold_leg = cold_events.join(
+        cust.map_batches(cold_side, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("user_id",),
+        right_on=("c_custkey",),
+    )
+    return hot_leg.union(cold_leg)
+
+
+def mode_segment_by_nation(sf_dir: str):
+    """Per-group MODE with a deterministic tie-break: the most frequent
+    c_mktsegment per c_nationkey, smallest segment string on ties.
+
+    Partial (nation, segment) counts per block, Sum groupby, then the
+    argmax over the bounded nations x segments table on the driver —
+    the same bounded-final-reduce shape as ``quantiles_lineitem``."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_nationkey", "c_mktsegment"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: nations x segments
+    )
+    counts = counts.sort_values(
+        ["c_nationkey", "n", "c_mktsegment"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = counts.groupby("c_nationkey", as_index=False).first()
+    return pd.DataFrame(
+        {
+            "c_nationkey": top["c_nationkey"].astype("int64"),
+            "mode_segment": top["c_mktsegment"],
+            "mode_count": top["n"].astype("int64"),
+        }
+    ).sort_values("c_nationkey", ignore_index=True)

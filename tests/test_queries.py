@@ -132,6 +132,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_lead_delta",
         "rel_first_last",
         "rel_time_range_sum",
+        "rel_join_skew",
+        "rel_mode",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
