@@ -204,6 +204,15 @@ def run_bench() -> dict:
     emb_head = pq2.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id").head(4)
     qv = {"qids": emb_head["vec_id"].tolist(), "vectors": [list(v) for v in emb_head["embedding"]]}
     timed("knn_bruteforce", lambda: sim.knn_bruteforce(embs(), qv, k=10))
+    timed("join_skew", lambda: rel.skew_join_events_customers(sf_dir).count())
+    from gleaner_ray.ops import sketch as sk
+
+    timed(
+        "approx_distinct_hll",
+        lambda: sk.approx_distinct(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]), "l_partkey"
+        ),
+    )
 
     result = {
         "metric": "summon_sec",

@@ -53,3 +53,20 @@ def test_estimate_empty_and_saturated():
     assert hll_estimate(np.zeros(1 << 12, dtype=np.int64)) == 0.0
     # all registers set -> falls through to the raw estimator, positive
     assert hll_estimate(np.full(1 << 12, 3, dtype=np.int64)) > 0
+
+
+def test_grouped_accuracy_vs_exact(ray_session):
+    import ray.data as rd
+    from gleaner_ray.ops.sketch import approx_distinct_by
+
+    path = f"{SF}/events.parquet"
+    got = approx_distinct_by(
+        rd.read_parquet(path, columns=["event_type", "user_id"]), "event_type", "user_id"
+    )
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM read_parquet('{path}') "
+        "GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert list(got["event_type"]) == list(exact["event_type"])
+    for e, a in zip(exact["n"], got["approx_distinct"]):
+        assert abs(a - e) / max(e, 1) < 0.05
