@@ -1,4 +1,5 @@
-"""Distributed cardinality sketches (HyperLogLog).
+"""Distributed mergeable sketches: HyperLogLog cardinality and
+Misra-Gries heavy hitters.
 
 ``approx_distinct`` answers COUNT(DISTINCT col) over a 10^10-row
 frontier without ever shuffling keys: each block folds its values into
@@ -27,7 +28,7 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["approx_distinct", "approx_distinct_by", "hll_estimate"]
+__all__ = ["approx_distinct", "approx_distinct_by", "hll_estimate", "topk_heavy_hitters"]
 
 
 def _clz64(w: np.ndarray) -> np.ndarray:
@@ -136,3 +137,55 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         name="hll",
     )
     return ds.aggregate(fn)["hll"]
+
+
+def _mg_truncate(counts: dict, capacity: int) -> dict:
+    """Misra-Gries decrement step: keep <= capacity keys by subtracting
+    the (capacity+1)-th largest count from every key and dropping
+    non-positives.  Each call preserves the MG invariant
+    true_count - N/capacity <= stored <= true_count."""
+    if len(counts) <= capacity:
+        return counts
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (capacity+1)-th largest = pivot to subtract
+    d = int(np.partition(vals, len(vals) - capacity - 1)[len(vals) - capacity - 1])
+    return {k: c - d for k, c in counts.items() if c > d}
+
+
+def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    out = dict(a)
+    for k, c in b.items():
+        out[k] = out.get(k, 0) + c
+    return _mg_truncate(out, capacity)
+
+
+def topk_heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256) -> pd.DataFrame:
+    """Approximate top-k most frequent values via a mergeable
+    Misra-Gries summary (Agarwal et al., "Mergeable Summaries") — the
+    unbounded-vocabulary complement to the exact partial-combine
+    ``text.ngram_top_k``: state is <= ``capacity`` counters per
+    aggregate leaf no matter how many distinct values stream by.
+
+    Guarantees (any merge order): every value with true frequency
+    > N/capacity survives, and true - N/capacity <= est <= true.
+    Deterministic top-k therefore needs the k-th/(k+1)-th true counts
+    separated by more than N/capacity — size ``capacity`` accordingly
+    (tests pin both bounds).  Returns (value, est_count) sorted by
+    est_count desc, value asc."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate(acc: dict, block) -> dict:
+        vals = block[col]
+        vc = pd.Series(vals.to_numpy() if hasattr(vals, "to_numpy") else np.asarray(vals)).value_counts()
+        return _mg_merge(acc, {key: int(n) for key, n in vc.items()}, capacity)
+
+    fn = AggregateFn(
+        init=lambda _: {},
+        merge=lambda a, b: _mg_merge(a, b, capacity),
+        accumulate_block=accumulate,
+        finalize=lambda acc: acc,
+        name="mg",
+    )
+    counts = ds.aggregate(fn)["mg"]
+    out = pd.DataFrame({"value": list(counts.keys()), "est_count": list(counts.values())})
+    return out.sort_values(["est_count", "value"], ascending=[False, True], ignore_index=True).head(k)

@@ -4,6 +4,7 @@ the integer clz kernel vs the Python bit-length reference."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 from gleaner_ray.ops.sketch import _clz64, approx_distinct, hll_estimate
@@ -70,3 +71,33 @@ def test_grouped_accuracy_vs_exact(ray_session):
     assert list(got["event_type"]) == list(exact["event_type"])
     for e, a in zip(exact["n"], got["approx_distinct"]):
         assert abs(a - e) / max(e, 1) < 0.05
+
+
+class TestHeavyHitters:
+    def test_mg_truncate_bounds(self):
+        from gleaner_ray.ops.sketch import _mg_truncate
+
+        counts = {f"v{i}": i for i in range(1, 21)}  # N=210
+        out = _mg_truncate(dict(counts), capacity=5)
+        assert len(out) <= 5
+        for k, c in out.items():
+            assert c <= counts[k]  # never overestimates
+
+    def test_topk_on_skewed_stream(self, ray_session):
+        import ray.data as rd
+        from gleaner_ray.ops.sketch import topk_heavy_hitters
+
+        rows = []
+        true = {}
+        for i in range(5):
+            n = 1000 - 50 * i
+            true[f"hot{i}"] = n
+            rows += [{"tok": f"hot{i}"}] * n
+        rows += [{"tok": f"rare{j}"} for j in range(5000)]
+        n_total = len(rows)
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(9)
+        got = topk_heavy_hitters(ds, "tok", k=5, capacity=256)
+        # separation (50) > N/capacity (~37): top-5 identity+order exact
+        assert list(got["value"]) == [f"hot{i}" for i in range(5)]
+        for v, est in zip(got["value"], got["est_count"]):
+            assert true[v] - n_total / 256 <= est <= true[v]
