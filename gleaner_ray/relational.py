@@ -1329,44 +1329,53 @@ def skew_join_events_customers(
     web corpus needs (one mega-host/mega-user key would otherwise land
     in a single hash partition and serialize the whole exchange).
 
-    Mechanism: (1) exact per-key counts via the partial-combine pattern
-    (one count row per key per block, then a key-only Sum groupby — the
-    exchanged table is bounded by distinct keys; at 10^10 rows swap in
-    a sampled heavy-hitter sketch, the seam is the `hot` set below);
-    (2) keys with count >= hot_factor x mean are HOT: their right-side
-    rows (bounded by the hot-key count) are collected once and
-    broadcast via ``ray.put``, so hot rows join per-batch with NO
-    shuffle; (3) the cold remainder takes the normal hash join.  The
-    union of both legs is exactly the plain inner join, which is what
-    the SQL oracle checks."""
+    Mechanism: (1) hot-key detection via the mergeable Misra-Gries
+    heavy-hitter aggregate (``ops.sketch``): <= ``capacity`` counters
+    per aggregate leaf no matter how many distinct keys stream by, no
+    hash shuffle.  MG guarantees every key with true frequency >
+    N/capacity survives with est in [true - N/capacity, true], so the
+    threshold hot_factor x N/capacity can miss only borderline keys —
+    and the hot/cold SPLIT is correctness-free: any split unions to
+    the same inner join (what the SQL oracle checks); only load
+    balance depends on it.  (2) hot keys' right-side rows (bounded by
+    the hot-key count) are collected once and broadcast via
+    ``ray.put``, so hot rows join per-batch with NO shuffle — a
+    mega-key never lands in one hash partition; (3) the cold remainder
+    takes the normal hash join."""
     if num_partitions is None:
         num_partitions = max(8, cluster_cpus(8))
 
+    import pyarrow.parquet as pq
+    from gleaner_ray.ops.sketch import topk_heavy_hitters
+
+    capacity = 4096
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
-
-    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["user_id"].value_counts()
-        return pd.DataFrame({"user_id": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-    from ray.data.aggregate import Sum
-
-    counts = (
-        events.map_batches(key_partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: one row per distinct key
-    )
-    mean_n = float(counts["n"].mean()) if len(counts) else 0.0
-    hot = counts.loc[counts["n"] >= hot_factor * mean_n, "user_id"].to_numpy(dtype="int64")
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    hh = topk_heavy_hitters(events, "user_id", k=capacity, capacity=capacity)
+    thresh = hot_factor * max(1.0, n_rows / capacity)
+    hot = hh.loc[hh["est_count"] >= thresh, "value"].to_numpy(dtype="int64")
     hot_arr = pa.array(hot)
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
+    def cold_leg_of(left):
+        # right side stays the FULL customer table: hot keys contribute
+        # no left rows here, so no duplicates — and the right side can
+        # never degenerate to a schemaless empty exchange (Ray 2.49's
+        # hash join rejects fully-empty sides)
+        return left.join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("user_id",),
+            right_on=("c_custkey",),
+        ).select_columns(["event_id", "user_id", "c_mktsegment"])
+
+    if len(hot) == 0:
+        return cold_leg_of(events)
+
     def hot_side(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["c_custkey"], value_set=hot_arr))
-
-    def cold_side(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=hot_arr)))
 
     # bounded by the hot-key count (each right key is unique in customer)
     hot_cust = pa.Table.from_pylist(
@@ -1387,18 +1396,19 @@ def skew_join_events_customers(
 
     hot_leg = events.map_batches(HotJoin, batch_format="pyarrow", concurrency=2)
 
+    # MG with < capacity entries never truncated -> counts are exact AND
+    # complete, so "every observed key is hot" is decidable exactly; a
+    # truncated summary implies > capacity distinct keys, hence a cold
+    # remainder certainly exists.
+    all_hot = len(hh) < capacity and len(hh) > 0 and bool((hh["est_count"] >= thresh).all())
+    if all_hot:
+        return hot_leg
+
     cold_events = events.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(t["user_id"], value_set=hot_arr))),
         batch_format="pyarrow",
     )
-    cold_leg = cold_events.join(
-        cust.map_batches(cold_side, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("user_id",),
-        right_on=("c_custkey",),
-    )
-    return hot_leg.union(cold_leg)
+    return hot_leg.union(cold_leg_of(cold_events))
 
 
 def mode_segment_by_nation(sf_dir: str):
