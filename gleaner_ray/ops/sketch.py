@@ -136,7 +136,8 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         finalize=hll_estimate,
         name="hll",
     )
-    return ds.aggregate(fn)["hll"]
+    res = ds.aggregate(fn)
+    return res["hll"] if res else 0.0
 
 
 def _mg_truncate(counts: dict, capacity: int) -> dict:
@@ -186,6 +187,7 @@ def topk_heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256) -> pd.Dat
         finalize=lambda acc: acc,
         name="mg",
     )
-    counts = ds.aggregate(fn)["mg"]
+    res = ds.aggregate(fn)
+    counts = res["mg"] if res else {}
     out = pd.DataFrame({"value": list(counts.keys()), "est_count": list(counts.values())})
     return out.sort_values(["est_count", "value"], ascending=[False, True], ignore_index=True).head(k)

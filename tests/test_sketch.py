@@ -101,3 +101,13 @@ class TestHeavyHitters:
         assert list(got["value"]) == [f"hot{i}" for i in range(5)]
         for v, est in zip(got["value"], got["est_count"]):
             assert true[v] - n_total / 256 <= est <= true[v]
+
+
+def test_empty_input(ray_session):
+    import ray.data as rd
+    from gleaner_ray.ops.sketch import approx_distinct, topk_heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"tok": ["a", "b"]})).filter(lambda r: False)
+    assert approx_distinct(ds, "tok") == 0.0
+    got = topk_heavy_hitters(ds, "tok", k=3)
+    assert len(got) == 0
