@@ -1343,7 +1343,9 @@ def skew_join_events_customers(
     mega-key never lands in one hash partition; (3) the cold remainder
     takes the normal hash join."""
     if num_partitions is None:
-        num_partitions = max(8, cluster_cpus(8))
+        # data-aware width: Ray's hash shuffle pays a fixed per-partition
+        # aggregator cost, so the cold leg's width follows the table size
+        num_partitions = _join_partitions(sf_dir, "events")
 
     import pyarrow.parquet as pq
     from gleaner_ray.ops.sketch import topk_heavy_hitters
