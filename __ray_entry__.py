@@ -425,6 +425,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # Bloom-filter decontamination (the constant-memory scale path):
+        # one-sided error, zero false positives at the shipped bits_log2
+        # on this corpus (pinned by test_decontaminate_bloom_no_false_
+        # negatives), so the exact oracle applies
+        "text_decontaminate_bloom": lambda sf: dd.decontaminate_bloom(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # composed corpus-cleaning pipeline: length + punct + language
         # filters, then exact dedup (keep lowest doc_id per md5)
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
@@ -1352,4 +1362,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_minhash_lsh"] = sqls["dedup_ngram_jaccard"]
     sqls["dedup_simhash"] = sqls["dedup_ngram_jaccard"]
     sqls["dedup_embedding_lsh"] = sqls["dedup_embedding_cosine"]
+    # Bloom decontamination has zero false positives at the shipped
+    # bits_log2 on this corpus (pinned by
+    # test_decontaminate_bloom_no_false_negatives), so the exact
+    # shingle-overlap oracle applies verbatim
+    sqls["text_decontaminate_bloom"] = sqls["text_decontaminate"]
     return sqls

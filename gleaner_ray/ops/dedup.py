@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "NGRAM_SCALE_MAX_DF",
     "decontaminate",
+    "decontaminate_bloom",
     "embedding_near_dup",
     "minhash_jaccard_dedup",
     "simhash_jaccard_dedup",
@@ -1001,6 +1002,88 @@ def decontaminate(ds, bench_ds, shingle_k: int = 5):
             idx = np.searchsorted(arr, flat)
             hits = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == flat)
             # per-doc "any" via cumsum difference (empty docs -> False)
+            c = np.concatenate([[0], np.cumsum(hits)])
+            ends = np.cumsum(sizes)
+            hit_any = (c[ends] - c[ends - sizes]) > 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(df["doc_id"], dtype=np.int64),
+                "contaminated": hit_any,
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def decontaminate_bloom(
+    ds, bench_ds, shingle_k: int = 5, bits_log2: int = 20, n_hashes: int = 4
+):
+    """Bloom-filter decontamination — the scale path of
+    ``decontaminate`` for benchmark/test sets whose distinct shingle
+    set is too large to broadcast exactly (the exact sorted-array
+    broadcast is 8 bytes/shingle; the Bloom filter is
+    2**bits_log2 / 8 bytes TOTAL, e.g. 1 GiB covers ~10^9 shingles at
+    n_hashes=4 with ~2% FPR).
+
+    One-sided error: NO false negatives — every document the exact
+    path flags is flagged here (pinned by a superset test); a false
+    positive only costs discarding a clean document, the safe
+    direction for training-data hygiene.  Probe positions come from
+    double hashing (pos_i = h + i*h2 mod m, h2 odd), all vectorized;
+    the corpus is never shuffled and only the bit array crosses the
+    wire (ray.put once, zero-copy view per actor)."""
+    import ray as _ray
+
+    m_bits = 1 << bits_log2
+    mask = np.uint64(m_bits - 1)  # m is a power of two
+
+    def positions(sh: np.ndarray) -> np.ndarray:
+        """(n_hashes, len(sh)) probe bit positions for shingle hashes.
+
+        The input hash is re-mixed with a splitmix64 finalizer before
+        the double-hash split: without full avalanche, ``h2 & mask``
+        would be a function of h1's LOW bits alone (multiplication mod
+        2**k only sees the low k bits), so any two shingles sharing the
+        low ``bits_log2`` bits would collide on ALL probes and the
+        filter would degrade to a ``bits_log2``-bit hash."""
+        z = sh.astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        h1 = z & mask
+        h2 = (z >> np.uint64(32)) | np.uint64(1)  # odd, from the high bits
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) & mask) for i in range(n_hashes)]
+        )
+
+    def bench_bits(df: pd.DataFrame) -> pd.DataFrame:
+        """One bench block -> the packed bit array it lights up."""
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        if len(df):
+            flat = np.concatenate(_shingle_hashes_batch(list(df["text"]), shingle_k))
+            if len(flat):
+                pos = positions(np.unique(flat)).ravel()
+                np.bitwise_or.at(bits, pos >> np.uint64(3), np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    # OR-merge the per-block filters: tiny (m/8 bytes each), associative
+    parts = bench_ds.map_batches(bench_bits, batch_format="pandas").to_pandas()
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for blob in parts["bits"]:
+        bits |= np.frombuffer(blob, dtype=np.uint8)
+    bits_ref = _ray.put(bits)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        arr = _ray.get(bits_ref)  # zero-copy numpy view of plasma
+        sh_list = _shingle_hashes_batch(list(df["text"]), shingle_k)
+        sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+        total = int(sizes.sum())
+        if total == 0:
+            hit_any = np.zeros(len(sh_list), dtype=bool)
+        else:
+            pos = positions(np.concatenate(sh_list))
+            set_ = (arr[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+            hits = set_.all(axis=0)  # shingle hit iff ALL n_hashes bits set
             c = np.concatenate([[0], np.cumsum(hits)])
             ends = np.cumsum(sizes)
             hit_any = (c[ends] - c[ends - sizes]) > 0

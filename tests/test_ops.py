@@ -239,6 +239,46 @@ class TestNearDup:
         )
         assert bool(got[10]) and not bool(got[11]) and not bool(got[12])
 
+    def test_decontaminate_bloom_no_false_negatives(self, ray_session):
+        # Bloom decontamination has ONE-SIDED error: every doc the exact
+        # path flags must be flagged by the Bloom path (a false positive
+        # only discards a clean doc).  Pin the superset property — and,
+        # at the shipped bits_log2 on the real sf0.01 documents table,
+        # exact equality, which is the precondition for reusing the
+        # exact SQL oracle for text_decontaminate_bloom (same contract
+        # as the LSH recall-1 tests above).
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import decontaminate, decontaminate_bloom
+
+        docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+        bench = docs.map_batches(
+            lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+        )
+        exact = (
+            decontaminate(docs, bench).to_pandas().set_index("doc_id")["contaminated"]
+        )
+        bloom = (
+            decontaminate_bloom(docs, bench)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+        )
+        exact = exact.sort_index()
+        bloom = bloom.sort_index()
+        assert not (exact & ~bloom).any(), "Bloom path dropped an exact hit"
+        assert exact.equals(bloom), (
+            "Bloom false positives at shipped bits_log2 on sf0.01; the "
+            "exact oracle for text_decontaminate_bloom is no longer valid"
+        )
+        # tiny-filter sanity: heavy saturation still never drops a hit
+        small = (
+            decontaminate_bloom(docs, bench, bits_log2=12)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+            .sort_index()
+        )
+        assert not (exact & ~small).any()
+
     def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
         import ray.data as rd
 
