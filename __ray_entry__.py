@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group MODE, deterministic min-string tie-break; bounded
         # nations x segments final reduce
         "rel_mode": lambda sf: rel.mode_segment_by_nation(sf),
+        # exact heavy hitters (HAVING count*capacity > N parity) via the
+        # Misra-Gries sketch-then-verify composition: candidate superset
+        # in <= capacity counters (guaranteed capture above N/capacity),
+        # exact partial-count verify over candidates only — the key
+        # space is never shuffled
+        "rel_heavy_hitters": lambda sf: rel.heavy_hitters_events(sf),
         # -- text analysis ----------------------------------------------------
         "text_token_stats": lambda sf: tx.add_text_ops(docs(sf), "tokens"),
         "text_quality": lambda sf: tx.add_text_ops(docs(sf), "quality").select_columns(
@@ -827,6 +833,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer GROUP BY 1, 2
             ) WHERE rn = 1
             ORDER BY c_nationkey
+        """,
+        # exact threshold compare (cnt * capacity > N) shared by the
+        # engine's verify pass; capacity pinned at 128
+        "rel_heavy_hitters": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) * 128 > (SELECT COUNT(*) FROM events)
         """,
         "rel_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

@@ -28,7 +28,13 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["approx_distinct", "approx_distinct_by", "hll_estimate", "topk_heavy_hitters"]
+__all__ = [
+    "approx_distinct",
+    "approx_distinct_by",
+    "heavy_hitters_exact",
+    "hll_estimate",
+    "topk_heavy_hitters",
+]
 
 
 def _clz64(w: np.ndarray) -> np.ndarray:
@@ -158,6 +164,70 @@ def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
     for k, c in b.items():
         out[k] = out.get(k, 0) + c
     return _mg_truncate(out, capacity)
+
+
+def heavy_hitters_exact(ds, col: str, capacity: int = 128):
+    """All values with true frequency > N/capacity, with EXACT counts —
+    the sketch-then-verify composition (same contract as the LSH
+    recall-1 dedup family): a mergeable Misra-Gries pass finds a
+    candidate SUPERSET in <= ``capacity`` counters per aggregate leaf
+    (every value with freq > N/capacity is guaranteed to survive any
+    merge order), then one partial-count pass over only the candidate
+    set verifies exactly.  Equivalent to SQL
+    ``GROUP BY col HAVING count(*) * capacity > N`` but without ever
+    shuffling the full key space: the wide step groups <= capacity
+    candidate keys, and the corpus itself is never exchanged.
+
+    Returns a Dataset of (col, cnt:int64).  Integer threshold compare
+    (cnt * capacity > N) keeps engine and oracle bit-identical."""
+    from ray.data.aggregate import AggregateFn, Sum
+
+    import ray as _ray
+
+    def accumulate(acc, block):
+        counts, n = acc
+        vals = block[col]
+        arr = vals.to_numpy() if hasattr(vals, "to_numpy") else np.asarray(vals)
+        vc = pd.Series(arr).value_counts()
+        return (
+            _mg_merge(counts, {key: int(c) for key, c in vc.items()}, capacity),
+            n + len(arr),
+        )
+
+    fn = AggregateFn(
+        init=lambda _: ({}, 0),
+        merge=lambda a, b: (_mg_merge(a[0], b[0], capacity), a[1] + b[1]),
+        accumulate_block=accumulate,
+        finalize=lambda acc: acc,
+        name="mg",
+    )
+    res = ds.aggregate(fn)
+    counts, n_total = res["mg"] if res else ({}, 0)
+    if not counts:
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            pd.DataFrame({col: pd.Series([], dtype="int64"),
+                          "cnt": pd.Series([], dtype="int64")})
+        )
+    cand_ref = _ray.put(set(counts))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        vc = s[s.isin(_ray.get(cand_ref))].value_counts()
+        return pd.DataFrame(
+            {col: vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    exact = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    thr = int(n_total)
+    return exact.map_batches(
+        lambda df: df[df["cnt"] * capacity > thr], batch_format="pandas"
+    )
 
 
 def topk_heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256) -> pd.DataFrame:

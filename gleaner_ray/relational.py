@@ -1445,3 +1445,21 @@ def mode_segment_by_nation(sf_dir: str):
             "mode_count": top["n"].astype("int64"),
         }
     ).sort_values("c_nationkey", ignore_index=True)
+
+
+def heavy_hitters_events(sf_dir: str, capacity: int = 128):
+    """Exact heavy-hitter keys — ``GROUP BY user_id HAVING count(*) *
+    capacity > N`` parity — via the Misra-Gries sketch-then-verify
+    composition (``ops.sketch.heavy_hitters_exact``): the MG aggregate
+    finds the guaranteed candidate superset in <= capacity counters
+    with NO key shuffle, then one partial-count pass over candidates
+    only verifies exactly.  At 10^10 rows the exchange is bounded by
+    capacity x blocks, vs a full key-space groupby for the naive plan.
+
+    capacity=128 < the 150 distinct users at every SF, so the sketch's
+    decrement/truncate path is exercised by the query itself, not just
+    the unit tests."""
+    from gleaner_ray.ops.sketch import heavy_hitters_exact
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters_exact(events, "user_id", capacity=capacity)

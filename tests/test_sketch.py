@@ -103,6 +103,62 @@ class TestHeavyHitters:
             assert true[v] - n_total / 256 <= est <= true[v]
 
 
+class TestHeavyHittersExact:
+    def test_matches_exact_having_on_skewed_stream(self, ray_session):
+        # adversarial stream: 150 distinct keys >> capacity 16, so the
+        # decrement/truncate path fires many times; the composition must
+        # still return EXACTLY the HAVING cnt*capacity > N set
+        import ray.data as rd
+
+        from gleaner_ray.ops.sketch import heavy_hitters_exact
+
+        rng = np.random.default_rng(11)
+        hot = np.repeat(np.arange(3, dtype=np.int64), [900, 700, 500])
+        cold = rng.integers(10, 160, size=4000).astype(np.int64)
+        vals = np.concatenate([hot, cold])
+        rng.shuffle(vals)
+        df = pd.DataFrame({"k": vals})
+        ds = rd.from_pandas(df).repartition(11)
+        got = (
+            heavy_hitters_exact(ds, "k", capacity=16)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        n = len(df)
+        vc = df["k"].value_counts()
+        want = vc[vc * 16 > n].sort_index()
+        assert list(got["k"]) == list(want.index)
+        assert list(got["cnt"]) == list(want.values)  # exact, not estimates
+
+    def test_events_query_matches_sql(self, ray_session):
+        from gleaner_ray.relational import heavy_hitters_events
+
+        got = (
+            heavy_hitters_events(SF)
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        want = duckdb.sql(
+            f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1 "
+            f"HAVING COUNT(*) * 128 > (SELECT COUNT(*) FROM read_parquet('{SF}/events.parquet')) "
+            "ORDER BY 1"
+        ).df()
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    def test_empty_and_no_heavy(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sketch import heavy_hitters_exact
+
+        empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+        assert heavy_hitters_exact(empty, "k").count() == 0
+        # uniform stream with capacity far below distinct: nothing heavy
+        uni = rd.from_pandas(pd.DataFrame({"k": np.arange(1000, dtype=np.int64)}))
+        assert heavy_hitters_exact(uni, "k", capacity=8).count() == 0
+
+
 def test_empty_input(ray_session):
     import ray.data as rd
     from gleaner_ray.ops.sketch import approx_distinct, topk_heavy_hitters
