@@ -500,6 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # occurrence of each distinct line — the CCNet/RefinedWeb
         # boilerplate-stripping step before document-level dedup
         "dedup_chunk": lambda sf: dd.chunk_dedup(docs(sf)),
+        # C4-style span dedup + reassembly: 10-token windows, global
+        # keep-first, cleaned corpus rebuilt fully map-side (the winners
+        # table — bounded by duplicate volume — broadcasts once)
+        "dedup_span_clean": lambda sf: dd.span_dedup_clean(docs(sf)),
         # corpus-level fuzzy dedup: near-dup pairs (recall-1 minhash-LSH
         # + exact verify) -> connected components -> keep-first flags
         "dedup_fuzzy_keep": lambda sf: dd.fuzzy_dedup_keep(
@@ -1186,6 +1190,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT ch.doc_id, ch.chunk_idx,
                    (ch.doc_id * 1048576 + ch.chunk_idx) = w.r AS keep
             FROM ch JOIN w ON ch.chunk = w.chunk
+        """,
+        # 10-token window dedup + reassembly; rank = doc_id*2^20 +
+        # chunk_idx matches the engine's packed int64 arbitration key
+        "dedup_span_clean": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     CAST(unnest(range((len(w)+9)//10)) AS BIGINT) AS chunk_idx,
+                     unnest(list_transform(range((len(w)+9)//10),
+                            i -> array_to_string(list_slice(w, i*10+1, i*10+10), ' '))) AS chunk
+              FROM toks),
+            win AS (SELECT chunk, min(doc_id*1048576 + chunk_idx) AS r, count(*) AS n
+                    FROM ch GROUP BY 1),
+            kept AS (
+              SELECT ch.doc_id, ch.chunk_idx, ch.chunk
+              FROM ch JOIN win USING (chunk)
+              WHERE win.n = 1 OR ch.doc_id*1048576 + ch.chunk_idx = win.r),
+            agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+                    FROM kept GROUP BY 1)
+            SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # near-dup pairs (exact all-pairs shingle Jaccard, valid for the
         # engine's recall-1 minhash-LSH composition) -> min-label

@@ -45,6 +45,7 @@ __all__ = [
     "NGRAM_SCALE_MAX_DF",
     "decontaminate",
     "decontaminate_bloom",
+    "span_dedup_clean",
     "embedding_near_dup",
     "minhash_jaccard_dedup",
     "simhash_jaccard_dedup",
@@ -1481,6 +1482,94 @@ def chunk_dedup(
         )
 
     return joined.map_batches(finish_joined, batch_format="pandas")
+
+
+def span_dedup_clean(
+    ds,
+    width: int = 10,
+    key: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+):
+    """C4-style span dedup WITH reassembly: chunk every document into
+    non-overlapping ``width``-token windows, keep only each distinct
+    window's globally-first occurrence (lowest ``(doc_id, chunk_idx)``),
+    and return the cleaned corpus ``(doc_id, text_clean)`` — kept
+    windows re-joined in document order, whitespace normalized to
+    single spaces.
+
+    Scale shape (two passes over the corpus, ONE shuffle):
+    pass 1 explodes narrow ``(md5, rank)`` rows and arbitrates with a
+    single ``groupby(h).aggregate(Min(rank), Count)``; only hashes seen
+    MORE than once survive the distributed filter, so the winners table
+    is bounded by the duplicate volume, not the corpus.  When it fits
+    ``broadcast_limit`` it ships once via ``ray.put`` and pass 2 is
+    fully map-side: each batch re-windows its own documents, merges
+    against the broadcast winners, and reassembles locally — a document
+    never crosses batches, so reconstruction needs NO doc_id shuffle.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    def windows_of(texts: pd.Series) -> list[list[str]]:
+        out = []
+        for t in texts.fillna(""):
+            w = t.split()
+            out.append([" ".join(w[i : i + width]) for i in range(0, len(w), width)])
+        return out
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        wins = windows_of(df[text_col])
+        n = np.fromiter((len(w) for w in wins), dtype=np.int64, count=len(wins))
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"h": pd.Series(dtype="object"), "rank": pd.Series(dtype="int64")}
+            )
+        doc = np.repeat(df[key].to_numpy(dtype=np.int64), n)
+        starts = np.repeat(np.cumsum(n) - n, n)
+        idx = np.arange(total, dtype=np.int64) - starts
+        return pd.DataFrame(
+            {
+                "h": [_md5(c) for w in wins for c in w],
+                "rank": (doc << _CHUNK_IDX_BITS) | idx,
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("rank", alias_name="min_rank"), Count(alias_name="n"))
+    )
+    dups = agg.map_batches(
+        lambda df: df.loc[df["n"] > 1, ["h", "min_rank"]], batch_format="pandas"
+    ).materialize()
+    n_dups = dups.count()
+    if n_dups > broadcast_limit:  # pragma: no cover - corpus-scale leg
+        raise NotImplementedError(
+            "winners table above broadcast_limit: reassembly needs the "
+            "hash-join leg (chunk_dedup) followed by a doc_id-keyed "
+            "ordered regroup; wire chunk_dedup + string_agg for that path"
+        )
+    wdf = dups.to_pandas()
+    win_map = dict(zip(wdf["h"], wdf["min_rank"].astype("int64"))) if len(wdf) else {}
+    ref = _ray.put(win_map)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        winners = _ray.get(ref)
+        docs = df[key].to_numpy(dtype=np.int64)
+        out = []
+        for d, wins in zip(docs, windows_of(df[text_col])):
+            kept = []
+            base = int(d) << _CHUNK_IDX_BITS
+            for i, c in enumerate(wins):
+                r = winners.get(_md5(c))
+                if r is None or r == base | i:
+                    kept.append(c)
+            out.append(" ".join(kept))
+        return pd.DataFrame({key: docs, "text_clean": out})
+
+    return ds.map_batches(clean, batch_format="pandas")
 
 
 def dup_count_weights(ds, num_partitions: int | None = None):

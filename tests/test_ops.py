@@ -279,6 +279,37 @@ class TestNearDup:
         )
         assert not (exact & ~small).any()
 
+    def test_span_dedup_clean(self, ray_session):
+        # global keep-first over 3-token windows: doc 0 keeps everything;
+        # doc 1 repeats doc 0's first window (dropped) plus a fresh tail;
+        # doc 2 is an exact dup of doc 0 -> cleaned to empty; intra-doc
+        # repetition (doc 3) keeps only the first copy
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import span_dedup_clean
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b c d e f",
+                    "a b c x y z",
+                    "a b c d e f",
+                    "p q r p q r",
+                ],
+            }
+        )
+        got = (
+            span_dedup_clean(rd.from_pandas(df).repartition(3), width=3)
+            .to_pandas()
+            .set_index("doc_id")["text_clean"]
+            .sort_index()
+        )
+        assert got[0] == "a b c d e f"
+        assert got[1] == "x y z"
+        assert got[2] == ""
+        assert got[3] == "p q r"
+
     def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
         import ray.data as rd
 
