@@ -206,6 +206,27 @@ def _q_crawl_admission(sf_dir: str) -> pd.DataFrame:
     return g.sort_values("source", ignore_index=True)
 
 
+def _q_pipe_crawl_corpus(sf_dir: str):
+    """Crawl -> corpus handoff: exact cross-source dedup of extracted
+    jsonld objects (md5 identity, Min(url) keep-first) + token counts,
+    fully distributed over the results parquet (no driver pandas)."""
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.summon import corpus_from_crawl
+
+    ds = rd.read_parquet(_summon_results(sf_dir), columns=["url", "jsonld", "doc_index"])
+
+    def docs_only(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["doc_index"] >= 0) & (
+            df["url"].str.contains("/ref/canon/", regex=False)
+            | df["url"].str.contains("/ref/dup/", regex=False)
+            | df["url"].str.contains("/ref/jsonext/", regex=False)
+        )
+        return df.loc[m, ["url", "jsonld"]]
+
+    return corpus_from_crawl(ds.map_batches(docs_only, batch_format="pandas"))
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -287,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dup_dedup": _q_crawl_dup_dedup,
         "crawl_results_full": _q_crawl_results_full,
         "crawl_admission": _q_crawl_admission,
+        # crawl -> training-corpus handoff: exact cross-source dedup of
+        # extracted jsonld objects (md5 identity, Min(url) keep-first)
+        # + token counts; one narrow groupby, winners broadcast
+        "pipe_crawl_corpus": _q_pipe_crawl_corpus,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -982,6 +1007,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) - 1 AS max_seq
             FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%')
             GROUP BY source ORDER BY source
+        """,
+        # crawl -> corpus handoff: the union of the two pinned
+        # extraction forms (script regexp for canon/dup, whole body for
+        # jsonext — single-candidate pages by corpus construction, as
+        # crawl_extract_canon/crawl_dup_dedup already pin), md5 identity
+        # + min(url) keep-first, whitespace token counts
+        "pipe_crawl_corpus": f"""
+            WITH d AS (
+              SELECT url, regexp_extract(decode(html),
+                         '<script type="application/ld\\+json">(.*)</script>', 1) AS j
+              FROM {pages}
+              WHERE url LIKE '%/ref/canon/%' OR url LIKE '%/ref/dup/%'
+              UNION ALL
+              SELECT url, text AS j FROM {pages} WHERE url LIKE '%/ref/jsonext/%'
+            ),
+            w AS (SELECT md5(j) AS h, min(url) AS first_url, count(*) AS n
+                  FROM d GROUP BY 1)
+            SELECT d.url,
+                   CAST(len(list_filter(regexp_split_to_array(d.j, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   (w.n = 1 OR d.url = w.first_url) AS keep
+            FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
         # same tokenization bets as the shingle oracle: lower() + '\s+'

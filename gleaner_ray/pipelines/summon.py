@@ -32,6 +32,7 @@ import json
 import os
 import time
 
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -563,3 +564,58 @@ def summon(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def corpus_from_crawl(results_ds):
+    """Crawl -> training-corpus handoff: turn the summon results table
+    into a deduplicated document table ``(url, n_tokens, keep)`` —
+    keep = this url is the lexicographically-first holder of its exact
+    jsonld bytes (md5 identity, Min(url) arbitration).
+
+    The integration step a web-scale pipeline runs between harvesting
+    (this module) and corpus prep (``ops.text.corpus_prep``): exact
+    object-level dedup ACROSS sources before any text scoring.  Scale
+    shape mirrors ``ops.dedup.chunk_dedup``: narrow ``(md5, url)`` rows
+    into ONE groupby(Min, Count); only hashes seen more than once
+    survive the distributed filter, broadcast once; keep/token-count is
+    then fully map-side (reference identity analogue: SHA-based object
+    naming dedupes storage in jsonutils.go — this dedupes the corpus)."""
+    import hashlib
+
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def to_h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": [md5(j) for j in df["jsonld"].fillna("")], "url": df["url"]}
+        )
+
+    agg = (
+        results_ds.map_batches(to_h, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("url", alias_name="first_url"), Count(alias_name="n"))
+    )
+    dups = agg.map_batches(
+        lambda df: df.loc[df["n"] > 1, ["h", "first_url"]], batch_format="pandas"
+    ).materialize()
+    wdf = dups.to_pandas()
+    ref = _ray.put(dict(zip(wdf["h"], wdf["first_url"])) if len(wdf) else {})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        winners = _ray.get(ref)
+        j = df["jsonld"].fillna("")
+        keep = [
+            winners.get(md5(t)) in (None, u) for t, u in zip(j, df["url"])
+        ]
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "n_tokens": j.str.split().str.len().astype("int64"),
+                "keep": keep,
+            }
+        )
+
+    return results_ds.map_batches(finish, batch_format="pandas")

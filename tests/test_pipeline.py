@@ -527,3 +527,36 @@ class TestCheckpointResume:
         assert sum(v["fetched"] for v in m2["per_source"].values()) == int(
             (clean.doc_index <= 0).sum()
         )
+
+
+class TestCorpusFromCrawl:
+    def test_keep_first_by_url_and_token_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.summon import corpus_from_crawl
+
+        df = pd.DataFrame(
+            {
+                "url": [
+                    "https://b.example/2",
+                    "https://a.example/1",
+                    "https://c.example/3",
+                    "https://d.example/4",
+                ],
+                "jsonld": ['{"a": 1}', '{"a": 1}', '{"b": 2 }', ""],
+            }
+        )
+        got = (
+            corpus_from_crawl(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .set_index("url")
+            .sort_index()
+        )
+        # identical bytes: lexicographically-first url wins
+        assert bool(got.loc["https://a.example/1", "keep"])
+        assert not bool(got.loc["https://b.example/2", "keep"])
+        # singletons always kept; whitespace token counts
+        assert bool(got.loc["https://c.example/3", "keep"])
+        assert got.loc["https://c.example/3", "n_tokens"] == 3
+        assert got.loc["https://d.example/4", "n_tokens"] == 0
