@@ -466,6 +466,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # FUZZY decontamination: flag only docs whose shingle-Jaccard
+        # with some benchmark doc is >= 0.8 (near-dup contamination, not
+        # any single shared n-gram). Bench LSH index + shingle sets are
+        # broadcast; one streaming corpus pass, zero shuffles. Candidate
+        # recall 1.0 at shipped params (pinned by
+        # test_fuzzy_decontaminate_recall_precondition) makes the exact
+        # all-pairs Jaccard SQL a valid oracle.
+        "text_decontaminate_fuzzy": lambda sf: dd.decontaminate_fuzzy(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # composed corpus-cleaning pipeline: length + punct + language
         # filters, then exact dedup (keep lowest doc_id per md5)
         "pipe_corpus_prep": lambda sf: tx.corpus_prep(docs(sf)),
@@ -1457,4 +1470,31 @@ def oracle_sql() -> dict[str, str]:
     # test_decontaminate_bloom_no_false_negatives), so the exact
     # shingle-overlap oracle applies verbatim
     sqls["text_decontaminate_bloom"] = sqls["text_decontaminate"]
+    # fuzzy decontamination: exact Jaccard-vs-benchmark flag; valid for
+    # the LSH engine path while candidate recall is 1.0 (test-pinned)
+    sqls["text_decontaminate_fuzzy"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(
+                   CASE WHEN len(w) = 0 THEN []
+                        WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w)-3),
+                                            i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+          FROM toks),
+        ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        inter AS (
+          SELECT g.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM ds g JOIN ds b ON g.s = b.s AND b.doc_id < 20 GROUP BY 1, 2),
+        flag AS (
+          SELECT a AS doc_id FROM inter
+          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8 GROUP BY 1)
+        SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+    """
     return sqls

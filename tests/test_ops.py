@@ -279,6 +279,94 @@ class TestNearDup:
         )
         assert not (exact & ~small).any()
 
+    def test_decontaminate_fuzzy_semantics(self, ray_session):
+        # fuzzy decontamination flags near-DUPLICATES of a bench doc,
+        # not any doc sharing a single shingle (the differentiator vs
+        # the exact-overlap path)
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import decontaminate, decontaminate_fuzzy
+
+        bench_text = "the secret benchmark question about turtles and rivers in spring"
+        bench = rd.from_items([{"doc_id": 0, "text": bench_text}])
+        corpus = rd.from_items(
+            [
+                # near-duplicate of the bench doc (one word changed)
+                {"doc_id": 10, "text": bench_text.replace("spring", "autumn")},
+                # shares ONE 5-shingle but is mostly different text
+                {
+                    "doc_id": 11,
+                    "text": "the secret benchmark question about weather "
+                    "and many other unrelated filler words appear here now",
+                },
+                {"doc_id": 12, "text": "completely unrelated corpus document"},
+                {"doc_id": 13, "text": ""},
+            ]
+        )
+        fuzzy = (
+            decontaminate_fuzzy(corpus, bench, threshold=0.5)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+        )
+        exact = (
+            decontaminate(corpus, bench)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+        )
+        assert bool(fuzzy[10]) and not bool(fuzzy[11]) and not bool(fuzzy[12])
+        assert not bool(fuzzy[13])
+        # the exact path DOES flag the single-shingle doc — fuzzy is a
+        # strict refinement on this fixture
+        assert bool(exact[11])
+
+    def test_fuzzy_decontaminate_recall_precondition(self, ray_session):
+        # The driver oracle for text_decontaminate_fuzzy is the exact
+        # all-pairs Jaccard-vs-benchmark SQL, valid ONLY while LSH
+        # candidate recall is 1.0 at the shipped parameters. Pin it:
+        # the sketch->verify output must EQUAL the exact brute-force
+        # flag set on the real sf0.01 documents table.
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import _shingle_hashes_batch, decontaminate_fuzzy
+
+        docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+        bench = docs.map_batches(
+            lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+        )
+        got = (
+            decontaminate_fuzzy(docs, bench)
+            .to_pandas()
+            .set_index("doc_id")["contaminated"]
+            .sort_index()
+        )
+        # brute-force exact: jaccard of every doc against every bench doc
+        pdf = docs.to_pandas().sort_values("doc_id", ignore_index=True)
+        sh = [np.unique(s) for s in _shingle_hashes_batch(list(pdf["text"]))]
+        bench_sets = [
+            (int(i), s)
+            for i, s in zip(pdf["doc_id"], sh)
+            if int(i) < 20 and len(s)
+        ]
+        want = {}
+        for i, s in zip(pdf["doc_id"], sh):
+            flag = False
+            if len(s):
+                for _, bs in bench_sets:
+                    inter = len(np.intersect1d(s, bs, assume_unique=True))
+                    if inter and inter / (len(s) + len(bs) - inter) >= 0.8:
+                        flag = True
+                        break
+            want[int(i)] = flag
+        missing = {i for i, f in want.items() if f and not got[i]}
+        extra = {i for i, f in want.items() if not f and got[i]}
+        assert not missing, (
+            "fuzzy-decontaminate LSH recall < 1.0 at shipped params; the "
+            "exact oracle for text_decontaminate_fuzzy is no longer valid: %s"
+            % sorted(missing)[:10]
+        )
+        assert not extra, "verify stage passed a sub-threshold pair: %s" % sorted(extra)[:10]
+        assert any(want.values()), "fixture corpus lost its planted bench near-dups"
+
     def test_span_dedup_clean(self, ray_session):
         # global keep-first over 3-token windows: doc 0 keeps everything;
         # doc 1 repeats doc 0's first window (dropped) plus a fresh tail;

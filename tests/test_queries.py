@@ -147,6 +147,10 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_ngram_topk",
         "text_pii_redact",
         "text_decontaminate",
+        "text_decontaminate_bloom",
+        "text_decontaminate_fuzzy",
+        "rel_heavy_hitters",
+        "dedup_span_clean",
         "pipe_corpus_prep",
         "samp_hash_split",
         "samp_stratified",
@@ -186,6 +190,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_dup_dedup",
         "crawl_results_full",
         "crawl_admission",
+        "pipe_crawl_corpus",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
