@@ -227,6 +227,21 @@ def _q_pipe_crawl_corpus(sf_dir: str):
     return corpus_from_crawl(ds.map_batches(docs_only, batch_format="pandas"))
 
 
+def _q_crawl_change_detect(sf_dir: str):
+    """Recrawl change detection over the deterministic corpus: snapshot
+    B is derived from the pages table by the md5(url) fate rule (see
+    pipelines/recrawl.py), the diff is one url-keyed full-outer join of
+    sha projections, and the output is the bounded per-host table the
+    frontier's priority column would consume."""
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import change_detect, recrawl_snapshot
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"))
+    return change_detect(pages, recrawl_snapshot(pages))
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -312,6 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extracted jsonld objects (md5 identity, Min(url) keep-first)
         # + token counts; one narrow groupby, winners broadcast
         "pipe_crawl_corpus": _q_pipe_crawl_corpus,
+        # recrawl scheduling signal: diff two snapshots (B derived
+        # deterministically from A) by content sha — ONE url-keyed
+        # full-outer join of (url, host, sha) projections, per-host
+        # partial counts, bounded host-keyed reduce
+        "crawl_change_detect": _q_crawl_change_detect,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -652,6 +672,41 @@ def oracle_sql() -> dict[str, str]:
             FROM {pages}
             WHERE url LIKE '%/ref/dup/%'
             GROUP BY 1 ORDER BY 1
+        """,
+        # snapshot B is constructed INDEPENDENTLY here (same md5 fate
+        # rule, raw BLOB equality instead of the engine's sha1), so the
+        # value match cross-checks the whole detect path
+        "crawl_change_detect": f"""
+            WITH a AS (SELECT url, html FROM {pages}),
+            b AS (
+              SELECT url,
+                     CASE WHEN substr(md5(url),1,1) IN ('0','1','2','3')
+                          THEN html || encode('<!--recrawl-->') ELSE html END AS html
+              FROM a WHERE substr(md5(url),1,1) <> '4'
+              UNION ALL
+              SELECT url || '?v=2' AS url, html || encode('<!--new-->') AS html
+              FROM a WHERE substr(md5(url),1,1) = '5'
+            ),
+            j AS (
+              SELECT coalesce(a.url, b.url) AS url, a.html AS ha, b.html AS hb
+              FROM a FULL OUTER JOIN b ON a.url = b.url
+            ),
+            c AS (
+              SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                     CAST(ha IS NOT NULL AND hb IS NOT NULL AND ha = hb AS BIGINT) AS u,
+                     CAST(ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb AS BIGINT) AS ch,
+                     CAST(ha IS NULL AS BIGINT) AS ad,
+                     CAST(hb IS NULL AS BIGINT) AS rm
+              FROM j
+            )
+            SELECT host,
+                   CAST(SUM(u) AS BIGINT) AS n_unchanged,
+                   CAST(SUM(ch) AS BIGINT) AS n_changed,
+                   CAST(SUM(ad) AS BIGINT) AS n_added,
+                   CAST(SUM(rm) AS BIGINT) AS n_removed,
+                   COALESCE(CAST(SUM(ch) AS DOUBLE) / nullif(SUM(ch) + SUM(u), 0), 0.0)
+                       AS change_rate
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "rel_filter_revenue": """
             SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate,

@@ -529,6 +529,80 @@ class TestCheckpointResume:
         )
 
 
+class TestChangeDetect:
+    def test_classification_and_rate(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import change_detect
+
+        ts = pd.Timestamp("2026-01-01")
+        a = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://h1.example/p/1",  # unchanged
+                        "https://h1.example/p/2",  # changed
+                        "https://h1.example/p/3",  # removed
+                        "https://h2.example/p/1",  # unchanged
+                    ],
+                    "warc_ts": [ts] * 4,
+                    "html": [b"same1", b"old", b"gone", b"same2"],
+                }
+            )
+        )
+        b = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://h1.example/p/1",
+                        "https://h1.example/p/2",
+                        "https://h2.example/p/1",
+                        "https://h2.example/p/9",  # added
+                    ],
+                    "warc_ts": [ts] * 4,
+                    "html": [b"same1", b"new", b"same2", b"fresh"],
+                }
+            )
+        )
+        got = change_detect(a, b).to_pandas().set_index("host")
+        h1 = got.loc["h1.example"]
+        assert (
+            int(h1.n_unchanged),
+            int(h1.n_changed),
+            int(h1.n_added),
+            int(h1.n_removed),
+        ) == (1, 1, 0, 1)
+        assert h1.change_rate == 0.5
+        h2 = got.loc["h2.example"]
+        assert (
+            int(h2.n_unchanged),
+            int(h2.n_changed),
+            int(h2.n_added),
+            int(h2.n_removed),
+        ) == (1, 0, 1, 0)
+        assert h2.change_rate == 0.0
+
+    def test_recrawl_snapshot_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import recrawl_snapshot
+        from gleaner_ray.sources import synth
+
+        corpus = synth.generate_corpus("/root/testdata/sf0.001")
+        import os
+
+        pages = rd.read_parquet(os.path.join(corpus, "pages"))
+        b1 = recrawl_snapshot(pages).to_pandas().sort_values("url", ignore_index=True)
+        b2 = recrawl_snapshot(pages).to_pandas().sort_values("url", ignore_index=True)
+        assert b1.equals(b2)
+        # the fate rule actually exercises every class on this corpus
+        a_urls = set(pages.to_pandas()["url"])
+        b_urls = set(b1["url"])
+        assert b_urls - a_urls, "no added URLs"
+        assert a_urls - b_urls, "no removed URLs"
+
+
 class TestCorpusFromCrawl:
     def test_keep_first_by_url_and_token_counts(self, ray_session):
         import pandas as pd

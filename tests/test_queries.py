@@ -191,6 +191,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_results_full",
         "crawl_admission",
         "pipe_crawl_corpus",
+        "crawl_change_detect",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
