@@ -520,6 +520,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TF-IDF-family corpus statistic: distributed DF pass, broadcast
         # DF table, exact-integer per-doc rarity score
         "samp_df_rarity": lambda sf: smp.df_rarity(docs(sf)),
+        # data-mixing diagnostic: per-source total-variation distance
+        # from the corpus unigram distribution — ONE corpus pass, absent
+        # tokens folded algebraically, exact-integer numerators, one
+        # final division (bit-identical to the SQL oracle)
+        "samp_source_tv": lambda sf: smp.source_tv_distance(docs(sf)),
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
@@ -1248,6 +1253,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(agg.sum_df AS DOUBLE) / nullif(agg.n_tokens, 0), 0.0)
                        AS mean_df
             FROM toks t LEFT JOIN agg USING (doc_id)
+        """,
+        # per-source TV distance from the corpus unigram distribution:
+        # integer numerators over the common denominator ns*n (absent
+        # tokens folded via ns*(n - ctsum)), ONE division at the end
+        "samp_source_tv": r"""
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            cst AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            ct AS (SELECT tok, SUM(c) AS ct FROM cst GROUP BY 1),
+            ns AS (SELECT source, SUM(c) AS ns FROM cst GROUP BY 1),
+            n AS (SELECT SUM(c) AS n FROM cst),
+            terms AS (
+              SELECT cst.source, SUM(abs(cst.c * n.n - ct.ct * ns.ns)) AS num,
+                     SUM(ct.ct) AS ctsum
+              FROM cst JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+              GROUP BY 1)
+            SELECT t.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+                   CAST(t.num + ns.ns * (n.n - t.ctsum) AS DOUBLE)
+                       / (2.0 * ns.ns * n.n) AS tv
+            FROM terms t JOIN ns USING (source) CROSS JOIN n ORDER BY 1
         """,
         "samp_uniform_n": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -36,6 +36,7 @@ __all__ = [
     "split_threshold_hex",
     "stratified_sample",
     "vocab_overlap",
+    "source_tv_distance",
 ]
 
 
@@ -355,3 +356,94 @@ def bernoulli_weighted(ds, scale: int = 512, key: str = "doc_id", text_col: str 
         return out
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):
+    """Data-mixing diagnostic: total-variation distance between each
+    source's unigram token distribution and the whole-corpus
+    distribution — TV(s) = 1/2 * sum_t |p_s(t) - p(t)|. High-TV sources
+    are distribution outliers a mixture-weighting step (DoReMi-style)
+    would re-weight; TV is chosen over KL because it needs no
+    log/smoothing, so the score is EXACT-integer until one final
+    division and hashes identically to the SQL oracle.
+
+    Absent tokens are handled algebraically, not materialized: over a
+    common denominator N_s*N the numerator is
+    ``sum_{t in s} |c_st*N - c_t*N_s|  +  N_s * (N - sum_{t in s} c_t)``
+    (the second term folds every token the source never uses), so the
+    only tables are vocab-sized, never vocab x sources dense.
+
+    Scale shape: ONE corpus pass emits per-batch (source, tok, c)
+    partials -> groupby-Sum gives the (source, tok) count table; token
+    totals and source totals derive from IT (bounded), never a second
+    corpus pass. Token totals broadcast sorted via ``ray.put`` (same
+    boundable-vocab seam as ``df_rarity``); per-source terms reduce via
+    groupby-Sum; the final division runs over the source-count-sized
+    table. Counts stay int64 — beyond ~10^9-token corpora the |c*N|
+    products need the HUGEINT/object path (the oracle's SUM already
+    widens); that swap is localized to ``terms`` below."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(df[group_col], df[text_col]):
+            for tok in (t or "").lower().split():
+                c[(s, tok)] += 1
+        if not c:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype=object), "tok": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
+            )
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                group_col: [k[0] for k in keys],
+                "tok": [k[1] for k in keys],
+                "c": np.fromiter(c.values(), dtype=np.int64, count=len(keys)),
+            }
+        )
+
+    cst = (
+        ds.map_batches(counts_partial, batch_format="pandas")
+        .groupby([group_col, "tok"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    # token + source totals derive from the bounded count table
+    ct_tbl = cst.groupby("tok").aggregate(Sum("c", alias_name="ct")).to_pandas()
+    order = np.argsort(ct_tbl["tok"].to_numpy(dtype=object))
+    vocab = ct_tbl["tok"].to_numpy(dtype=object)[order]
+    cts = ct_tbl["ct"].to_numpy(dtype=np.int64)[order]
+    big_n = int(cts.sum())
+    ns_tbl = cst.groupby(group_col).aggregate(Sum("c", alias_name="ns")).to_pandas()
+    ns_map = dict(zip(ns_tbl[group_col], ns_tbl["ns"].astype("int64")))
+    ref = ray.put((vocab, cts))
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        vocab_, cts_ = ray.get(ref)
+        idx = np.searchsorted(vocab_, df["tok"].to_numpy(dtype=object))
+        ct = cts_[idx]
+        ns = df[group_col].map(ns_map).to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        num = np.abs(c * big_n - ct * ns)
+        out = pd.DataFrame({group_col: df[group_col], "num": num, "ctsum": ct})
+        return out.groupby(group_col, as_index=False).sum()
+
+    reduced = (
+        cst.map_batches(terms, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("num", alias_name="num"), Sum("ctsum", alias_name="ctsum"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df[group_col].map(ns_map).to_numpy(dtype=np.int64)
+        num = df["num"].to_numpy(dtype=np.int64) + ns * (big_n - df["ctsum"].to_numpy(dtype=np.int64))
+        tv = num.astype("float64") / (2.0 * ns.astype("float64") * float(big_n))
+        out = pd.DataFrame({group_col: df[group_col], "n_tokens": ns, "tv": tv})
+        return out.sort_values(group_col, ignore_index=True)
+
+    return reduced.repartition(1).map_batches(finish, batch_size=None, batch_format="pandas")

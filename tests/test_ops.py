@@ -908,6 +908,38 @@ class TestRangeJoinRollup:
         assert int(out.loc[3, "n_tokens"]) == 0 and out.loc[3, "mean_df"] == 0.0
 
 
+class TestSourceTV:
+    def test_hand_computed(self, ray_session):
+        from fractions import Fraction
+
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import source_tv_distance
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "source": "s1", "text": "a a b"},
+                {"doc_id": 1, "source": "s2", "text": "a b b b"},
+            ]
+        )
+        got = source_tv_distance(ds).to_pandas().set_index("source")
+        # s1: p=(2/3,1/3) vs corpus (3/7,4/7) -> TV = 5/21; s2 -> 5/28
+        assert got.loc["s1", "tv"] == float(Fraction(5, 21))
+        assert got.loc["s2", "tv"] == float(Fraction(5, 28))
+        assert int(got.loc["s1", "n_tokens"]) == 3
+        # absent-token fold: a source using a disjoint vocabulary is at
+        # maximal distance 1 - its own mass share... verified exactly:
+        ds2 = rd.from_items(
+            [
+                {"doc_id": 0, "source": "s1", "text": "x x"},
+                {"doc_id": 1, "source": "s2", "text": "y y"},
+            ]
+        )
+        got2 = source_tv_distance(ds2).to_pandas().set_index("source")
+        # p_s1=(1,0), p=(1/2,1/2) -> TV = 1/2 for both
+        assert got2.loc["s1", "tv"] == 0.5 and got2.loc["s2", "tv"] == 0.5
+
+
 class TestSamplingWeights:
     def test_dup_weights_planted(self, docs_with_dups):
         from gleaner_ray.ops.dedup import dup_count_weights

@@ -157,6 +157,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_pack_sequences",
         "samp_vocab_overlap",
         "samp_df_rarity",
+        "samp_source_tv",
         "samp_uniform_n",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
