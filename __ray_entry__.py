@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "o_orderkey"]
         ),
         "rel_quantiles": lambda sf: rel.quantiles_lineitem(sf),
+        # exact quantiles over an UNBOUNDED float domain: distributed
+        # selection (sample-bracket + exact second pass), no global sort
+        "rel_quantiles_price": lambda sf: rel.quantiles_unbounded(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -790,6 +793,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.95) AS BIGINT) AS p95
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "rel_quantiles_price": """
+            SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.95) AS p95
+            FROM orders
         """,
         # gaps-and-islands: a >30-min silence (or first event) opens a
         # session; boundaries are invariant to tie order at equal ts

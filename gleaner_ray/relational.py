@@ -68,6 +68,7 @@ __all__ = [
     "distinct_users_per_type",
     "asof_join_events_orders",
     "quantiles_lineitem",
+    "quantiles_unbounded",
     "sessionize_events",
     "grouped_topk_orders",
     "range_join_events",
@@ -1463,3 +1464,100 @@ def heavy_hitters_events(sf_dir: str, capacity: int = 128):
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return heavy_hitters_exact(events, "user_id", capacity=capacity)
+
+
+def quantiles_unbounded(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    stride: int = 64,
+    table: str = "orders",
+    col: str = "o_totalprice",
+):
+    """EXACT quantiles over an UNBOUNDED value domain (every value
+    distinct) — the companion to ``quantiles_lineitem``'s bounded-domain
+    count reduction: distributed selection by sample-bracket + exact
+    second pass, never a global sort.
+
+    Pass 1 (sample): each block contributes every ``stride``-th value of
+    its sorted order plus its row count. For the merged sample, the true
+    rank of the j-th smallest sampled value differs from ``(j+1)*stride``
+    by at most ``stride`` per block, so a bracket of samples widened by
+    ``n_blocks*stride`` ranks on each side provably contains the target
+    order statistic. Pass 2 (exact): one streaming pass counts values
+    below each bracket's floor and ships ONLY in-bracket values (bounded
+    by the rank slack, ~2*stride*n_blocks per quantile) to the driver,
+    which selects the exact answer. A widen-and-retry loop guards the
+    bound (it cannot trip under the analysis; belt-and-braces for NaN
+    padding / empty blocks).
+
+    Scale dial: driver memory is O(n/stride + stride*B) — pick stride ~
+    sqrt(n/B) so both terms stay ~sqrt(n*B); at 10^10 rows / 1e4 blocks
+    that is ~1e7 float64s (80 MB) per side. Rank semantics = DuckDB
+    quantile_disc: smallest value whose cumulative count reaches
+    ceil(q*n)."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].to_numpy(dtype=np.float64))
+        picks = v[stride - 1 :: stride]
+        return pd.DataFrame(
+            {
+                "vals": [picks.tobytes()],
+                "n": np.array([len(v)], dtype=np.int64),
+            }
+        )
+
+    parts = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    n_blocks = len(parts)
+    total = int(parts["n"].sum())
+    samples = np.sort(
+        np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in parts["vals"]]
+        )
+        if n_blocks
+        else np.zeros(0)
+    )
+    ranks = {q: max(1, int(np.ceil(q * total))) for q in qs}
+
+    slack = n_blocks * stride
+    for _attempt in range(4):
+        brackets = {}
+        for q, r in ranks.items():
+            lo_idx = (r - slack) // stride - 1
+            hi_idx = -(-(r + slack) // stride)
+            lo = samples[lo_idx] if 0 <= lo_idx < len(samples) else -np.inf
+            hi = samples[hi_idx] if hi_idx < len(samples) else np.inf
+            brackets[q] = (lo, hi)
+
+        def second(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy(dtype=np.float64)
+            rows = []
+            for q, (lo, hi) in brackets.items():
+                rows.append(
+                    {
+                        "q": q,
+                        "n_below": int((v < lo).sum()),
+                        "vals": v[(v >= lo) & (v <= hi)].tobytes(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        got = ds.map_batches(second, batch_format="pandas").to_pandas()
+        out = {}
+        ok = True
+        for q, r in ranks.items():
+            g = got[got["q"] == q]
+            below = int(g["n_below"].sum())
+            inb = np.sort(
+                np.concatenate([np.frombuffer(b, dtype=np.float64) for b in g["vals"]])
+            )
+            k = r - below - 1
+            if 0 <= k < len(inb):
+                out["p%02d" % round(q * 100)] = inb[k]
+            else:
+                ok = False
+                break
+        if ok:
+            return pd.DataFrame([out])
+        slack *= 2
+    raise RuntimeError("quantile bracket failed to converge")

@@ -1492,3 +1492,40 @@ class TestFrameOpsRandomizedParity:
             mask = (uid == uid[i]) & (ts_us >= ts_us[i] - win) & (ts_us <= ts_us[i])
             expect = int(cents[mask].sum())  # peers at equal ts included
             assert int(out.loc[df.loc[i, "event_id"], "range_cents"]) == expect
+
+
+class TestQuantilesUnbounded:
+    """Randomized parity for the sample-bracket distributed selection:
+    exact order statistics on unbounded float data, many blocks, ties,
+    and tiny strides (bracket slack exercised hard)."""
+
+    @pytest.mark.parametrize("seed,stride", [(1, 4), (7, 16), (23, 3)])
+    def test_matches_numpy_selection(self, ray_session, tmp_path, seed, stride):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from gleaner_ray.relational import quantiles_unbounded
+
+        rng = np.random.default_rng(seed)
+        n = 997
+        # heavy ties + outliers: selection must still be exact
+        v = np.concatenate(
+            [rng.normal(0, 1, n - 100), np.repeat(3.5, 50), rng.normal(100, 5, 50)]
+        )
+        rng.shuffle(v)
+        d = tmp_path / "t.parquet"
+        d.mkdir()
+        # many small files -> many blocks -> large n_blocks*stride slack
+        for i, chunk in enumerate(np.array_split(v, 13)):
+            pq.write_table(
+                pa.table({"o_totalprice": chunk}), str(d / ("p%02d.parquet" % i))
+            )
+        qs = (0.1, 0.5, 0.95)
+        got = quantiles_unbounded(str(tmp_path), qs=qs, stride=stride, table="t")
+        sv = np.sort(v)
+        for q in qs:
+            want = sv[max(1, math.ceil(q * len(v))) - 1]
+            assert got["p%02d" % round(q * 100)].iloc[0] == want, q
