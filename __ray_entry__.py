@@ -541,6 +541,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percentile-based length cutoff: corpus-quantile threshold
         # (value-count reduction), broadcast scalar filter
         "pipe_len_quantile_filter": lambda sf: tx.length_quantile_filter(docs(sf), q=0.2),
+        # domain-level gate: drop whole sources whose mean doc length
+        # is below 300 chars — exact-integer compare, broadcast
+        # admitted-source set, corpus never shuffled
+        "pipe_source_gate": lambda sf: tx.source_gate(docs(sf)),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -1306,6 +1310,13 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT quantile_disc(n_tokens, 0.2) AS th FROM n)
             SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens
             FROM n, t WHERE n.n_tokens >= t.th
+        """,
+        # domain-level gate: exact-integer HAVING, keepers joined back
+        "pipe_source_gate": """
+            WITH g AS (
+              SELECT source FROM documents
+              GROUP BY 1 HAVING SUM(length(coalesce(text,''))) >= 300 * COUNT(*))
+            SELECT d.doc_id, d.source FROM documents d JOIN g USING (source)
         """,
         # PII scrub over the deterministically-augmented text (same
         # concat as _augment_pii); counts on the original, replaces

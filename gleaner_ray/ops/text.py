@@ -37,6 +37,7 @@ __all__ = [
     "ngram_top_k",
     "pii_redact",
     "length_quantile_filter",
+    "source_gate",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -711,3 +712,55 @@ def inverted_index(ds, max_df: int = 3, num_partitions: int | None = None):
         .groupby("pid")
         .map_groups(postings, batch_format="pandas")
     )
+
+
+def source_gate(ds, min_mean_chars: int = 300):
+    """Domain-level corpus filtering (the RefinedWeb / C4 move of
+    gating whole sources/hosts, not single documents): drop EVERY
+    document from a source whose mean document length falls below
+    ``min_mean_chars`` — content farms and boilerplate mills fail as a
+    unit even when individual pages pass per-doc filters.
+
+    The gate compares exact integers (``sum_chars >= tau * n_docs``),
+    never a float mean, so the decision is bit-identical to the SQL
+    ``HAVING SUM(n) >= tau * COUNT(*)`` oracle.
+
+    Scale shape: pass 1 reduces to per-source partial (n_docs,
+    sum_chars) inside ``map_batches`` -> one source-keyed groupby of a
+    source-count-sized table; the admitted-source set broadcasts via
+    ``ray.put`` (sources/hosts are bounded, ~1e8 worst case = a few GB
+    of keys -> swap for a Bloom filter at that point); pass 2 is a
+    vectorized membership filter. The corpus is never shuffled.
+    Output: (doc_id, source) of the keepers."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].fillna("").str.len().astype("int64")
+        out = pd.DataFrame({"source": df["source"], "n_docs": 1, "sum_chars": ln})
+        return out.groupby("source", as_index=False).sum()
+
+    per_src = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    admitted = np.sort(
+        per_src.loc[
+            per_src["sum_chars"] >= min_mean_chars * per_src["n_docs"], "source"
+        ].to_numpy(dtype=object)
+    )
+    ref = ray.put(admitted)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        adm = ray.get(ref)
+        src = df["source"].to_numpy(dtype=object)
+        idx = np.searchsorted(adm, src)
+        ok = (idx < len(adm)) & (adm[np.minimum(idx, len(adm) - 1)] == src)
+        out = df.loc[ok, ["doc_id", "source"]]
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -908,6 +908,28 @@ class TestRangeJoinRollup:
         assert int(out.loc[3, "n_tokens"]) == 0 and out.loc[3, "mean_df"] == 0.0
 
 
+class TestSourceGate:
+    def test_whole_source_drops(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import source_gate
+
+        ds = rd.from_items(
+            [
+                # mill: mean 4 chars — its one long doc must drop too
+                {"doc_id": 0, "source": "mill", "text": "ab"},
+                {"doc_id": 1, "source": "mill", "text": "cd"},
+                {"doc_id": 2, "source": "mill", "text": "x" * 20},
+                # good: mean 30 chars — its one short doc survives
+                {"doc_id": 3, "source": "good", "text": "y" * 55},
+                {"doc_id": 4, "source": "good", "text": "z" * 5},
+            ]
+        )
+        got = source_gate(ds, min_mean_chars=10).to_pandas()
+        assert sorted(got["doc_id"]) == [3, 4]
+        assert set(got["source"]) == {"good"}
+
+
 class TestSourceTV:
     def test_hand_computed(self, ray_session):
         from fractions import Fraction

@@ -162,6 +162,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_uniform_n",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
+        "pipe_source_gate",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
