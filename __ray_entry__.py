@@ -528,6 +528,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens folded algebraically, exact-integer numerators, one
         # final division (bit-identical to the SQL oracle)
         "samp_source_tv": lambda sf: smp.source_tv_distance(docs(sf)),
+        # per-doc top-3 characteristic terms by exact-rational TF/DF
+        # (log-free TF-IDF): broadcast DF table, vectorized per-batch
+        # top-k, no window shuffle
+        "text_tfidf_topk": lambda sf: tx.tfidf_topk(docs(sf)),
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
@@ -1265,6 +1269,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(agg.sum_df AS DOUBLE) / nullif(agg.n_tokens, 0), 0.0)
                        AS mean_df
             FROM toks t LEFT JOIN agg USING (doc_id)
+        """,
+        # per-doc top-3 terms by the exact rational tf/df; ties on token
+        # byte order; row_number reproduces the engine's lexsort
+        "text_tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            sc AS (SELECT doc_id, tf.tok, tf, df,
+                          CAST(tf AS DOUBLE) / df AS score
+                   FROM tf JOIN dfreq ON tf.tok = dfreq.tok),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+                  FROM sc)
+            SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
         """,
         # per-source TV distance from the corpus unigram distribution:
         # integer numerators over the common denominator ns*n (absent

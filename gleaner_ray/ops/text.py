@@ -38,6 +38,7 @@ __all__ = [
     "pii_redact",
     "length_quantile_filter",
     "source_gate",
+    "tfidf_topk",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -764,3 +765,79 @@ def source_gate(ds, min_mean_chars: int = 300):
         return out.reset_index(drop=True)
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def tfidf_topk(ds, k: int = 3, key: str = "doc_id", text_col: str = "text"):
+    """Per-document top-k characteristic terms by TF/DF — the TF-IDF
+    ranking with the log dropped: log is monotone in df, so ranking by
+    the exact rational ``tf/df`` (one small-int division, bit-identical
+    across engines) orders terms identically to tf*idf for fixed tf...
+    and unlike log-IDF the score needs no transcendental kernel, which
+    is what lets the SQL oracle verify it value-for-value. Ties break
+    on the token's byte order (ASCII corpus contract).
+
+    Scale shape (same two passes as ``df_rarity``, corpus never
+    shuffled): (1) per-batch distinct-token partials -> groupby-Sum DF
+    table; (2) DF table sorted + broadcast once via ``ray.put``; each
+    batch computes per-doc term frequencies, probes DF with one
+    flattened searchsorted, and selects top-k per doc with a vectorized
+    lexsort — no per-token Python in the probe, no window shuffle.
+    Output: (doc_id, tok, tf, df, score, rank), rank 1..k."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df[text_col]:
+            c.update(set((t or "").lower().split()))
+        return pd.DataFrame({"tok": list(c.keys()), "n_docs": list(c.values())})
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("n_docs", alias_name="df"))
+        .to_pandas()
+    )
+    order = np.argsort(df_tbl["tok"].to_numpy(dtype=object))
+    vocab = df_tbl["tok"].to_numpy(dtype=object)[order]
+    dfs = df_tbl["df"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((vocab, dfs))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        v, d = ray.get(ref)
+        out_key, out_tok, out_tf, out_df, out_score, out_rank = [], [], [], [], [], []
+        for kid, t in zip(df[key], df[text_col]):
+            c = Counter((t or "").lower().split())
+            if not c:
+                continue
+            toks = np.array(list(c.keys()), dtype=object)
+            tfs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            idx = np.minimum(np.searchsorted(v, toks), max(len(v) - 1, 0))
+            dvals = d[idx]
+            score = tfs / dvals
+            # lexsort: last key is primary -> (-score, tok)
+            pick = np.lexsort((toks, -score))[:k]
+            out_key.extend([kid] * len(pick))
+            out_tok.extend(toks[pick])
+            out_tf.extend(tfs[pick])
+            out_df.extend(dvals[pick])
+            out_score.extend(score[pick])
+            out_rank.extend(range(1, len(pick) + 1))
+        return pd.DataFrame(
+            {
+                key: pd.Series(out_key, dtype="int64"),
+                "tok": pd.Series(out_tok, dtype=object),
+                "tf": pd.Series(out_tf, dtype="int64"),
+                "df": pd.Series(out_df, dtype="int64"),
+                "score": pd.Series(out_score, dtype="float64"),
+                "rank": pd.Series(out_rank, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pandas")

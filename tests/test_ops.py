@@ -908,6 +908,33 @@ class TestRangeJoinRollup:
         assert int(out.loc[3, "n_tokens"]) == 0 and out.loc[3, "mean_df"] == 0.0
 
 
+class TestTfidfTopk:
+    def test_rare_term_ranks_first(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import tfidf_topk
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "common common zebra"},
+                {"doc_id": 1, "text": "common words here"},
+                {"doc_id": 2, "text": "common words again"},
+                {"doc_id": 3, "text": ""},
+            ]
+        )
+        got = tfidf_topk(ds, k=2).to_pandas()
+        d0 = got[got.doc_id == 0].sort_values("rank")
+        # zebra: tf=1/df=1 (1.0) beats common: tf=2/df=3 (0.667)
+        assert list(d0["tok"]) == ["zebra", "common"]
+        assert d0["score"].iloc[0] == 1.0
+        # empty doc emits no rows
+        assert not (got.doc_id == 3).any()
+        # tie on score -> token byte order (here 'again' and 'here' both
+        # tf=1; df(again)=1 -> 1.0 vs df(here)=1 -> 1.0, tie -> 'again' first)
+        d2 = got[got.doc_id == 2].sort_values("rank")
+        assert list(d2["tok"])[0] == "again"
+
+
 class TestSourceGate:
     def test_whole_source_drops(self, ray_session):
         import ray.data as rd

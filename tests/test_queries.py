@@ -159,6 +159,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_vocab_overlap",
         "samp_df_rarity",
         "samp_source_tv",
+        "text_tfidf_topk",
         "samp_uniform_n",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
