@@ -213,6 +213,17 @@ def run_bench() -> dict:
             rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]), "l_partkey"
         ),
     )
+    # round-3 additions: snapshot diff over the full pages corpus (one
+    # url-keyed exchange) and the one-pass data-mixing TV diagnostic
+    from gleaner_ray.pipelines.recrawl import change_detect, recrawl_snapshot
+
+    timed(
+        "change_detect",
+        lambda: change_detect(
+            rd.read_parquet(pages_dir), recrawl_snapshot(rd.read_parquet(pages_dir))
+        ).count(),
+    )
+    timed("source_tv", lambda: smp.source_tv_distance(docs()).to_pandas())
 
     result = {
         "metric": "summon_sec",

@@ -388,24 +388,26 @@ def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
+        from itertools import chain
 
-        c: Counter = Counter()
-        for s, t in zip(df[group_col], df[text_col]):
-            for tok in (t or "").lower().split():
-                c[(s, tok)] += 1
-        if not c:
+        token_lists = [(t or "").lower().split() for t in df[text_col]]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+        total = int(lens.sum())
+        if not total:
             return pd.DataFrame(
                 {group_col: pd.Series(dtype=object), "tok": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
             )
-        keys = list(c.keys())
-        return pd.DataFrame(
-            {
-                group_col: [k[0] for k in keys],
-                "tok": [k[1] for k in keys],
-                "c": np.fromiter(c.values(), dtype=np.int64, count=len(keys)),
-            }
+        flat = np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
+        src = np.repeat(df[group_col].to_numpy(dtype=object), lens)
+        # C-level hash groupby — no per-token Python
+        out = (
+            pd.DataFrame({group_col: src, "tok": flat})
+            .groupby([group_col, "tok"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "c"})
         )
+        out["c"] = out["c"].astype("int64")
+        return out
 
     cst = (
         ds.map_batches(counts_partial, batch_format="pandas")
