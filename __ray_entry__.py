@@ -242,6 +242,25 @@ def _q_crawl_change_detect(sf_dir: str):
     return change_detect(pages, recrawl_snapshot(pages))
 
 
+def _q_crawl_priority_update(sf_dir: str):
+    """change_detect rates (bounded per-host table) fed back into a
+    per-URL recrawl priority over the snapshot-A frontier."""
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import (
+        change_detect,
+        priority_update,
+        recrawl_snapshot,
+    )
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"))
+    rates = change_detect(pages, recrawl_snapshot(pages)).to_pandas()
+    return priority_update(
+        rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"]), rates
+    )
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -332,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-outer join of (url, host, sha) projections, per-host
         # partial counts, bounded host-keyed reduce
         "crawl_change_detect": _q_crawl_change_detect,
+        # the loop closed: measured per-host change rates re-prioritize
+        # the frontier (bounded rate table broadcast; frontier streamed,
+        # never shuffled)
+        "crawl_priority_update": _q_crawl_priority_update,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -723,6 +746,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(SUM(ch) AS DOUBLE) / nullif(SUM(ch) + SUM(u), 0), 0.0)
                        AS change_rate
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # same snapshot-B construction + rate formula as
+        # crawl_change_detect, folded to per-URL priorities
+        "crawl_priority_update": f"""
+            WITH a AS (SELECT url, html FROM {pages}),
+            b AS (
+              SELECT url,
+                     CASE WHEN substr(md5(url),1,1) IN ('0','1','2','3')
+                          THEN html || encode('<!--recrawl-->') ELSE html END AS html
+              FROM a WHERE substr(md5(url),1,1) <> '4'
+              UNION ALL
+              SELECT url || '?v=2' AS url, html || encode('<!--new-->') AS html
+              FROM a WHERE substr(md5(url),1,1) = '5'
+            ),
+            j AS (
+              SELECT coalesce(a.url, b.url) AS url, a.html AS ha, b.html AS hb
+              FROM a FULL OUTER JOIN b ON a.url = b.url
+            ),
+            c AS (
+              SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                     CAST(ha IS NOT NULL AND hb IS NOT NULL AND ha = hb AS BIGINT) AS u,
+                     CAST(ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb AS BIGINT) AS ch
+              FROM j
+            ),
+            r AS (
+              SELECT host, COALESCE(CAST(SUM(ch) AS DOUBLE)
+                       / nullif(SUM(ch) + SUM(u), 0), 0.0) AS rate
+              FROM c GROUP BY 1
+            )
+            SELECT p.url,
+                   regexp_extract(p.url, '^https://([^/]+)/', 1) AS host,
+                   CAST(CASE WHEN r.host IS NULL THEN 1
+                             WHEN r.rate >= 0.25 THEN 0
+                             WHEN r.rate >= 0.1 THEN 1
+                             ELSE 2 END AS BIGINT) AS priority
+            FROM a p LEFT JOIN r
+              ON regexp_extract(p.url, '^https://([^/]+)/', 1) = r.host
         """,
         "rel_filter_revenue": """
             SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate,

@@ -44,7 +44,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["recrawl_snapshot", "change_detect"]
+__all__ = ["recrawl_snapshot", "change_detect", "priority_update"]
 
 _HOST_RE = r"^https://([^/]+)/"
 _HASH_KEY = "chg_detect_key!!"  # 16-byte siphash key, both sides + oracle-free
@@ -220,3 +220,35 @@ def change_detect(a_ds, b_ds, num_buckets: int | None = None) -> pd.DataFrame:
 
     # final division + sort over the bounded per-host table
     return counts.repartition(1).map_batches(finish, batch_size=None, batch_format="pandas")
+
+
+def priority_update(frontier_ds, host_rates: pd.DataFrame, hot: float = 0.25, warm: float = 0.1):
+    """Close the recrawl loop: assign each frontier URL a recrawl
+    priority from its host's measured change rate (``change_detect``
+    output) — the scheduling signal the north rule's priority queue
+    consumes. Priority 0 = hot host (change_rate >= ``hot``), 1 = warm
+    (>= ``warm``) or unknown host (no history yet -> medium), 2 = cold.
+
+    Scale shape: the per-host rate table is bounded by host count; it
+    broadcasts once via ``ray.put`` and every frontier batch assigns
+    priorities with one vectorized sorted-probe — the frontier is never
+    shuffled. Output: (url, host, priority)."""
+    import ray
+
+    hosts = np.sort(host_rates["host"].to_numpy(dtype=object))
+    order = np.argsort(host_rates["host"].to_numpy(dtype=object))
+    rates = host_rates["change_rate"].to_numpy(dtype=np.float64)[order]
+    prio_by_host = np.where(rates >= hot, 0, np.where(rates >= warm, 1, 2)).astype(np.int64)
+    ref = ray.put((hosts, prio_by_host))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h, p = ray.get(ref)
+        host = df["url"].str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+        idx = np.searchsorted(h, host)
+        known = (idx < len(h)) & (h[np.minimum(idx, max(len(h) - 1, 0))] == host)
+        prio = np.where(known, p[np.minimum(idx, max(len(h) - 1, 0))], 1)
+        return pd.DataFrame(
+            {"url": df["url"], "host": host, "priority": prio.astype("int64")}
+        )
+
+    return frontier_ds.map_batches(assign, batch_format="pandas")

@@ -583,6 +583,32 @@ class TestChangeDetect:
         ) == (1, 0, 1, 0)
         assert h2.change_rate == 0.0
 
+    def test_priority_update_buckets_and_unknown_default(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import priority_update
+
+        rates = pd.DataFrame(
+            {
+                "host": ["cold.example", "hot.example", "warm.example"],
+                "change_rate": [0.01, 0.5, 0.15],
+            }
+        )
+        frontier = rd.from_items(
+            [
+                {"url": "https://hot.example/a"},
+                {"url": "https://warm.example/b"},
+                {"url": "https://cold.example/c"},
+                {"url": "https://new.example/d"},  # no history -> 1
+            ]
+        )
+        got = priority_update(frontier, rates).to_pandas().set_index("host")
+        assert int(got.loc["hot.example", "priority"]) == 0
+        assert int(got.loc["warm.example", "priority"]) == 1
+        assert int(got.loc["cold.example", "priority"]) == 2
+        assert int(got.loc["new.example", "priority"]) == 1
+
     def test_recrawl_snapshot_deterministic(self, ray_session):
         import ray.data as rd
 

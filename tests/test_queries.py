@@ -196,6 +196,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_admission",
         "pipe_crawl_corpus",
         "crawl_change_detect",
+        "crawl_priority_update",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
