@@ -382,6 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact quantiles over an UNBOUNDED float domain: distributed
         # selection (sample-bracket + exact second pass), no global sort
         "rel_quantiles_price": lambda sf: rel.quantiles_unbounded(sf),
+        # per-group 3-sigma anomaly filter: exact integer moments, the
+        # z-test cleared of denominators (no mean/var/sqrt floats)
+        "rel_outliers": lambda sf: rel.outliers_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -866,6 +869,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.95) AS p95
             FROM orders
+        """,
+        # 3-sigma outliers via denominator-free z-test: LHS squared in
+        # DOUBLE (single IEEE op), RHS exact HUGEINT -> one DOUBLE cast
+        "rel_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events),
+            m AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(CAST(value_cents AS HUGEINT)) AS s,
+                     SUM(CAST(value_cents AS HUGEINT) * value_cents) AS m2
+              FROM c GROUP BY 1)
+            SELECT c.event_id, c.event_type, c.value_cents
+            FROM c JOIN m USING (event_type)
+            WHERE CAST(m.n * c.value_cents - m.s AS DOUBLE)
+                  * CAST(m.n * c.value_cents - m.s AS DOUBLE)
+                  > CAST(9 * (m.n * m.m2 - m.s * m.s) AS DOUBLE)
         """,
         # gaps-and-islands: a >30-min silence (or first event) opens a
         # session; boundaries are invariant to tie order at equal ts

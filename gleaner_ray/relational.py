@@ -69,6 +69,7 @@ __all__ = [
     "asof_join_events_orders",
     "quantiles_lineitem",
     "quantiles_unbounded",
+    "outliers_events",
     "sessionize_events",
     "grouped_topk_orders",
     "range_join_events",
@@ -1561,3 +1562,63 @@ def quantiles_unbounded(
             return pd.DataFrame([out])
         slack *= 2
     raise RuntimeError("quantile bracket failed to converge")
+
+
+def outliers_events(sf_dir: str):
+    """Per-group 3-sigma anomaly filter with EXACT arithmetic: an event
+    is an outlier iff (n*x - s)^2 > 9*(n*m2 - s^2) for its event_type's
+    moment sums (s = sum of value cents, m2 = sum of squared cents) —
+    the z-score test cleared of denominators, so no mean, no variance,
+    no sqrt ever materializes.
+
+    Bit-exactness contract (same family as ``per_group_corr``): the
+    per-row left side (n*x - s) fits int64 and converts to float64
+    exactly (< 2^53); its square and the comparison are single IEEE
+    ops identical across engines; the per-group right side is computed
+    ONCE in arbitrary-precision Python ints (HUGEINT in the oracle)
+    and rounded to float64 by the same half-even rule both engines
+    share. Beyond ~2^53 cents-scale moments the int64 PARTIALS need
+    the hugeint/object path — the seam is the partial() dtype below.
+
+    Scale shape: one streaming pass emits per-batch (type, n, s, m2)
+    int64 partials -> a groups-sized reduce; thresholds broadcast in
+    the closure; pass 2 is a vectorized filter. Events never shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["value"] * 100).round().astype("int64")
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "s": c, "m2": c * c}
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    mom = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("m2", alias_name="m2")
+        )
+        .to_pandas()
+    )
+    # thresholds in exact Python ints, one float64 rounding at the end
+    stats = {
+        r["event_type"]: (int(r["n"]), int(r["s"]), float(9 * (int(r["n"]) * int(r["m2"]) - int(r["s"]) ** 2)))
+        for _, r in mom.iterrows()
+    }
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["value"] * 100).round().astype("int64").to_numpy()
+        n = df["event_type"].map(lambda t: stats[t][0]).to_numpy(dtype=np.int64)
+        s = df["event_type"].map(lambda t: stats[t][1]).to_numpy(dtype=np.int64)
+        rhs = df["event_type"].map(lambda t: stats[t][2]).to_numpy(dtype=np.float64)
+        d = (n * c - s).astype(np.float64)
+        keep = d * d > rhs
+        out = df.loc[keep, ["event_id", "event_type"]].copy()
+        out["value_cents"] = c[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")

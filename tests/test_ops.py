@@ -1543,6 +1543,28 @@ class TestFrameOpsRandomizedParity:
             assert int(out.loc[df.loc[i, "event_id"], "range_cents"]) == expect
 
 
+class TestOutliers:
+    def test_planted_outlier(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gleaner_ray.relational import outliers_events
+
+        # 40 values tight around 10.00, one at 500.00 -> only it trips 3σ
+        vals = [10.0 + (i % 5) * 0.01 for i in range(40)] + [500.0]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(41), pa.int64()),
+                "event_type": pa.array(["x"] * 41),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = outliers_events(str(tmp_path)).to_pandas()
+        assert list(got["event_id"]) == [40]
+        assert int(got["value_cents"].iloc[0]) == 50000
+
+
 class TestQuantilesUnbounded:
     """Randomized parity for the sample-bracket distributed selection:
     exact order statistics on unbounded float data, many blocks, ties,

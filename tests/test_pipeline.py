@@ -609,6 +609,62 @@ class TestChangeDetect:
         assert int(got.loc["cold.example", "priority"]) == 2
         assert int(got.loc["new.example", "priority"]) == 1
 
+    @pytest.mark.parametrize("seed", [3, 11, 42])
+    def test_change_detect_randomized_parity(self, ray_session, seed):
+        # randomized snapshots vs an independent pandas reference:
+        # exercises the blob-bucket exchange with many batches, hosts,
+        # and all four fates mixed per host
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import change_detect
+
+        rng = np.random.default_rng(seed)
+        n, hosts = 3000, ["h%d.example" % i for i in range(7)]
+        ts = pd.Timestamp("2026-01-01")
+        urls = ["https://%s/p/%d" % (hosts[i % 7], i) for i in range(n)]
+        html_a = [b"body-%d" % i for i in range(n)]
+        fate = rng.integers(0, 4, n)  # 0 unchanged, 1 changed, 2 removed, 3 also-spawn
+        a = pd.DataFrame({"url": urls, "warc_ts": ts, "html": html_a})
+        keep = fate != 2
+        html_b = [
+            h + b"!" if f == 1 else h for h, f in zip(html_a, fate)
+        ]
+        b = pd.DataFrame(
+            {"url": np.array(urls)[keep], "warc_ts": ts, "html": np.array(html_b, dtype=object)[keep]}
+        )
+        spawn = fate == 3
+        b = pd.concat(
+            [
+                b,
+                pd.DataFrame(
+                    {
+                        "url": [u + "?new" for u, s in zip(urls, spawn) if s],
+                        "warc_ts": ts,
+                        "html": [b"fresh-%d" % i for i, s in enumerate(spawn) if s],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        got = (
+            change_detect(
+                rd.from_pandas(a).repartition(9),
+                rd.from_pandas(b).repartition(7),
+                num_buckets=16,
+            )
+            .to_pandas()
+            .set_index("host")
+        )
+        hs = pd.Series([u.split("/")[2] for u in urls])
+        for h in hosts:
+            m = (hs == h).to_numpy()
+            assert int(got.loc[h, "n_unchanged"]) == int(((fate != 1) & (fate != 2) & m).sum())
+            assert int(got.loc[h, "n_changed"]) == int(((fate == 1) & m).sum())
+            assert int(got.loc[h, "n_removed"]) == int(((fate == 2) & m).sum())
+            assert int(got.loc[h, "n_added"]) == int(((fate == 3) & m).sum())
+
     def test_recrawl_snapshot_deterministic(self, ray_session):
         import ray.data as rd
 

@@ -111,6 +111,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_asof_events_orders",
         "rel_quantiles",
         "rel_quantiles_price",
+        "rel_outliers",
         "rel_sessionize",
         "rel_grouped_topk",
         "rel_range_join",
