@@ -261,6 +261,44 @@ def _q_crawl_priority_update(sf_dir: str):
     )
 
 
+def _q_crawl_url_canon(sf_dir: str):
+    """Plant messy URL spellings (mixed-case host, default port, double
+    slashes, tracking params, unsorted query, fragment) from doc_id and
+    canonicalize with urlutils.canonical_url; the oracle builds the
+    same strings and canonicalizes with independent SQL string ops."""
+    import ray.data as rd
+
+    from gleaner_ray.urlutils import canonical_url
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        url = (
+            "https://Host"
+            + (i % 5).astype(str)
+            + ".Example.COM:443//p//"
+            + i.astype(str)
+            + "/?z="
+            + (i % 7).astype(str)
+            + "&utm_source=s"
+            + i.astype(str)
+            + "&a="
+            + (i % 3).astype(str)
+            + "#sec"
+            + i.astype(str)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": i,
+                "url": url,
+                "canon_url": [canonical_url(u) for u in url],
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        build, batch_format="pandas"
+    )
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -355,6 +393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the frontier (bounded rate table broadcast; frontier streamed,
         # never shuffled)
         "crawl_priority_update": _q_crawl_priority_update,
+        # deep URL canonicalization (alias collapse for frontier dedup):
+        # messy spellings planted deterministically on BOTH sides, each
+        # engine canonicalizes independently
+        "crawl_url_canon": _q_crawl_url_canon,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -786,6 +828,44 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 2 END AS BIGINT) AS priority
             FROM a p LEFT JOIN r
               ON regexp_extract(p.url, '^https://([^/]+)/', 1) = r.host
+        """,
+        # independent SQL canonicalization of the same planted spellings
+        "crawl_url_canon": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://Host' || (doc_id % 5) || '.Example.COM:443//p//' ||
+                     doc_id || '/?z=' || (doc_id % 7) || '&utm_source=s' ||
+                     doc_id || '&a=' || (doc_id % 3) || '#sec' || doc_id AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                     lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth,
+                     regexp_replace(regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+                                    '#.*$', '') AS nofrag
+              FROM u),
+            split AS (
+              SELECT doc_id, url, scheme,
+                     CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                          WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                          ELSE auth END AS auth,
+                     regexp_extract(nofrag, '^([^?]*)', 1) AS rawpath,
+                     CASE WHEN strpos(nofrag, '?') > 0
+                          THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS rawq
+              FROM parts),
+            canon AS (
+              SELECT doc_id, url, scheme, auth,
+                     CASE WHEN length(p) > 1 THEN regexp_replace(p, '/$', '') ELSE p END AS path,
+                     array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                         x -> x <> '' AND NOT starts_with(lower(x), 'utm_')
+                              AND NOT starts_with(lower(x), 'fbclid=')
+                              AND NOT starts_with(lower(x), 'gclid=')
+                              AND NOT starts_with(lower(x), 'msclkid='))), '&') AS q
+              FROM (SELECT *, regexp_replace(rawpath, '/{2,}', '/', 'g') AS p FROM split))
+            SELECT doc_id, url,
+                   scheme || '://' || auth || path ||
+                   CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
+            FROM canon
         """,
         "rel_filter_revenue": """
             SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate,

@@ -131,6 +131,23 @@ class TestUrlUtils:
         assert urlutils.canonical_host("http://example.org:80/a") == "example.org"
         assert urlutils.canonical_host("http://example.org:8080/a") == "example.org:8080"
 
+    def test_canonical_url(self):
+        cu = urlutils.canonical_url
+        assert (
+            cu("https://Host2.Example.COM:443//p//7/?z=3&utm_source=s&a=1#sec")
+            == "https://host2.example.com/p/7?a=1&z=3"
+        )
+        # root slash is kept; lone trailing slash elsewhere stripped
+        assert cu("https://h.example/") == "https://h.example/"
+        assert cu("https://h.example/a/") == "https://h.example/a"
+        # http default port, param sort, empty-param drop
+        assert cu("http://H.example:80/a/?b=2&&a=1") == "http://h.example/a?a=1&b=2"
+        # all-tracking query vanishes entirely (no dangling '?')
+        assert cu("https://h.example/a?utm_source=x&gclid=1") == "https://h.example/a"
+        # non-default port survives; scheme-less strings pass through
+        assert cu("https://h.example:8443/a") == "https://h.example:8443/a"
+        assert cu("not-a-url") == "not-a-url"
+
     def test_canonical_host_query_fragment_no_path(self):
         # '?' or '#' before any '/' must still end the authority
         assert urlutils.canonical_host("https://example.com?x=1") == "example.com"

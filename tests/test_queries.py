@@ -112,6 +112,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_quantiles",
         "rel_quantiles_price",
         "rel_outliers",
+        "crawl_url_canon",
         "rel_sessionize",
         "rel_grouped_topk",
         "rel_range_join",
