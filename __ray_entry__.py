@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group 3-sigma anomaly filter: exact integer moments, the
         # z-test cleared of denominators (no mean/var/sqrt floats)
         "rel_outliers": lambda sf: rel.outliers_events(sf),
+        # per-group DENSE_RANK via the bounded distinct-value table:
+        # no window exchange, events never shuffle
+        "rel_dense_rank": lambda sf: rel.dense_rank_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -949,6 +952,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.95) AS p95
             FROM orders
+        """,
+        "rel_dense_rank": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk
+            FROM events
         """,
         # 3-sigma outliers via denominator-free z-test: LHS squared in
         # DOUBLE (single IEEE op), RHS exact HUGEINT -> one DOUBLE cast

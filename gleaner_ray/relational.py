@@ -70,6 +70,7 @@ __all__ = [
     "quantiles_lineitem",
     "quantiles_unbounded",
     "outliers_events",
+    "dense_rank_events",
     "sessionize_events",
     "grouped_topk_orders",
     "range_join_events",
@@ -1622,3 +1623,66 @@ def outliers_events(sf_dir: str):
         return out
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def dense_rank_events(sf_dir: str):
+    """Per-group DENSE_RANK over a bounded value domain, shuffle-free:
+    ranks depend only on the DISTINCT (group, value) set, so pass 1
+    reduces the corpus to that bounded table (per-batch distinct
+    partials -> one groups x values reduce), the driver ranks it and
+    broadcasts the (group, value) -> rank map, and pass 2 assigns ranks
+    with a vectorized probe — events never shuffle, no window exchange.
+    (For unbounded domains swap pass 1 for the ``quantiles_unbounded``
+    sample-bracket machinery; the seam is the distinct table.)
+
+    Output: (event_id, event_type, value_cents, rnk) with rnk =
+    DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value_cents
+    DESC)."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    dist = (
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    dist = dist.sort_values(["event_type", "value_cents"], ascending=[True, False], ignore_index=True)
+    dist["rnk"] = dist.groupby("event_type").cumcount() + 1
+    rank_map = {
+        t: (g["value_cents"].to_numpy()[::-1].copy(), g["rnk"].to_numpy()[::-1].copy())
+        for t, g in dist.groupby("event_type")
+    }
+    ref = ray.put(rank_map)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        c = (df["value"] * 100).round().astype("int64").to_numpy()
+        rnk = np.empty(len(df), dtype=np.int64)
+        types = df["event_type"].to_numpy(dtype=object)
+        for t in pd.unique(types):
+            sel = types == t
+            vals, ranks = m[t]
+            rnk[sel] = ranks[np.searchsorted(vals, c[sel])]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "value_cents": c,
+                "rnk": rnk,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
