@@ -620,6 +620,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is below 300 chars — exact-integer compare, broadcast
         # admitted-source set, corpus never shuffled
         "pipe_source_gate": lambda sf: tx.source_gate(docs(sf)),
+        # FLAGSHIP composed pipeline: decontaminate -> quality/lang
+        # filters -> exact dedup -> hash split -> pack the train split.
+        # One fused signal pass; wide steps only on the md5 key and the
+        # bounded pack buckets.
+        "pipe_training_data": lambda sf: tx.training_data_prep(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -1757,6 +1767,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(off // 2048 AS BIGINT) AS pack_id
         FROM c
     """
+    # flagship composition: every stage's individually-oracled contract
+    # chained in one query (decontaminate CTE -> signal filters -> dedup
+    # keep-first -> hash-split literal -> SUM OVER pack of train rows)
+    sqls["pipe_training_data"] = (
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        shg AS (
+          SELECT doc_id, unnest(
+                   CASE WHEN len(w) = 0 THEN []
+                        WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w)-3),
+                                            i -> array_to_string(w[i:i+4], ' ')) END) AS s
+          FROM toks),
+        bench AS (SELECT DISTINCT s FROM shg WHERE doc_id < 20),
+        hits AS (SELECT DISTINCT g.doc_id FROM shg g JOIN bench ON g.s = bench.s),
+        clean AS (
+          SELECT d.* FROM documents d LEFT JOIN hits USING (doc_id)
+          WHERE hits.doc_id IS NULL),
+        sig AS (
+          SELECT doc_id, length(coalesce(text,'')) AS n_chars,
+                 COALESCE(length(regexp_replace(coalesce(text,''), '[^!-/:-@\[-`{-~]', '', 'g'))
+                       / nullif(length(coalesce(text,'')), 0), 0) AS punct_ratio,
+                 md5(coalesce(text,'')) AS h,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM clean),
+        l AS (__LANGID__),
+        k AS (SELECT sig.doc_id, sig.h, sig.n_tokens
+              FROM sig JOIN l USING (doc_id)
+              WHERE sig.n_chars >= 100 AND sig.punct_ratio <= 0.2 AND l.lang_pred = 'en'),
+        m AS (SELECT h, min(doc_id) AS keeper FROM k GROUP BY h),
+        keep AS (SELECT k.doc_id, k.n_tokens FROM k JOIN m ON k.h = m.h AND k.doc_id = m.keeper),
+        s AS (SELECT doc_id, n_tokens,
+                     CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '__THRESH__'
+                          THEN 'train' ELSE 'holdout' END AS split
+              FROM keep),
+        tr AS (SELECT doc_id,
+                      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               FROM s WHERE split = 'train')
+        SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.split,
+               CAST(COALESCE(tr.off, -1) AS BIGINT) AS offset_tokens,
+               CAST(COALESCE(tr.off // 2048, -1) AS BIGINT) AS pack_id
+        FROM s LEFT JOIN tr USING (doc_id)
+    """.replace("__LANGID__", _langid_sql())
+        .replace("__THRESH__", split_threshold_hex(0.9))
+    )
     # the sketch->exact-verify compositions equal the exact all-pairs
     # answers at their recall-1 parameters (measured at sf0.01; see
     # gleaner_ray/ops/dedup.py docstrings), so they share those oracles

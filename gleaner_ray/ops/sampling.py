@@ -33,6 +33,7 @@ __all__ = [
     "uniform_sample_n",
     "hash_split",
     "pack_sequences",
+    "pack_counts",
     "split_threshold_hex",
     "stratified_sample",
     "vocab_overlap",
@@ -114,24 +115,36 @@ def pack_sequences(ds, budget: int = 2048, bucket_size: int = 1000, key: str = "
     exchange — bucket count rows, not doc count); per-bucket offset
     assignment with the driver's prefix-summed bucket bases broadcast
     via ``ray.put``."""
-    import ray
-
     from gleaner_ray.ops.text import token_stats
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key: df[key], "n_tokens": df["n_tokens_ws"].astype("int64")}
+        )
+
+    counts = (
+        ds.map_batches(token_stats, batch_format="pandas")
+        .map_batches(rename, batch_format="pandas")
+    )
+    return pack_counts(counts, budget=budget, bucket_size=bucket_size, key=key)
+
+
+def pack_counts(counts_ds, budget: int = 2048, bucket_size: int = 1000, key: str = "doc_id"):
+    """Packing stages over a prepared (key, n_tokens) dataset — the
+    two-level distributed prefix sum ``pack_sequences`` documents,
+    reusable by composed pipelines that already computed token counts."""
+    import ray
 
     def to_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 key: df[key],
-                "n_tokens": df["n_tokens_ws"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
                 "bucket": (df[key] // bucket_size).astype("int64"),
             }
         )
 
-    counts = (
-        ds.map_batches(token_stats, batch_format="pandas")
-        .map_batches(to_bucket, batch_format="pandas")
-        .materialize()
-    )
+    counts = counts_ds.map_batches(to_bucket, batch_format="pandas").materialize()
 
     from ray.data.aggregate import Sum
 

@@ -39,6 +39,7 @@ __all__ = [
     "length_quantile_filter",
     "source_gate",
     "tfidf_topk",
+    "training_data_prep",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -841,3 +842,145 @@ def tfidf_topk(ds, k: int = 3, key: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(topk, batch_format="pandas")
+
+
+def training_data_prep(
+    ds,
+    bench_ds,
+    min_chars: int = 100,
+    max_punct: float = 0.2,
+    lang: str = "en",
+    frac: float = 0.9,
+    budget: int = 2048,
+    bucket_size: int = 1000,
+    shingle_k: int = 5,
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+):
+    """The FLAGSHIP composed training-data pipeline, end to end in one
+    streaming graph: benchmark decontamination -> quality + language
+    filters -> exact dedup (keep-first) -> deterministic train/holdout
+    hash split -> sequence packing of the train split. A user of the
+    individual ops runs this as ONE call; every stage keeps its
+    individually-oracled contract, so the whole composition verifies
+    value-for-value against a single DuckDB query.
+
+    Scale shape: decontamination + all quality signals + md5 + token
+    counts are ONE fused actor-pool pass (bench shingles broadcast,
+    LangId profiles compiled per actor); the wide steps are the dedup
+    Min-per-hash aggregate and keeper join on the 32-byte key (as
+    ``corpus_prep``) and the pack stage\'s bounded bucket exchange (as
+    ``pack_sequences``); the split is a pure per-row hash. Holdout rows
+    carry offset_tokens = pack_id = -1 (they are never packed).
+
+    Output: (doc_id, n_tokens, split, offset_tokens, pack_id)."""
+    import numpy as np
+    import ray
+
+    from gleaner_ray.ops.dedup import _shingle_hashes_batch
+    from gleaner_ray.ops.sampling import pack_counts, split_threshold_hex
+
+    # bench shingle set: bounded by benchmark size, broadcast once
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"sh": pd.Series(dtype="int64")})
+        flat = np.concatenate(_shingle_hashes_batch(list(df["text"]), shingle_k))
+        return pd.DataFrame({"sh": np.unique(flat).view(np.int64)})
+
+    parts = bench_ds.map_batches(bench_shingles, batch_format="pandas").to_pandas()
+    bench_arr = (
+        np.unique(parts["sh"].to_numpy(dtype=np.int64))
+        if len(parts)
+        else np.zeros(0, np.int64)
+    )
+    bench_ref = ray.put(bench_arr)
+    thresh = split_threshold_hex(frac)
+
+    class Fused(_PrepSignals):
+        """Decontaminate + signals + token counts + split, one pass."""
+
+        def __init__(self):
+            super().__init__(min_chars, max_punct, lang)
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            text = batch["text"].fillna("")
+            # decontamination mask (same vectorized probe as
+            # ops.dedup.decontaminate)
+            sh_list = _shingle_hashes_batch(list(text), shingle_k)
+            sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+            if int(sizes.sum()) and len(self.bench):
+                flat = np.concatenate(sh_list).view(np.int64)
+                idx = np.searchsorted(self.bench, flat)
+                hits = (idx < len(self.bench)) & (
+                    self.bench[np.minimum(idx, len(self.bench) - 1)] == flat
+                )
+                c = np.concatenate([[0], np.cumsum(hits)])
+                ends = np.cumsum(sizes)
+                contaminated = (c[ends] - c[ends - sizes]) > 0
+            else:
+                contaminated = np.zeros(len(batch), dtype=bool)
+            batch = batch.loc[~contaminated]
+            kept = super().__call__(batch)
+            if not len(kept):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "h": pd.Series(dtype=object),
+                        "n_tokens": pd.Series(dtype="int64"),
+                        "split": pd.Series(dtype=object),
+                    }
+                )
+            surv = batch.set_index("doc_id").loc[kept["doc_id"]]
+            stripped = surv["text"].fillna("").str.strip()
+            n_ws = stripped.str.split(_WS_RE).str.len()
+            n_ws = n_ws.where(stripped != "", 0).astype("int64")
+            split = [
+                "train" if hashlib.md5(str(k).encode()).hexdigest() < thresh else "holdout"
+                for k in kept["doc_id"]
+            ]
+            return pd.DataFrame(
+                {
+                    "doc_id": kept["doc_id"].to_numpy(),
+                    "h": kept["h"].to_numpy(),
+                    "n_tokens": n_ws.to_numpy(),
+                    "split": split,
+                }
+            )
+
+    fused = ds.map_batches(Fused, batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+    from ray.data.aggregate import Min
+
+    keepers = fused.groupby("h").aggregate(Min("doc_id", alias_name="keeper"))
+    if num_partitions is None:
+        from gleaner_ray.cluster import cluster_cpus
+
+        num_partitions = max(8, cluster_cpus(8) // 4)
+    joined = fused.join(keepers, join_type="inner", num_partitions=num_partitions, on=("h",))
+
+    def only_keepers(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["doc_id"] == df["keeper"]]
+        return m[["doc_id", "n_tokens", "split"]].reset_index(drop=True)
+
+    surv = joined.map_batches(only_keepers, batch_format="pandas").materialize()
+    train = surv.map_batches(
+        lambda df: df.loc[df["split"] == "train", ["doc_id", "n_tokens"]],
+        batch_format="pandas",
+    )
+    packed = pack_counts(train, budget=budget, bucket_size=bucket_size)
+
+    def mark_holdout(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["split"] == "holdout", ["doc_id", "n_tokens", "split"]]
+        return out.assign(
+            offset_tokens=np.full(len(out), -1, dtype=np.int64),
+            pack_id=np.full(len(out), -1, dtype=np.int64),
+        )
+
+    def mark_train(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df.insert(2, "split", "train")
+        return df
+
+    return packed.map_batches(mark_train, batch_format="pandas").union(
+        surv.map_batches(mark_holdout, batch_format="pandas")
+    )

@@ -167,6 +167,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_dup_weights",
         "pipe_len_quantile_filter",
         "pipe_source_gate",
+        "pipe_training_data",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
