@@ -430,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group DENSE_RANK via the bounded distinct-value table:
         # no window exchange, events never shuffle
         "rel_dense_rank": lambda sf: rel.dense_rank_events(sf),
+        # event-time streaming semantics: bounded-lateness watermark
+        # late-drop + tumbling counts, deterministic simulated arrival
+        "rel_stream_window": lambda sf: rel.stream_window_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -970,6 +973,33 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk
             FROM events
+        """,
+        # watermark = cummax of event time over PRIOR arrivals (arrival
+        # = ts + bounded md5 delivery delay, event_id tiebreak); late
+        # rows drop from the windows but are counted per type
+        "rel_stream_window": """
+            WITH e AS (
+              SELECT event_type, event_id, ts,
+                     epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 7200000000 AS arr
+              FROM events),
+            w AS (
+              SELECT event_type, ts,
+                     MAX(ts) OVER (PARTITION BY event_type ORDER BY arr, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+              FROM e),
+            f AS (SELECT event_type, ts,
+                         (wm IS NOT NULL AND ts < wm - INTERVAL 600 SECOND) AS late
+                  FROM w),
+            k AS (SELECT event_type,
+                         make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                             AS window_start,
+                         COUNT(*) AS n
+                  FROM f WHERE NOT late GROUP BY 1, 2),
+            l AS (SELECT event_type, COUNT(*) AS n_late FROM f WHERE late GROUP BY 1)
+            SELECT k.event_type, k.window_start, CAST(k.n AS BIGINT) AS n,
+                   CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late
+            FROM k LEFT JOIN l USING (event_type) ORDER BY 1, 2
         """,
         # 3-sigma outliers via denominator-free z-test: LHS squared in
         # DOUBLE (single IEEE op), RHS exact HUGEINT -> one DOUBLE cast

@@ -71,6 +71,7 @@ __all__ = [
     "quantiles_unbounded",
     "outliers_events",
     "dense_rank_events",
+    "stream_window_events",
     "sessionize_events",
     "grouped_topk_orders",
     "range_join_events",
@@ -1686,3 +1687,99 @@ def dense_rank_events(sf_dir: str):
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def stream_window_events(
+    sf_dir: str, window_s: int = 300, lateness_s: int = 600, jitter_s: int = 7200
+):
+    """Event-time STREAMING window semantics in batch clothing: per
+    event_type stream, an event is LATE — and dropped, never counted —
+    iff its event time is older than the stream's watermark at arrival
+    (running max event time over prior arrivals minus ``lateness_s``);
+    survivors aggregate into tumbling ``window_s`` counts. This is the
+    bounded-lateness contract a streaming engine enforces with per-key
+    watermark state; expressed over a replayable log the watermark is a
+    windowed cummax, which keeps the operator deterministic and
+    SQL-oracle-checkable while an actor-pool version (same math, state
+    in ``__init__``) would drop identical rows on a live stream.
+
+    Arrival simulation: the log records event time, not delivery, so
+    arrival order is event time plus a deterministic md5-derived
+    delivery delay bounded by ``jitter_s`` (network reordering both
+    engines reproduce digit-for-digit).
+
+    Scale shape: ONE hash exchange co-partitions event types (same seam
+    as ``sessionize_events``); inside each partition the watermark,
+    late filter and window counts are fully vectorized; output is
+    bounded by types x windows. Returns (event_type, window_start, n,
+    n_late) — late drops are accounted, not silent."""
+    import hashlib as _hashlib
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    num_partitions = max(8, cluster_cpus(8))
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        pid = pd.util.hash_array(df["event_type"].to_numpy(dtype=object)) % np.uint64(
+            num_partitions
+        )
+        delay = np.fromiter(
+            (
+                int(_hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+                % (jitter_s * 1_000_000)
+                for k in df["event_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df.assign(
+            pid=pid.astype("int64"), arr=df["ts"].astype("int64") + delay
+        )
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # event_id tiebreak keeps the arrival order total (equal-arr
+        # peers would otherwise be engine-order-dependent)
+        df = df.sort_values(
+            ["event_type", "arr", "event_id"], kind="mergesort", ignore_index=True
+        )
+        new_type = df["event_type"].ne(df["event_type"].shift())
+        ts_us = df["ts"].astype("int64")
+        # running max of PRIOR arrivals within the type: C-level cummax
+        # shifted one, reset at type boundaries
+        grp = new_type.cumsum()
+        prior_max = ts_us.groupby(grp).cummax().shift()
+        prior_max[new_type] = np.nan
+        late = prior_max.notna() & (ts_us < prior_max - lateness_s * 1_000_000)
+        kept = df.loc[~late]
+        win = (kept["ts"].astype("int64") // (window_s * 1_000_000)) * (
+            window_s * 1_000_000
+        )
+        out = (
+            pd.DataFrame(
+                {
+                    "event_type": kept["event_type"],
+                    "window_start": pd.to_datetime(win, unit="us"),
+                }
+            )
+            .groupby(["event_type", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        n_late = (
+            df.loc[late].groupby("event_type", as_index=False).size().rename(columns={"size": "nl"})
+        )
+        out = out.merge(n_late, on="event_type", how="left")
+        out["n_late"] = out["nl"].fillna(0).astype("int64")
+        return out[["event_type", "window_start", "n", "n_late"]].sort_values(
+            ["event_type", "window_start"], ignore_index=True
+        )
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )

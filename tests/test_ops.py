@@ -1543,6 +1543,50 @@ class TestFrameOpsRandomizedParity:
             assert int(out.loc[df.loc[i, "event_id"], "range_cents"]) == expect
 
 
+class TestStreamWindow:
+    def test_matches_pandas_reference(self, ray_session):
+        import hashlib
+
+        from gleaner_ray.relational import stream_window_events
+
+        got = (
+            stream_window_events("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["event_type", "window_start"], ignore_index=True)
+        )
+        df = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        df["arr"] = df["ts"].astype("int64") + df["event_id"].map(
+            lambda k: int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+            % 7_200_000_000
+        )
+        rows = []
+        n_late = {}
+        for t, g in df.groupby("event_type"):
+            g = g.sort_values(["arr", "event_id"], ignore_index=True)
+            wm = -np.inf
+            late_n = 0
+            for _, r in g.iterrows():
+                ts = int(r["ts"].value) // 1000  # ns -> us
+                if ts < wm - 600 * 1_000_000:
+                    late_n += 1
+                else:
+                    rows.append((t, (ts // 300_000_000) * 300_000_000))
+                wm = max(wm, ts)
+            n_late[t] = late_n
+        ref = (
+            pd.DataFrame(rows, columns=["event_type", "w"])
+            .groupby(["event_type", "w"], as_index=False)
+            .size()
+        )
+        assert len(got) == len(ref)
+        assert (np.sort(got["n"].to_numpy()) == np.sort(ref["size"].to_numpy())).all()
+        # late events exist AND are accounted per type
+        assert sum(n_late.values()) > 0
+        for t, g in got.groupby("event_type"):
+            assert int(g["n_late"].iloc[0]) == n_late[t]
+            assert (g["n_late"] == g["n_late"].iloc[0]).all()
+
+
 class TestOutliers:
     def test_planted_outlier(self, ray_session, tmp_path):
         import pyarrow as pa
