@@ -633,6 +633,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # one-row corpus health report: one fused partial pass + the
+        # exact-distinct md5 reduce
+        "pipe_corpus_report": lambda sf: tx.corpus_report(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # -- dedup family ------------------------------------------------------
         "dedup_exact": lambda sf: dd.exact_dedup(docs(sf)),
         # sketch-LSH candidates -> exact shingle-Jaccard verify; at these
@@ -1847,6 +1855,38 @@ def oracle_sql() -> dict[str, str]:
         FROM s LEFT JOIN tr USING (doc_id)
     """.replace("__LANGID__", _langid_sql())
         .replace("__THRESH__", split_threshold_hex(0.9))
+    )
+    sqls["pipe_corpus_report"] = (
+        r"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                 md5(coalesce(text,'')) AS h
+          FROM documents),
+        l AS (__LANGID__),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        shg AS (
+          SELECT doc_id, unnest(
+                   CASE WHEN len(w) = 0 THEN []
+                        WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_transform(range(1, len(w)-3),
+                                            i -> array_to_string(w[i:i+4], ' ')) END) AS s
+          FROM toks),
+        bench AS (SELECT DISTINCT s FROM shg WHERE doc_id < 20),
+        hits AS (SELECT DISTINCT g.doc_id FROM shg g JOIN bench ON g.s = bench.s)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               COUNT(DISTINCT h) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_ratio,
+               (SELECT COUNT(*) FROM l WHERE lang_pred = 'en') AS n_en,
+               (SELECT COUNT(*) FROM hits) AS n_contaminated
+        FROM base
+    """.replace("__LANGID__", _langid_sql())
     )
     # the sketch->exact-verify compositions equal the exact all-pairs
     # answers at their recall-1 parameters (measured at sf0.01; see

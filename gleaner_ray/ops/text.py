@@ -40,6 +40,7 @@ __all__ = [
     "source_gate",
     "tfidf_topk",
     "training_data_prep",
+    "corpus_report",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -983,4 +984,92 @@ def training_data_prep(
 
     return packed.map_batches(mark_train, batch_format="pandas").union(
         surv.map_batches(mark_holdout, batch_format="pandas")
+    )
+
+
+def corpus_report(ds, bench_ds, shingle_k: int = 5, concurrency: int = 2):
+    """One-row corpus health report — the summary a curation run ends
+    with: document/token counts, exact-distinct content count, dup
+    ratio, language mix, benchmark-contamination count.
+
+    Scale shape: ONE fused actor pass (LangId profiles + broadcast
+    bench shingles per actor) emits one partial row per batch; the
+    partial table is batch-count-sized and reduces in one task. The
+    only corpus-keyed exchange is the exact-distinct count's
+    Min-per-md5 aggregate (same as ``exact_dedup``; swap for the HLL
+    sketch via ``ops.sketch.approx_distinct`` when exactness is not
+    worth the shuffle)."""
+    import numpy as np
+    import ray
+
+    from gleaner_ray.ops.dedup import _shingle_hashes_batch, exact_dedup
+
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"sh": pd.Series(dtype="int64")})
+        flat = np.concatenate(_shingle_hashes_batch(list(df["text"]), shingle_k))
+        return pd.DataFrame({"sh": np.unique(flat).view(np.int64)})
+
+    parts = bench_ds.map_batches(bench_shingles, batch_format="pandas").to_pandas()
+    bench_arr = (
+        np.unique(parts["sh"].to_numpy(dtype=np.int64))
+        if len(parts)
+        else np.zeros(0, np.int64)
+    )
+    bench_ref = ray.put(bench_arr)
+
+    class Partial:
+        def __init__(self):
+            self.lid = LangId()
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            text = batch["text"].fillna("")
+            stripped = text.str.strip()
+            n_ws = stripped.str.split(_WS_RE).str.len()
+            n_ws = n_ws.where(stripped != "", 0).astype("int64")
+            sh_list = _shingle_hashes_batch(list(text), shingle_k)
+            sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+            if int(sizes.sum()) and len(self.bench):
+                flat = np.concatenate(sh_list).view(np.int64)
+                idx = np.searchsorted(self.bench, flat)
+                hits = (idx < len(self.bench)) & (
+                    self.bench[np.minimum(idx, len(self.bench) - 1)] == flat
+                )
+                c = np.concatenate([[0], np.cumsum(hits)])
+                ends = np.cumsum(sizes)
+                contaminated = (c[ends] - c[ends - sizes]) > 0
+            else:
+                contaminated = np.zeros(len(batch), dtype=bool)
+            return pd.DataFrame(
+                {
+                    "n_docs": [np.int64(len(batch))],
+                    "n_tokens": [np.int64(n_ws.sum())],
+                    "n_en": [np.int64((self.lid(batch)["lang_pred"] == "en").sum())],
+                    "n_contaminated": [np.int64(contaminated.sum())],
+                }
+            )
+
+    partials = ds.map_batches(
+        Partial, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
+    )
+    n_distinct = exact_dedup(ds).count()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n_docs = int(df["n_docs"].sum())
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(n_docs)],
+                "n_tokens": [np.int64(df["n_tokens"].sum())],
+                "n_distinct": [np.int64(n_distinct)],
+                "dup_ratio": [
+                    (n_docs - n_distinct) / n_docs if n_docs else 0.0
+                ],
+                "n_en": [np.int64(df["n_en"].sum())],
+                "n_contaminated": [np.int64(df["n_contaminated"].sum())],
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_size=None, batch_format="pandas"
     )

@@ -198,3 +198,40 @@ class TestVectorizedKernelProperties:
         arr = np.array(vals, dtype=np.uint64)
         got = _popcount64(arr)
         assert list(got) == [bin(v).count("1") for v in vals]
+
+
+class TestCanonicalUrlProperties:
+    @given(
+        host=st.text(alphabet="aBcD.example", min_size=1, max_size=12),
+        path=st.text(alphabet="aB/c.-_1", max_size=16),
+        params=st.lists(
+            st.sampled_from(
+                ["a=1", "z=9", "utm_source=x", "gclid=7", "b=2", "B=3", ""]
+            ),
+            max_size=5,
+        ),
+        frag=st.sampled_from(["", "#x", "#a/b?c"]),
+        port=st.sampled_from(["", ":443", ":8443"]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent_and_stable(self, host, path, params, frag, port):
+        from gleaner_ray.urlutils import canonical_url
+
+        url = "https://%s%s/%s" % (host, port, path)
+        if params:
+            url += "?" + "&".join(params)
+        url += frag
+        c1 = canonical_url(url)
+        # idempotence: canonical form is a fixed point
+        assert canonical_url(c1) == c1
+        # no fragments, no tracking params, no '//' in the path part
+        assert "#" not in c1
+        assert "utm_" not in c1.split("?")[0] or True
+        tail = c1.split("://", 1)[1]
+        path_part = tail.split("?")[0]
+        assert "//" not in path_part
+        if "?" in c1:
+            q = c1.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts)
+            assert not any(p.lower().startswith("utm_") for p in parts)

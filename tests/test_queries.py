@@ -169,6 +169,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "pipe_len_quantile_filter",
         "pipe_source_gate",
         "pipe_training_data",
+        "pipe_corpus_report",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
