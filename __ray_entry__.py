@@ -676,6 +676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs(sf),
             dd.minhash_jaccard_dedup(docs(sf), threshold=0.8).select_columns(["a", "b"]),
         ),
+        # quality arbitration: keep the LONGEST copy per near-dup
+        # cluster (ties to lowest id) instead of blind keep-first
+        "dedup_keep_best": lambda sf: dd.fuzzy_dedup_keep_best(
+            docs(sf),
+            dd.minhash_jaccard_dedup(docs(sf), threshold=0.8).select_columns(["a", "b"]),
+        ),
         # -- clustering (data mixing / domain discovery) ------------------------
         # 2 Lloyd iterations, deterministic init (vec_id < k), float64
         # math on both sides; ties break to the lowest cluster id
@@ -1657,6 +1663,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
                    COALESCE(c.component, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        # same component closure; winner = longest copy, ties to lowest id
+        "dedup_keep_best": r"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+              FROM toks),
+            dsh AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            ip AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM ip JOIN sizes sa ON sa.doc_id = a
+                              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+            edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1),
+            win AS (
+              SELECT component, node AS winner FROM (
+                SELECT c.component, c.node,
+                       row_number() OVER (PARTITION BY c.component
+                           ORDER BY d.n_chars DESC, c.node) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.node)
+              WHERE rn = 1)
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+                   COALESCE(w.winner, d.doc_id) = d.doc_id AS keep
+            FROM documents d
+            LEFT JOIN comp c ON c.node = d.doc_id
+            LEFT JOIN win w ON w.component = c.component
         """,
         # 2 Lloyd iterations in float64, same deterministic convention as
         # the engine: init = vectors with vec_id < 8, argmin ties to the

@@ -52,6 +52,7 @@ __all__ = [
     "simhash_jaccard_dedup",
     "connected_components",
     "fuzzy_dedup_keep",
+    "fuzzy_dedup_keep_best",
     "chunk_dedup",
     "dup_count_weights",
 ]
@@ -1764,3 +1765,84 @@ def dup_count_weights(ds, num_partitions: int | None = None):
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def fuzzy_dedup_keep_best(
+    ds,
+    pairs_ds,
+    key: str = "doc_id",
+    quality_col: str = "n_chars",
+    broadcast_limit: int = 5_000_000,
+):
+    """Corpus-level fuzzy dedup with QUALITY arbitration: within each
+    near-dup cluster keep the highest-``quality_col`` copy (ties to the
+    lowest id) instead of blind keep-first — the policy real pipelines
+    want when duplicates differ (a full article vs its truncated
+    scrape). Singletons keep themselves.
+
+    Output: ``(doc_id, component, keep)`` for EVERY input doc.
+
+    Scale shape: everything cluster-sized stays bounded — components
+    from the pair graph, member qualities collected by ONE corpus pass
+    that ships only member rows (sorted-array membership probe), the
+    winner table broadcast back; the corpus is never shuffled. The
+    ``broadcast_limit`` join fallback seam is the same as
+    ``fuzzy_dedup_keep``'s."""
+    import ray as _ray
+
+    comp = connected_components(pairs_ds).materialize()
+    cdf = comp.to_pandas()
+    if len(cdf) > broadcast_limit:
+        raise NotImplementedError(
+            "cluster table exceeds broadcast budget; wire the left-outer "
+            "join fallback as in fuzzy_dedup_keep"
+        )
+    order = np.argsort(cdf["node"].to_numpy())
+    nodes_arr = cdf["node"].to_numpy(dtype=np.int64)[order]
+    comp_arr = cdf["component"].to_numpy(dtype=np.int64)[order]
+    members_ref = _ray.put(nodes_arr)
+
+    def member_quality(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(members_ref)
+        v = df[key].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(m, v)
+        hit = (idx < len(m)) & (m[np.minimum(idx, len(m) - 1)] == v)
+        out = df.loc[hit, [key, quality_col]]
+        return pd.DataFrame(
+            {key: out[key].astype("int64"), "q": out[quality_col].astype("int64")}
+        )
+
+    qdf = ds.map_batches(member_quality, batch_format="pandas").to_pandas()
+    merged = pd.DataFrame({"node": nodes_arr, "component": comp_arr}).merge(
+        qdf.rename(columns={key: "node"}), on="node", how="left"
+    )
+    merged["q"] = merged["q"].fillna(-1).astype("int64")
+    merged = merged.sort_values(
+        ["component", "q", "node"], ascending=[True, False, True], ignore_index=True
+    )
+    winners = merged.groupby("component", as_index=False).first()[["component", "node"]]
+    win_by_node = dict(zip(winners["component"], winners["node"]))
+    win_arr = np.fromiter(
+        (win_by_node[c] for c in comp_arr), dtype=np.int64, count=len(comp_arr)
+    )
+    ref = _ray.put((nodes_arr, comp_arr, win_arr))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        nodes_a, comp_a, win_a = _ray.get(ref)
+        v = df[key].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(nodes_a, v)
+        hit = (idx < len(nodes_a)) & (nodes_a[np.minimum(idx, len(nodes_a) - 1)] == v)
+        cl = np.minimum(idx, max(len(nodes_a) - 1, 0))
+        component = np.where(hit, comp_a[cl] if len(comp_a) else v, v)
+        winner = np.where(hit, win_a[cl] if len(win_a) else v, v)
+        return pd.DataFrame(
+            {
+                key: v,
+                "component": component.astype(np.int64),
+                "keep": winner == v,
+            }
+        )
+
+    return ds.map_batches(
+        lambda df: pd.DataFrame({key: df[key].astype("int64")}), batch_format="pandas"
+    ).map_batches(assign, batch_format="pandas")

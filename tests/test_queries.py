@@ -173,6 +173,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
+        "dedup_keep_best",
         "cluster_kmeans",
         "dedup_semdedup",
         "dedup_ngram_jaccard",
