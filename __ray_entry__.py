@@ -433,6 +433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-time streaming semantics: bounded-lateness watermark
         # late-drop + tumbling counts, deterministic simulated arrival
         "rel_stream_window": lambda sf: rel.stream_window_events(sf),
+        # per-group PERCENT_RANK from the bounded count table (prefix
+        # sums on distinct values; no window exchange)
+        "rel_percent_rank": lambda sf: rel.percent_rank_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -979,6 +982,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.95) AS p95
             FROM orders
+        """,
+        "rel_percent_rank": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT)) AS pr
+            FROM events
         """,
         "rel_dense_rank": """
             SELECT event_id, event_type,

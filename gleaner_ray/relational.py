@@ -72,6 +72,7 @@ __all__ = [
     "outliers_events",
     "dense_rank_events",
     "stream_window_events",
+    "percent_rank_events",
     "sessionize_events",
     "grouped_topk_orders",
     "range_join_events",
@@ -1783,3 +1784,71 @@ def stream_window_events(
         .groupby("pid")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def percent_rank_events(sf_dir: str):
+    """Per-group PERCENT_RANK over a bounded value domain, shuffle-free
+    (same distinct-table reduction as ``dense_rank_events``):
+    rank(x) = 1 + count of group rows with smaller value, so both rank
+    and the (rank-1)/(n-1) scaling derive from the (group, value) COUNT
+    table — per-batch count partials, one bounded reduce, driver prefix
+    sums, broadcast probe. One small-int division per distinct value;
+    events never shuffle.
+
+    Output: (event_id, event_type, value_cents, pr) matching
+    PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value_cents)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_cents": (df["value"] * 100).round().astype("int64"),
+                "n": 1,
+            }
+        )
+        return out.groupby(["event_type", "value_cents"], as_index=False).sum()
+
+    cnt = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "value_cents"], ignore_index=True)
+    )
+    cnt["below"] = (
+        cnt.groupby("event_type")["n"].cumsum() - cnt["n"]
+    ).astype("int64")
+    totals = cnt.groupby("event_type")["n"].transform("sum").astype("int64")
+    cnt["pr"] = np.where(
+        totals > 1, cnt["below"].to_numpy() / np.maximum(totals - 1, 1), 0.0
+    )
+    pr_map = {
+        t: (g["value_cents"].to_numpy().copy(), g["pr"].to_numpy().copy())
+        for t, g in cnt.groupby("event_type")
+    }
+    ref = ray.put(pr_map)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        c = (df["value"] * 100).round().astype("int64").to_numpy()
+        pr = np.empty(len(df), dtype=np.float64)
+        types = df["event_type"].to_numpy(dtype=object)
+        for t in pd.unique(types):
+            sel = types == t
+            vals, prs = m[t]
+            pr[sel] = prs[np.searchsorted(vals, c[sel])]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "value_cents": c,
+                "pr": pr,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -113,6 +113,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_quantiles_price",
         "rel_outliers",
         "rel_dense_rank",
+        "rel_percent_rank",
         "rel_stream_window",
         "crawl_url_canon",
         "rel_sessionize",
