@@ -299,6 +299,15 @@ def _q_crawl_url_canon(sf_dir: str):
     )
 
 
+def _q_crawl_host_stats(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import host_stats
+
+    corpus = synth.generate_corpus(sf_dir)
+    return host_stats(rd.read_parquet(os.path.join(corpus, "pages")))
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -397,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # messy spellings planted deterministically on BOTH sides, each
         # engine canonicalizes independently
         "crawl_url_canon": _q_crawl_url_canon,
+        # per-host crawl profile (pages, bytes, distinct content for
+        # mirror detection, crawl-window span) — host-keyed partials +
+        # the blob-packed distinct exchange
+        "crawl_host_stats": _q_crawl_host_stats,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -861,6 +874,15 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 2 END AS BIGINT) AS priority
             FROM a p LEFT JOIN r
               ON regexp_extract(p.url, '^https://([^/]+)/', 1) = r.host
+        """,
+        "crawl_host_stats": f"""
+            SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(octet_length(html)) AS BIGINT) AS n_bytes,
+                   COUNT(DISTINCT html) AS n_distinct,
+                   CAST(epoch(MAX(warc_ts)) - epoch(MIN(warc_ts)) AS BIGINT) AS span_s
+            FROM {pages}
+            GROUP BY 1 ORDER BY 1
         """,
         # independent SQL canonicalization of the same planted spellings
         "crawl_url_canon": r"""

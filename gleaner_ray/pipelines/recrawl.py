@@ -44,7 +44,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["recrawl_snapshot", "change_detect", "priority_update"]
+__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats"]
 
 _HOST_RE = r"^https://([^/]+)/"
 _HASH_KEY = "chg_detect_key!!"  # 16-byte siphash key, both sides + oracle-free
@@ -252,3 +252,133 @@ def priority_update(frontier_ds, host_rates: pd.DataFrame, hot: float = 0.25, wa
         )
 
     return frontier_ds.map_batches(assign, batch_format="pandas")
+
+
+def host_stats(pages_ds, num_buckets: int | None = None) -> "pd.DataFrame":
+    """Per-host crawl profile — the budgeting input a frontier planner
+    consumes: page count, total body bytes, DISTINCT content count
+    (mirror detection: a host serving one page under thousands of URLs
+    has n_distinct << n_pages), and the crawl-window span in seconds.
+
+    Scale shape: counts/bytes/span reduce from per-batch per-host
+    partials (host-count-sized exchange); the distinct-content count
+    rides the same blob-packed bucket exchange as ``change_detect`` —
+    per-bucket (bodyhash, hostidx) arrays as binary cells, per-bucket
+    ``np.unique`` on the combined key, per-host partial distinct counts
+    (a content hash collides across buckets only if the hash collides,
+    so bucket-local distinct sums are exact). Nothing per-URL crosses
+    any exchange."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    if num_buckets is None:
+        num_buckets = max(16, cluster_cpus(8) * 2)
+
+    def base_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].str.extract(_HOST_RE, expand=False)
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "n_pages": 1,
+                "n_bytes": [len(h or b"") for h in df["html"]],
+                "ts_min": df["warc_ts"],
+                "ts_max": df["warc_ts"],
+            }
+        )
+        return out.groupby("host", as_index=False).agg(
+            n_pages=("n_pages", "sum"),
+            n_bytes=("n_bytes", "sum"),
+            ts_min=("ts_min", "min"),
+            ts_max=("ts_max", "max"),
+        )
+
+    base = (
+        pages_ds.map_batches(base_partial, batch_format="pandas")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_bytes", alias_name="n_bytes"),
+            Min("ts_min", alias_name="ts_min"),
+            Max("ts_max", alias_name="ts_max"),
+        )
+        .to_pandas()
+    )
+
+    def pack_content(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "keys": pd.Series(dtype=object),
+                    "hostidx": pd.Series(dtype=object),
+                    "hosts": pd.Series(dtype=object),
+                }
+            )
+        bodyh = pd.util.hash_array(df["html"].to_numpy(dtype=object), hash_key=_HASH_KEY)
+        hosts = df["url"].str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+        uniq_hosts, hostidx = np.unique(hosts, return_inverse=True)
+        bucket = (bodyh % np.uint64(num_buckets)).astype(np.int64)
+        rows = []
+        for bk in np.unique(bucket):
+            m = bucket == bk
+            rows.append(
+                {
+                    "bucket": int(bk),
+                    "keys": bodyh[m].tobytes(),
+                    "hostidx": hostidx[m].astype(np.int32).tobytes(),
+                    "hosts": list(uniq_hosts),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def distinct_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        shared: dict[str, int] = {}
+        keys_l, gids_l = [], []
+        for _, r in df.iterrows():
+            lid_to_gid = np.fromiter(
+                (shared.setdefault(h, len(shared)) for h in r["hosts"]),
+                dtype=np.int64,
+                count=len(r["hosts"]),
+            )
+            keys_l.append(np.frombuffer(r["keys"], dtype=np.uint64))
+            gids_l.append(lid_to_gid[np.frombuffer(r["hostidx"], dtype=np.int32)])
+        if not keys_l:
+            return pd.DataFrame(
+                {"host": pd.Series(dtype=object), "nd": pd.Series(dtype="int64")}
+            )
+        keys = np.concatenate(keys_l)
+        gids = np.concatenate(gids_l)
+        # distinct (host, content) pairs inside the bucket: lexsort and
+        # count group boundaries — exact, no combined-key collisions
+        order = np.lexsort((keys, gids))
+        g, k = gids[order], keys[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (g[1:] != g[:-1]) | (k[1:] != k[:-1])
+        cnt = np.bincount(g[new], minlength=len(shared))
+        hosts_arr = np.empty(len(shared), dtype=object)
+        for h, i in shared.items():
+            hosts_arr[i] = h
+        return pd.DataFrame({"host": hosts_arr, "nd": cnt.astype("int64")})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    dist = (
+        pages_ds.map_batches(pack_content, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .groupby("host")
+        .aggregate(_Sum("nd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = base.merge(dist, on="host", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["span_s"] = (
+        (
+            out["ts_max"].astype("datetime64[us]").astype("int64")
+            - out["ts_min"].astype("datetime64[us]").astype("int64")
+        )
+        // 1_000_000
+    ).astype("int64")
+    out = out[["host", "n_pages", "n_bytes", "n_distinct", "span_s"]]
+    return out.sort_values("host", ignore_index=True)

@@ -665,6 +665,40 @@ class TestChangeDetect:
             assert int(got.loc[h, "n_removed"]) == int(((fate == 2) & m).sum())
             assert int(got.loc[h, "n_added"]) == int(((fate == 3) & m).sum())
 
+    def test_host_stats_mirror_detection(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import host_stats
+
+        ts = pd.Timestamp("2026-01-01")
+        rows = [
+            # mirror: 5 urls, ONE body
+            *[
+                {
+                    "url": "https://mirror.example/p/%d" % i,
+                    "warc_ts": ts + pd.Timedelta(seconds=i),
+                    "html": b"same-body",
+                }
+                for i in range(5)
+            ],
+            # normal host: 3 urls, 3 bodies
+            *[
+                {
+                    "url": "https://real.example/p/%d" % i,
+                    "warc_ts": ts,
+                    "html": b"body-%d" % i,
+                }
+                for i in range(3)
+            ],
+        ]
+        got = host_stats(rd.from_items(rows).repartition(3)).set_index("host")
+        assert int(got.loc["mirror.example", "n_pages"]) == 5
+        assert int(got.loc["mirror.example", "n_distinct"]) == 1
+        assert int(got.loc["mirror.example", "span_s"]) == 4
+        assert int(got.loc["real.example", "n_distinct"]) == 3
+        assert int(got.loc["real.example", "span_s"]) == 0
+
     def test_recrawl_snapshot_deterministic(self, ray_session):
         import ray.data as rd
 

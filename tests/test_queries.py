@@ -205,6 +205,7 @@ def test_oracle_checked_small(contract, name):
         "pipe_crawl_corpus",
         "crawl_change_detect",
         "crawl_priority_update",
+        "crawl_host_stats",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
