@@ -224,6 +224,13 @@ def run_bench() -> dict:
         ).count(),
     )
     timed("source_tv", lambda: smp.source_tv_distance(docs()).to_pandas())
+    timed(
+        "training_data_prep",
+        lambda: tx.training_data_prep(
+            docs(),
+            docs().map_batches(lambda df: df[df["doc_id"] < 20], batch_format="pandas"),
+        ).count(),
+    )
 
     result = {
         "metric": "summon_sec",
