@@ -308,6 +308,49 @@ def _q_crawl_host_stats(sf_dir: str):
     return host_stats(rd.read_parquet(os.path.join(corpus, "pages")))
 
 
+def _graph_pages(sf_dir: str):
+    import ray.data as rd
+
+    corpus = synth.generate_corpus(sf_dir)
+    return rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+
+
+def _q_graph_outlink_degree(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.outlink_degree(_graph_pages(sf_dir))
+
+
+def _q_graph_host_edges(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_edges(_graph_pages(sf_dir))
+
+
+def _q_graph_indegree(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.indegree(_graph_pages(sf_dir))
+
+
+def _q_graph_pagerank(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.pagerank_int(_graph_pages(sf_dir), iters=2)
+
+
+def _q_graph_rank_priority(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.rank_priority(_graph_pages(sf_dir), iters=2)
+
+
+def _q_graph_components(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.components_min_label(_graph_pages(sf_dir), iters=4)
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -410,6 +453,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror detection, crawl-window span) — host-keyed partials +
         # the blob-packed distinct exchange
         "crawl_host_stats": _q_crawl_host_stats,
+        # -- link graph (frontier prioritisation / mirror detection) --------
+        # <a href> extraction from html bytes; degree is row-local
+        "graph_outlink_degree": _q_graph_outlink_degree,
+        # host-projected edge weights: map-side pair combine, tiny groupby
+        "graph_host_edges": _q_graph_host_edges,
+        # in-degree: map-side distinct-target combine before the groupby
+        "graph_indegree": _q_graph_indegree,
+        # integer fixed-point PageRank (k=2): order-independent int64
+        # arithmetic, broadcast rounds under the node bound, join rounds above
+        "graph_pagerank": _q_graph_pagerank,
+        # rank -> crawl priority tier (integer thresholds vs uniform mass):
+        # the link-structure twin of crawl_priority_update
+        "graph_rank_priority": _q_graph_rank_priority,
+        # undirected min-label propagation (k=4): component = min URL string
+        "graph_components": _q_graph_components,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -883,6 +941,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(MAX(warc_ts)) - epoch(MIN(warc_ts)) AS BIGINT) AS span_s
             FROM {pages}
             GROUP BY 1 ORDER BY 1
+        """,
+        "graph_outlink_degree": f"""
+            SELECT url,
+                   CAST(len(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS BIGINT)
+                       AS out_degree
+            FROM {pages}
+        """,
+        "graph_host_edges": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages})
+            SELECT split_part(src, '/', 3) AS src_host,
+                   split_part(dst, '/', 3) AS dst_host,
+                   COUNT(*) AS n_links
+            FROM links GROUP BY 1, 2
+        """,
+        "graph_indegree": f"""
+            WITH links AS (
+              SELECT UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages})
+            SELECT dst AS url, COUNT(*) AS in_degree FROM links GROUP BY 1
+        """,
+        # integer fixed-point PageRank, k=2 unrolled: same floor-division
+        # recurrence as ops/linkgraph.pagerank_int — int64-exact, so the
+        # hash matches at any parallelism
+        "graph_pagerank": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            nodes AS (SELECT url FROM {pages}),
+            n AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+            r0 AS (SELECT url, 1000000000000000 // (SELECT n FROM n) AS r FROM nodes),
+            i0 AS (SELECT l.dst AS url, SUM(r0.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r0 ON l.src = r0.url
+                   GROUP BY l.dst),
+            r1 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i0.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN i0 ON nd.url = i0.url),
+            i1 AS (SELECT l.dst AS url, SUM(r1.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r1 ON l.src = r1.url
+                   GROUP BY l.dst),
+            r2 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i1.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN i1 ON nd.url = i1.url)
+            SELECT url, CAST(r AS BIGINT) AS rank_fp FROM r2
+        """,
+        # same k=2 recurrence + integer tier thresholds vs uniform mass
+        "graph_rank_priority": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            nodes AS (SELECT url FROM {pages}),
+            n AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+            r0 AS (SELECT url, 1000000000000000 // (SELECT n FROM n) AS r FROM nodes),
+            i0 AS (SELECT l.dst AS url, SUM(r0.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r0 ON l.src = r0.url
+                   GROUP BY l.dst),
+            r1 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i0.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN i0 ON nd.url = i0.url),
+            i1 AS (SELECT l.dst AS url, SUM(r1.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r1 ON l.src = r1.url
+                   GROUP BY l.dst),
+            r2 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i1.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN i1 ON nd.url = i1.url),
+            t AS (SELECT 1000000000000000 // (SELECT n FROM n) AS t)
+            SELECT url, CAST(r AS BIGINT) AS rank_fp,
+                   CASE WHEN r >= 2 * (SELECT t FROM t) THEN 'hot'
+                        WHEN r >= (SELECT t FROM t) THEN 'warm'
+                        ELSE 'cold' END AS priority
+            FROM r2
+        """,
+        # k=4 min-label propagation over the undirected edge set; the
+        # label is the smallest URL string seen (exact string min)
+        "graph_components": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            e AS (SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links),
+            l0 AS (SELECT url, url AS lbl FROM {pages}),
+            l1 AS (SELECT url, MIN(lbl) AS lbl FROM (
+                     SELECT url, lbl FROM l0
+                     UNION ALL
+                     SELECT e.dst AS url, l0.lbl FROM e JOIN l0 ON e.src = l0.url)
+                   GROUP BY url),
+            l2 AS (SELECT url, MIN(lbl) AS lbl FROM (
+                     SELECT url, lbl FROM l1
+                     UNION ALL
+                     SELECT e.dst AS url, l1.lbl FROM e JOIN l1 ON e.src = l1.url)
+                   GROUP BY url),
+            l3 AS (SELECT url, MIN(lbl) AS lbl FROM (
+                     SELECT url, lbl FROM l2
+                     UNION ALL
+                     SELECT e.dst AS url, l2.lbl FROM e JOIN l2 ON e.src = l2.url)
+                   GROUP BY url),
+            l4 AS (SELECT url, MIN(lbl) AS lbl FROM (
+                     SELECT url, lbl FROM l3
+                     UNION ALL
+                     SELECT e.dst AS url, l3.lbl FROM e JOIN l3 ON e.src = l3.url)
+                   GROUP BY url)
+            SELECT url, lbl AS component FROM l4
         """,
         # independent SQL canonicalization of the same planted spellings
         "crawl_url_canon": r"""

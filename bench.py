@@ -224,6 +224,16 @@ def run_bench() -> dict:
         ).count(),
     )
     timed("source_tv", lambda: smp.source_tv_distance(docs()).to_pandas())
+    # link graph over the full pages corpus: href extraction + 2 rounds
+    # of zero-shuffle broadcast PageRank (the frontier-prioritisation op)
+    from gleaner_ray.ops import linkgraph as lg
+
+    timed(
+        "graph_pagerank",
+        lambda: lg.pagerank_int(
+            rd.read_parquet(pages_dir, columns=["url", "html"]), iters=2
+        ).count(),
+    )
     timed(
         "training_data_prep",
         lambda: tx.training_data_prep(

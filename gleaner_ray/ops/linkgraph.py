@@ -1,0 +1,418 @@
+"""Web link-graph operators over the Common-Crawl-style pages table.
+
+The reference harvests pages but never looks at the links between
+them; a crawler operating at 10^10 URLs needs the link graph for
+frontier prioritisation (rank seeds), mirror detection (components)
+and host-level politeness budgeting (host in/out degree). Family:
+
+- ``outlinks``       — ``<a href>`` extraction from the html bytes,
+  one (src, dst) row per anchor (multigraph: duplicates kept)
+- ``outlink_degree`` — per-URL out-degree computed row-locally (no
+  shuffle: a page's anchors live in its own html cell)
+- ``host_edges``     — host-projected edge weights with a map-side
+  partial combine before the (small) host-keyed groupby
+- ``pagerank_int``   — k iterations of a fixed-point *integer*
+  PageRank (rank scaled by BASE=10^15, floor division everywhere) so
+  partial sums are order-independent and the result is bit-exact
+  against the SQL oracle regardless of parallelism
+- ``components_min_label`` — k rounds of undirected min-label
+  propagation where the label IS the lexicographically smallest URL
+  seen so far (string min: exact, engine/SQL identical)
+
+Scale shape: extraction and degree are embarrassingly parallel
+streaming stages. The iterative ops need a (src -> value) lookup per
+round; when the node count is bounded (<= ``broadcast_nodes``) the
+value column travels once via ``ray.put`` and each batch does a
+vectorized searchsorted join — zero shuffles per round. Above the
+bound the same round runs as edges ⨝ values hash join + Sum groupby
+(the canonical distributed PageRank round); both paths share the
+integer kernel and are tested for equality. Tie to the reference:
+pages come from the same summoner data plane (summoner/acquire/*)
+this repo's crawl path fills.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = [
+    "HREF_RE",
+    "PAGERANK_BASE",
+    "outlinks",
+    "outlink_degree",
+    "indegree",
+    "host_edges",
+    "pagerank_int",
+    "rank_priority",
+    "components_min_label",
+]
+
+# anchors only: the synthetic corpus (and real pages) carry other
+# href attributes (<link rel=...>) a crawler does not enqueue
+HREF_RE = re.compile(rb'<a href="([^"]+)"')
+
+PAGERANK_BASE = 10**15  # fixed-point scale: sum of all ranks ~ BASE
+
+
+def _host_of(urls: pd.Series) -> pd.Series:
+    # scheme://host/path -> host; mirrors DuckDB split_part(url,'/',3)
+    return urls.str.split("/", n=3).str[2]
+
+
+def outlinks(pages: rd.Dataset) -> rd.Dataset:
+    """(src, dst) per anchor. Byte-level findall on the html column —
+    no decode of the full page, misses cost one C-level scan."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        urls = t.column("url").to_pylist()
+        html = t.column("html")
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for i, u in enumerate(urls):
+            v = html[i].as_buffer()
+            for m in HREF_RE.findall(memoryview(v)):
+                srcs.append(u)
+                dsts.append(bytes(m).decode())
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def outlink_degree(pages: rd.Dataset) -> rd.Dataset:
+    """(url, out_degree) — row-local count, zero exchange."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()), "out_degree": pa.array([], pa.int64())})
+        html = t.column("html")
+        deg = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):
+            deg[i] = len(HREF_RE.findall(memoryview(html[i].as_buffer())))
+        return pa.table({"url": t.column("url"), "out_degree": pa.array(deg)})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def indegree(pages: rd.Dataset) -> rd.Dataset:
+    """(url, in_degree) over link *targets* — unlike out-degree this
+    needs an exchange, but the map side pre-combines to one (dst,
+    count) row per distinct target per batch before the groupby-Sum,
+    so the shuffle carries distinct targets, not edges. URLs with no
+    inlinks are absent (same as the SQL GROUP BY)."""
+    from ray.data.aggregate import Sum
+
+    edges = outlinks(pages)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"url": pd.Series(dtype=str), "in_degree": pd.Series(dtype="int64")})
+        g = df.groupby("dst", as_index=False).size()
+        return pd.DataFrame({"url": g["dst"], "in_degree": g["size"].astype("int64")})
+
+    parts = edges.map_batches(partial, batch_format="pandas")
+    return parts.groupby("url").aggregate(Sum("in_degree", alias_name="in_degree"))
+
+
+def host_edges(pages: rd.Dataset) -> rd.Dataset:
+    """(src_host, dst_host, n_links) — partial combine inside each
+    batch (one row per host pair per batch), then a tiny groupby Sum:
+    the exchange carries O(hosts^2) rows, not O(edges)."""
+    edges = outlinks(pages)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"src_host": pd.Series(dtype=str), "dst_host": pd.Series(dtype=str), "n_links": pd.Series(dtype="int64")})
+        g = (
+            df.assign(src_host=_host_of(df["src"]), dst_host=_host_of(df["dst"]))
+            .groupby(["src_host", "dst_host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_links"})
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    parts = edges.map_batches(partial, batch_format="pandas")
+    return parts.groupby(["src_host", "dst_host"]).aggregate(Sum("n_links", alias_name="n_links"))
+
+
+# nodes above this count stop broadcasting the per-round value column
+# and fall back to the hash-join round (kept well under a worker heap:
+# 5M urls x ~60B + int64 ~ 400MB once in plasma, zero-copy to readers)
+_BROADCAST_NODES = 5_000_000
+
+
+def pagerank_int(
+    pages: rd.Dataset,
+    iters: int = 2,
+    base: int = PAGERANK_BASE,
+    broadcast_nodes: int = _BROADCAST_NODES,
+) -> rd.Dataset:
+    """k rounds of leaky fixed-point PageRank, bit-exact at any
+    parallelism:
+
+        r_0(u)   = base // N
+        c_t(u)   = r_t(u) // out_degree(u)          (per out-edge)
+        r_{t+1}(u) = (3*base) // (20*N) + (17 * sum_in c_t) // 20
+
+    (damping 17/20 = 0.85; sink mass leaks, both engine and oracle
+    agree). All arithmetic is int64 floor division, so sums commute
+    and the oracle hash matches exactly.
+
+    Broadcast path (node count <= broadcast_nodes): the per-round
+    (url -> contribution) column ships once via ``ray.put`` as sorted
+    numpy arrays; each edge batch does two searchsorted probes and
+    emits per-dst partial sums — zero shuffle rounds. Beyond the
+    bound, each round is the canonical edges ⨝ ranks join + Sum
+    groupby; both paths share this kernel and are equality-tested.
+    """
+    node_ds = pages.select_columns(["url"])
+    n_nodes = node_ds.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "rank_fp": pa.array([], pa.int64())}))
+    tele = (3 * base) // (20 * n_nodes)
+    r0 = base // n_nodes
+
+    edges = outlinks(pages)
+    if n_nodes <= broadcast_nodes:
+        return _pagerank_broadcast(node_ds, edges, n_nodes, iters, tele, r0)
+    return _pagerank_join(node_ds, edges, iters, tele, r0)
+
+
+def _pagerank_broadcast(node_ds, edges, n_nodes, iters, tele, r0):
+    # bounded node table -> driver-held sorted url ids; edges stream
+    # through an aggregation per round emitting per-dst partials.
+    # materialize the edge table once: without it every round would
+    # re-read the pages and re-run the href scan (k+1 extraction passes)
+    edges = edges.materialize()
+    urls = np.sort(np.asarray(node_ds.to_pandas()["url"], dtype=object))
+    # out-degree per node: one streaming pass over edges
+    deg_parts = edges.map_batches(
+        lambda df: df.groupby("src", as_index=False).size().rename(columns={"size": "d"}),
+        batch_format="pandas",
+    ).to_pandas()
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    if len(deg_parts):
+        dg = deg_parts.groupby("src", as_index=False)["d"].sum()
+        pos = np.searchsorted(urls, np.asarray(dg["src"], dtype=object))
+        deg[pos] = np.asarray(dg["d"], dtype=np.int64)
+
+    ranks = np.full(n_nodes, r0, dtype=np.int64)
+    urls_ref = ray.put(urls)
+
+    for _ in range(iters):
+        contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+        c_ref = ray.put(contrib)
+
+        class Round:
+            def __init__(self):
+                self.urls = ray.get(urls_ref)
+                self.contrib = ray.get(c_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+                src = np.asarray(t.column("src").to_pandas(), dtype=object)
+                dst = np.asarray(t.column("dst").to_pandas(), dtype=object)
+                si = np.searchsorted(self.urls, src)
+                di = np.searchsorted(self.urls, dst)
+                # int64-exact per-dst partial sums (bincount would go
+                # through float64; pandas int64 groupby stays exact)
+                c = self.contrib[si]
+                df = pd.DataFrame({"i": di, "c": c})
+                g = df.groupby("i", as_index=False)["c"].sum()
+                return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
+
+        parts = edges.map_batches(Round, batch_format="pyarrow", concurrency=2).to_pandas()
+        incoming = np.zeros(n_nodes, dtype=np.int64)
+        if len(parts):
+            g = parts.groupby("i", as_index=False)["s"].sum()
+            incoming[g["i"].to_numpy(np.int64)] = g["s"].to_numpy(np.int64)
+        ranks = tele + (17 * incoming) // 20
+
+    out = pa.table({"url": pa.array(list(urls), pa.string()), "rank_fp": pa.array(ranks)})
+    return rd.from_arrow(out)
+
+
+def _pagerank_join(node_ds, edges, iters, tele, r0):
+    """General path: one hash join + one Sum groupby per round.
+
+    Each round is materialized before the next starts (the canonical
+    Pregel-style iteration checkpoint): a round's plan already carries
+    three hash-shuffle joins, and chaining k rounds lazily would
+    instantiate 3k aggregator actor pools at once — each join reserves
+    ``num_partitions x 0.125`` CPUs for its aggregators, so the stacked
+    pools deadlock on a small cluster and oversubscribe a large one.
+    Materializing also pins the edge/rank tables so pages are read and
+    links extracted exactly once, not once per round.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    edges = edges.materialize()
+    # degree table once
+    deg = (
+        edges.map_batches(
+            lambda df: df.groupby("src", as_index=False).size().rename(columns={"size": "d"}),
+            batch_format="pandas",
+        )
+        .groupby("src")
+        .aggregate(Sum("d", alias_name="d"))
+    ).materialize()
+    ranks = node_ds.map_batches(
+        lambda t: pa.table({"url": t.column("url"), "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        contrib = ranks.join(deg, join_type="inner", num_partitions=width, on=("url",), right_on=("src",)).map_batches(
+            lambda df: pd.DataFrame({"src": df["url"], "c": df["r"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)}),
+            batch_format="pandas",
+        )
+        incoming = (
+            edges.join(contrib, join_type="inner", num_partitions=width, on=("src",), right_on=("src",))
+            .map_batches(
+                lambda df: df.groupby("dst", as_index=False)["c"].sum(),
+                batch_format="pandas",
+            )
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        ranks = node_ds.join(incoming, join_type="left_outer", num_partitions=width, on=("url",), right_on=("dst",)).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "url": df["url"],
+                    "r": tele + (17 * df["s"].fillna(0).astype("int64").to_numpy(np.int64)) // 20,
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"r": "rank_fp"}), batch_format="pandas"
+    )
+
+
+def rank_priority(
+    pages: rd.Dataset,
+    iters: int = 2,
+    base: int = PAGERANK_BASE,
+) -> rd.Dataset:
+    """Close the scheduling loop: PageRank -> frontier priority tier.
+
+    The uniform-mass rank is ``base // N``; a page is 'hot' at >= 2x
+    uniform, 'warm' at >= 1x, else 'cold' (integer thresholds, so the
+    tiering is exact and engine/SQL identical). Analogous to
+    ``pipelines/recrawl.priority_update`` which closes the same loop
+    from measured *change rates* — this one closes it from link
+    structure, the classic crawl-ordering signal. Output:
+    (url, rank_fp, priority)."""
+    n_nodes = pages.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "rank_fp": pa.array([], pa.int64()), "priority": pa.array([], pa.string())})
+        )
+    t = base // n_nodes
+    ranks = pagerank_int(pages, iters=iters, base=base)
+
+    def tier(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("rank_fp").to_numpy(zero_copy_only=False)
+        pr = np.where(r >= 2 * t, "hot", np.where(r >= t, "warm", "cold"))
+        return tbl.append_column("priority", pa.array(pr.astype(object), pa.string()))
+
+    return ranks.map_batches(tier, batch_format="pyarrow")
+
+
+def components_min_label(
+    pages: rd.Dataset,
+    iters: int = 4,
+    broadcast_nodes: int = _BROADCAST_NODES,
+) -> rd.Dataset:
+    """k rounds of undirected min-label propagation; the label is the
+    smallest URL string seen, so the result is exact and
+    order-independent. After convergence the label is the component's
+    lexicographic min URL; with fixed k both engine and SQL oracle
+    compute the identical k-hop contraction."""
+    node_ds = pages.select_columns(["url"])
+    n_nodes = node_ds.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "component": pa.array([], pa.string())}))
+    edges = outlinks(pages)
+    if n_nodes <= broadcast_nodes:
+        return _components_broadcast(node_ds, edges, n_nodes, iters)
+    return _components_join(node_ds, edges, iters)
+
+
+def _components_broadcast(node_ds, edges, n_nodes, iters):
+    urls = np.sort(np.asarray(node_ds.to_pandas()["url"], dtype=object))
+    # undirected edge list as int id pairs: one streaming pass
+    urls_ref = ray.put(urls)
+
+    class ToIds:
+        def __init__(self):
+            self.urls = ray.get(urls_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            src = np.searchsorted(self.urls, np.asarray(t.column("src").to_pandas(), dtype=object))
+            dst = np.searchsorted(self.urls, np.asarray(t.column("dst").to_pandas(), dtype=object))
+            return pa.table({"a": pa.array(src), "b": pa.array(dst)})
+
+    idp = edges.map_batches(ToIds, batch_format="pyarrow", concurrency=2).to_pandas()
+    a = idp["a"].to_numpy(np.int64)
+    b = idp["b"].to_numpy(np.int64)
+    # label = index of the min url (urls sorted -> label order == string order)
+    lbl = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        nxt = lbl.copy()
+        np.minimum.at(nxt, b, lbl[a])
+        np.minimum.at(nxt, a, lbl[b])
+        lbl = np.minimum(lbl, nxt)
+    out = pa.table(
+        {"url": pa.array(list(urls), pa.string()), "component": pa.array([urls[i] for i in lbl], pa.string())}
+    )
+    return rd.from_arrow(out)
+
+
+def _components_join(node_ds, edges, iters):
+    # per-round materialization: same aggregator-pool-stacking rationale
+    # as _pagerank_join (see its docstring)
+    from ray.data.aggregate import Min
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    und = edges.union(
+        edges.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}), batch_format="pyarrow"
+        )
+    ).materialize()
+    labels = node_ds.map_batches(
+        lambda t: pa.table({"url": t.column("url"), "lbl": t.column("url")}), batch_format="pyarrow"
+    )
+    def _prop(df: pd.DataFrame) -> pa.Table:
+        # arrow out: the union with `labels` (arrow blocks) must not mix
+        # block types in one dataset
+        g = df.groupby("dst", as_index=False)["lbl"].min().rename(columns={"dst": "url"})
+        return pa.table({"url": pa.array(g["url"], pa.string()), "lbl": pa.array(g["lbl"], pa.string())})
+
+    for _ in range(iters):
+        prop = und.join(labels, join_type="inner", num_partitions=width, on=("src",), right_on=("url",)).map_batches(
+            _prop,
+            batch_format="pandas",
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("url")
+            .aggregate(Min("lbl", alias_name="lbl"))
+        ).materialize()
+    return labels.map_batches(lambda df: df.rename(columns={"lbl": "component"}), batch_format="pandas")

@@ -144,6 +144,33 @@ def _assign_source(i: int) -> str:
     return SOURCE_NAMES[1 + (i // 2) % 4]
 
 
+def _url_for(i: int) -> str:
+    """URL of page ``i`` as a pure function of the index (mirrors the
+    generation loop) — used to synthesise deterministic outlink targets."""
+    cls = CLASSES[i % len(CLASSES)]
+    host = HOSTS[_assign_source(i)]
+    suffix = ".jsonld" if cls == "jsonext" else ""
+    if cls == "private":
+        return "https://%s/private/%d%s" % (host, i, suffix)
+    return "https://%s/ref/%s/%d%s" % (host, cls, i, suffix)
+
+
+def _nav_links(i: int, n_pages: int) -> bytes:
+    """Deterministic outlink footer for page ``i``: 1-4 anchors whose
+    targets are a fixed multiplicative-hash walk over the page index
+    space. Gives the corpus a real web link structure (same-host and
+    cross-host edges, skewed in-degree toward the mega host) for the
+    link-graph operator family; injected before ``</body>`` so the
+    JSON-LD script line — and every byte-level extraction oracle that
+    reads it — is untouched."""
+    k = 1 + (i % 4)
+    anchors = []
+    for j in range(k):
+        t = (i * 2654435761 + j * 40503 + 12289) % n_pages
+        anchors.append('<a href="%s">l%d</a>' % (_url_for(t), j))
+    return ("\n<nav>%s</nav>" % "".join(anchors)).encode()
+
+
 def corpus_dir_for(sf_dir: str, root: str = "/tmp/gleaner_ray_corpus") -> str:
     return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
 
@@ -168,7 +195,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 4}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 5}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:
@@ -222,6 +249,8 @@ def generate_corpus(
         else:
             payload = _payload(cls, url, name, desc)
         html, text = _page_html(cls, payload, name, desc)
+        if cls != "jsonext":  # raw-JSON bodies carry no markup
+            html = html.replace(b"</body>", _nav_links(i, n_pages) + b"</body>", 1)
         urls.append(url)
         tss.append(base_ts + i * 1000)
         htmls.append(html)

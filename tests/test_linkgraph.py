@@ -1,0 +1,133 @@
+"""Link-graph operators: extraction, degree, integer PageRank and
+min-label components — fixture graph with known structure, plus
+broadcast-path vs join-path equality (the two scale regimes must
+agree bit-for-bit)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _page(url: str, hrefs: list[str]) -> dict:
+    nav = "".join('<a href="%s">x</a>' % h for h in hrefs)
+    html = ("<html><head></head><body><p>p</p><nav>%s</nav></body></html>" % nav).encode()
+    return {"url": url, "html": html}
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(ray_session):
+    """Two components: {a,b,c} a->b->c->a cycle, {d,e} d->e; f isolated."""
+    import ray.data as rd
+
+    rows = [
+        _page("https://h1.org/a", ["https://h1.org/b"]),
+        _page("https://h1.org/b", ["https://h2.org/c"]),
+        _page("https://h2.org/c", ["https://h1.org/a", "https://h1.org/a"]),  # dup edge kept
+        _page("https://h2.org/d", ["https://h2.org/e"]),
+        _page("https://h2.org/e", []),
+        _page("https://h3.org/f", []),
+    ]
+    return rd.from_items(rows)
+
+
+class TestExtraction:
+    def test_outlinks_multigraph(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import outlinks
+
+        df = outlinks(tiny_graph).to_pandas()
+        assert len(df) == 5  # duplicate anchor kept (multigraph)
+        assert (df.src == "https://h2.org/c").sum() == 2
+
+    def test_outlink_degree_row_local(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import outlink_degree
+
+        d = outlink_degree(tiny_graph).to_pandas().set_index("url")["out_degree"]
+        assert d["https://h2.org/c"] == 2
+        assert d["https://h3.org/f"] == 0
+
+    def test_indegree_distinct_targets(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import indegree
+
+        d = indegree(tiny_graph).to_pandas().set_index("url")["in_degree"]
+        assert d["https://h1.org/a"] == 2  # duplicated c->a edge counts twice
+        assert d["https://h2.org/e"] == 1
+        assert "https://h3.org/f" not in d.index  # no inlinks -> absent
+
+    def test_host_edges_weights(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import host_edges
+
+        df = host_edges(tiny_graph).to_pandas()
+        w = {(r.src_host, r.dst_host): r.n_links for r in df.itertuples()}
+        assert w[("h2.org", "h1.org")] == 2  # the duplicated c->a edge
+        assert w[("h1.org", "h2.org")] == 1
+        assert w[("h2.org", "h2.org")] == 1
+
+
+class TestPageRank:
+    def test_mass_and_cycle_symmetry(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import PAGERANK_BASE, pagerank_int
+
+        df = pagerank_int(tiny_graph, iters=3).to_pandas().set_index("url")["rank_fp"]
+        # every rank positive, total below BASE (leaky variant)
+        assert (df > 0).all() and df.sum() <= PAGERANK_BASE
+        # e receives d's whole rank; f receives nothing -> e strictly above f
+        assert df["https://h2.org/e"] > df["https://h3.org/f"]
+        # cycle members have equal in/out structure after >=3 rounds of a
+        # symmetric start -> equal ranks
+        assert df["https://h1.org/a"] == df["https://h1.org/b"] == df["https://h2.org/c"]
+
+    def test_broadcast_equals_join_path(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import pagerank_int
+
+        a = pagerank_int(tiny_graph, iters=2).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            pagerank_int(tiny_graph, iters=2, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "rank_fp"]]
+        )
+        assert a["rank_fp"].dtype == np.int64
+        pd.testing.assert_frame_equal(a, b.astype({"rank_fp": np.int64}))
+
+    def test_rank_priority_tiers(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import PAGERANK_BASE, rank_priority
+
+        df = rank_priority(tiny_graph, iters=3).to_pandas().set_index("url")
+        t = PAGERANK_BASE // 6
+        for url, row in df.iterrows():
+            want = "hot" if row.rank_fp >= 2 * t else ("warm" if row.rank_fp >= t else "cold")
+            assert row.priority == want, url
+        # f gets only teleport mass -> cold; the cycle holds >= uniform mass
+        assert df.loc["https://h3.org/f", "priority"] == "cold"
+        assert set(df.priority) >= {"cold"}
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import pagerank_int
+
+        empty = rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}))
+        assert pagerank_int(empty).count() == 0
+
+
+class TestComponents:
+    def test_two_components_plus_isolate(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import components_min_label
+
+        df = components_min_label(tiny_graph, iters=4).to_pandas().set_index("url")["component"]
+        assert df["https://h1.org/a"] == df["https://h1.org/b"] == df["https://h2.org/c"] == "https://h1.org/a"
+        assert df["https://h2.org/d"] == df["https://h2.org/e"] == "https://h2.org/d"
+        assert df["https://h3.org/f"] == "https://h3.org/f"
+
+    def test_broadcast_equals_join_path(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import components_min_label
+
+        a = components_min_label(tiny_graph, iters=3).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            components_min_label(tiny_graph, iters=3, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "component"]]
+        )
+        pd.testing.assert_frame_equal(a, b)

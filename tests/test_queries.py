@@ -206,6 +206,12 @@ def test_oracle_checked_small(contract, name):
         "crawl_change_detect",
         "crawl_priority_update",
         "crawl_host_stats",
+        "graph_outlink_degree",
+        "graph_host_edges",
+        "graph_indegree",
+        "graph_pagerank",
+        "graph_rank_priority",
+        "graph_components",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
