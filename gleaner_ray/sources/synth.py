@@ -60,6 +60,9 @@ HOSTS = {
 }
 SOURCE_NAMES = list(HOSTS)
 
+# cross-host mirror pair (v6): byte-identical /mirror/<j> bodies on both
+MIRROR_HOSTS = ("h1.example.org", "h2.example.org")
+
 _HTML_PREFIX = '<!DOCTYPE html><html><head><meta charset="utf-8"><title>%s</title>\n<script type="application/ld+json">'
 _HTML_SUFFIX = "</script>\n</head><body><p>%s</p></body></html>"
 
@@ -195,7 +198,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 5}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 6}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:
@@ -259,6 +262,29 @@ def generate_corpus(
         sitemap_urls[source].append(url)
         if len(urls) >= rows_per_file:
             flush()
+
+    # mirror section (v6): byte-identical bodies served under different
+    # URLs on TWO hosts (h1 <-> h2) — the cross-host mirror signal for
+    # mirror-detection operators. NOT listed in any sitemap, so the
+    # frontier never admits them and every crawl-path oracle is
+    # untouched; they exist only in the pages table (like real crawl
+    # data, where mirrors are fetched via links, not sitemaps). Content
+    # depends only on j, so both copies are identical down to the nav.
+    n_mirror = max(4, n_pages // 128)
+    for j in range(n_mirror):
+        name = "Mirror %d" % j
+        desc = _clean(doc_texts[(j * 13) % n_docs])
+        body = "<!DOCTYPE html><html><head><title>%s</title></head><body><p>%s</p>" % (name, desc)
+        mhtml = body.encode() + _nav_links(j * 31 % n_pages, n_pages) + b"</body></html>"
+        mtext = "%s %s" % (name, desc)
+        for k, mh in enumerate(MIRROR_HOSTS):
+            urls.append("https://%s/mirror/%d" % (mh, j))
+            tss.append(base_ts + (n_pages + 2 * j + k) * 1000)
+            htmls.append(mhtml)
+            texts.append(mtext)
+            langs.append("en")
+            if len(urls) >= rows_per_file:
+                flush()
     flush()
 
     # every ~97th frontier URL additionally exists only in the sitemap

@@ -131,3 +131,36 @@ class TestComponents:
             .reset_index(drop=True)[["url", "component"]]
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMirrorHosts:
+    def test_cross_host_shared_content(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import mirror_hosts
+
+        rows = [
+            # X served on h1 twice (within-host dup: counts ONCE) and h2
+            {"url": "https://h1.org/x1", "html": b"X"},
+            {"url": "https://h1.org/x2", "html": b"X"},
+            {"url": "https://h2.org/x", "html": b"X"},
+            # Y on h1 and h3
+            {"url": "https://h1.org/y", "html": b"Y"},
+            {"url": "https://h3.org/y", "html": b"Y"},
+            # Z unique to h2
+            {"url": "https://h2.org/z", "html": b"Z"},
+        ]
+        df = mirror_hosts(rd.from_items(rows)).to_pandas()
+        w = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
+        assert w == {("h1.org", "h2.org"): 1, ("h1.org", "h3.org"): 1}
+
+    def test_no_mirrors(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import mirror_hosts
+
+        rows = [
+            {"url": "https://h1.org/a", "html": b"A"},
+            {"url": "https://h2.org/b", "html": b"B"},
+        ]
+        assert mirror_hosts(rd.from_items(rows)).count() == 0

@@ -482,7 +482,10 @@ class TestCheckpointResume:
             n_seen_shards=2, concurrency=1, checkpoint_groups=3, resume=True,
         )
         assert m2["groups_skipped"] == 1
-        assert len(m2["group_dirs"]) == m2["checkpoint_groups"] >= 3
+        # a group whose rows are all dropped by the frontier (the corpus
+        # v6 mirror tail is sitemap-less) checkpoints with no output dir
+        assert m2["checkpoint_groups"] >= 3
+        assert 0 < len(m2["group_dirs"]) <= m2["checkpoint_groups"]
 
         parts = [rd.read_parquet(d).to_pandas() for d in m2["group_dirs"]]
         union = _pd.concat(parts, ignore_index=True)

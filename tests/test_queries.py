@@ -206,6 +206,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_change_detect",
         "crawl_priority_update",
         "crawl_host_stats",
+        "crawl_mirror_hosts",
         "graph_outlink_degree",
         "graph_host_edges",
         "graph_indegree",
