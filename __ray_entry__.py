@@ -351,6 +351,12 @@ def _q_graph_rank_priority(sf_dir: str):
     return lg.rank_priority(_graph_pages(sf_dir), iters=2)
 
 
+def _q_graph_discovered(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.discovered_urls(_graph_pages(sf_dir))
+
+
 def _q_graph_components(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -476,6 +482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank -> crawl priority tier (integer thresholds vs uniform mass):
         # the link-structure twin of crawl_priority_update
         "graph_rank_priority": _q_graph_rank_priority,
+        # frontier expansion: link targets with no page row (v7 external
+        # anchors) + reference counts — the next crawl wave's candidates
+        "graph_discovered": _q_graph_discovered,
         # undirected min-label propagation (k=4): component = min URL string
         "graph_components": _q_graph_components,
         # -- relational surface ---------------------------------------------
@@ -987,15 +996,28 @@ def oracle_sql() -> dict[str, str]:
               FROM {pages})
             SELECT dst AS url, COUNT(*) AS in_degree FROM links GROUP BY 1
         """,
+        "graph_discovered": f"""
+            WITH links AS (
+              SELECT UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages})
+            SELECT dst AS url, COUNT(*) AS n_refs
+            FROM links
+            WHERE dst NOT IN (SELECT url FROM {pages})
+            GROUP BY 1
+        """,
         # integer fixed-point PageRank, k=2 unrolled: same floor-division
         # recurrence as ops/linkgraph.pagerank_int — int64-exact, so the
-        # hash matches at any parallelism
+        # hash matches at any parallelism. Links to targets with no page
+        # row (v7 external anchors) are excluded, as in the engine's
+        # dst-resolution mask: the rank walk stays on the crawled graph.
         "graph_pagerank": f"""
-            WITH links AS (
-              SELECT url AS src,
-                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
-              FROM {pages}),
-            nodes AS (SELECT url FROM {pages}),
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
             n AS (SELECT COUNT(*) AS n FROM nodes),
             deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
             r0 AS (SELECT url, 1000000000000000 // (SELECT n FROM n) AS r FROM nodes),
@@ -1017,11 +1039,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same k=2 recurrence + integer tier thresholds vs uniform mass
         "graph_rank_priority": f"""
-            WITH links AS (
-              SELECT url AS src,
-                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
-              FROM {pages}),
-            nodes AS (SELECT url FROM {pages}),
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
             n AS (SELECT COUNT(*) AS n FROM nodes),
             deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
             r0 AS (SELECT url, 1000000000000000 // (SELECT n FROM n) AS r FROM nodes),
@@ -1047,12 +1071,16 @@ def oracle_sql() -> dict[str, str]:
             FROM r2
         """,
         # k=4 min-label propagation over the undirected edge set; the
-        # label is the smallest URL string seen (exact string min)
+        # label is the smallest URL string seen (exact string min).
+        # External targets excluded: components of the crawled graph.
         "graph_components": f"""
-            WITH links AS (
-              SELECT url AS src,
-                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
-              FROM {pages}),
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
             e AS (SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links),
             l0 AS (SELECT url, url AS lbl FROM {pages}),
             l1 AS (SELECT url, MIN(lbl) AS lbl FROM (

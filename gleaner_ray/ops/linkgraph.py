@@ -50,6 +50,7 @@ __all__ = [
     "host_edges",
     "pagerank_int",
     "rank_priority",
+    "discovered_urls",
     "components_min_label",
 ]
 
@@ -329,7 +330,17 @@ def _pagerank_join(node_ds, edges, iters, tele, r0):
     from ..cluster import cluster_cpus
 
     width = max(2, cluster_cpus(8))
-    edges = edges.materialize()
+    # drop edges whose target has no page row (same dst-resolution mask
+    # as the broadcast path — out-degree counts crawled targets only)
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    ).materialize()
     # degree table once
     deg = (
         edges.map_batches(
@@ -369,6 +380,77 @@ def _pagerank_join(node_ds, edges, iters, tele, r0):
     return ranks.map_batches(
         lambda df: df.rename(columns={"r": "rank_fp"}), batch_format="pandas"
     )
+
+
+def discovered_urls(
+    pages: rd.Dataset,
+    broadcast_nodes: int = _BROADCAST_NODES,
+) -> rd.Dataset:
+    """Frontier expansion from discovered links: (url, n_refs) for every
+    link target with NO page row — the next crawl wave's candidate set,
+    the step the reference never takes (it crawls sitemap-listed URLs
+    only, resources.go sitemap walk) but any open-web crawler needs.
+
+    Scale shape: under the node bound the sorted node-hash array ships
+    once and each batch masks members out vectorized (searchsorted),
+    pre-combining (dst, count) partials before the dst-keyed groupby —
+    the only exchange carries candidate URLs, not edges. Beyond the
+    bound the same result is one left-anti hash join of the (already
+    map-side-combined) target partials against the node table."""
+    from ray.data.aggregate import Sum
+
+    node_ds = pages.select_columns(["url"])
+    n_nodes = node_ds.count()
+    empty = pa.table({"url": pa.array([], pa.string()), "n_refs": pa.array([], pa.int64())})
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", as_index=False).size()
+        return pd.DataFrame({"url": g["dst"], "n_refs": g["size"].astype("int64")})
+
+    if n_nodes <= broadcast_nodes:
+        nodes = _sorted_node_hashes(node_ds, n_nodes)
+    else:
+        nodes = None
+    if nodes is not None:
+        hashes, _ = nodes
+        h_ref = ray.put(hashes)
+
+        class Unknown:
+            def __init__(self):
+                self.h = ray.get(h_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return empty
+                dst = np.asarray(t.column("dst").to_pandas(), dtype=object)
+                dh = _hash64(dst)
+                idx = np.searchsorted(self.h, dh)
+                n = len(self.h)
+                miss = (idx >= n) | (self.h[np.minimum(idx, n - 1)] != dh)
+                if not miss.any():
+                    return empty
+                g = pd.Series(dst[miss]).value_counts()
+                return pa.table(
+                    {"url": pa.array(list(g.index), pa.string()), "n_refs": pa.array(g.to_numpy(np.int64))}
+                )
+
+        parts = outlinks(pages).map_batches(Unknown, batch_format="pyarrow", concurrency=_graph_pool())
+        return parts.groupby("url").aggregate(Sum("n_refs", alias_name="n_refs"))
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    parts = outlinks(pages).map_batches(partials, batch_format="pandas")
+    unknown = parts.join(
+        node_ds.map_batches(lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=width,
+        on=("url",),
+        right_on=("nd_url",),
+    )
+    return unknown.groupby("url").aggregate(Sum("n_refs", alias_name="n_refs"))
 
 
 def rank_priority(
@@ -458,6 +540,16 @@ def _components_join(node_ds, edges, iters):
     from ..cluster import cluster_cpus
 
     width = max(2, cluster_cpus(8))
+    # same dst-resolution mask as the broadcast path (see _pagerank_join)
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    )
     und = edges.union(
         edges.map_batches(
             lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}), batch_format="pyarrow"

@@ -161,16 +161,27 @@ def _url_for(i: int) -> str:
 def _nav_links(i: int, n_pages: int) -> bytes:
     """Deterministic outlink footer for page ``i``: 1-4 anchors whose
     targets are a fixed multiplicative-hash walk over the page index
-    space. Gives the corpus a real web link structure (same-host and
-    cross-host edges, skewed in-degree toward the mega host) for the
-    link-graph operator family; injected before ``</body>`` so the
-    JSON-LD script line — and every byte-level extraction oracle that
-    reads it — is untouched."""
+    space, plus (every 5th page, v7) one anchor to an EXTERNAL host
+    that has no page row — the link-discovery signal for frontier
+    expansion (``ops/linkgraph.discovered_urls``) and the reason the
+    graph operators' dst-resolution masks see real misses. Gives the
+    corpus a real web link structure (same-host and cross-host edges,
+    skewed in-degree toward the mega host) for the link-graph operator
+    family; injected before ``</body>`` so the JSON-LD script line —
+    and every byte-level extraction oracle that reads it — is
+    untouched."""
     k = 1 + (i % 4)
     anchors = []
     for j in range(k):
         t = (i * 2654435761 + j * 40503 + 12289) % n_pages
         anchors.append('<a href="%s">l%d</a>' % (_url_for(t), j))
+    if i % 5 == 0:
+        # external targets are many-to-one: i and i+5 in the same decade
+        # point at the SAME discovered URL (host and path both derive
+        # from i//10), so reference counts > 1 exist
+        anchors.append(
+            '<a href="https://ext%d.example.net/p/%d">ext</a>' % ((i // 10) % 7, (i // 10) * 10)
+        )
     return ("\n<nav>%s</nav>" % "".join(anchors)).encode()
 
 
@@ -198,7 +209,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 6}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 7}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:

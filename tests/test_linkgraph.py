@@ -164,3 +164,48 @@ class TestMirrorHosts:
             {"url": "https://h2.org/b", "html": b"B"},
         ]
         assert mirror_hosts(rd.from_items(rows)).count() == 0
+
+
+class TestDiscovered:
+    @pytest.fixture(scope="class")
+    def graph_with_external(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            _page("https://h1.org/a", ["https://h1.org/b", "https://ext.net/x"]),
+            _page("https://h1.org/b", ["https://ext.net/x", "https://ext.net/y"]),
+        ]
+        return rd.from_items(rows)
+
+    def test_counts(self, graph_with_external):
+        from gleaner_ray.ops.linkgraph import discovered_urls
+
+        d = discovered_urls(graph_with_external).to_pandas().set_index("url")["n_refs"]
+        assert d.to_dict() == {"https://ext.net/x": 2, "https://ext.net/y": 1}
+
+    def test_broadcast_equals_join_path(self, graph_with_external):
+        from gleaner_ray.ops.linkgraph import discovered_urls
+
+        a = discovered_urls(graph_with_external).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            discovered_urls(graph_with_external, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "n_refs"]]
+        )
+        pd.testing.assert_frame_equal(a, b.astype({"n_refs": np.int64}))
+
+    def test_external_links_dont_leak_into_rank_or_components(self, graph_with_external):
+        from gleaner_ray.ops.linkgraph import components_min_label, pagerank_int
+
+        pr = pagerank_int(graph_with_external, iters=2).to_pandas()
+        assert set(pr.url) == {"https://h1.org/a", "https://h1.org/b"}
+        # a's only INTERNAL link is a->b: with externals excluded from
+        # out-degree, b gets a's whole contribution both rounds
+        cm = components_min_label(graph_with_external, iters=2).to_pandas()
+        assert set(cm.url) == {"https://h1.org/a", "https://h1.org/b"}
+        assert (cm.component == "https://h1.org/a").all()
+        # join paths agree on the same external-bearing graph
+        prj = pagerank_int(graph_with_external, iters=2, broadcast_nodes=0).to_pandas()
+        m = pr.merge(prj, on="url", suffixes=("", "_j"))
+        assert (m.rank_fp == m.rank_fp_j).all()

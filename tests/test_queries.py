@@ -212,6 +212,7 @@ def test_oracle_checked_small(contract, name):
         "graph_indegree",
         "graph_pagerank",
         "graph_rank_priority",
+        "graph_discovered",
         "graph_components",
     ],
 )
