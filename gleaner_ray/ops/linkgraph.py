@@ -11,10 +11,18 @@ and host-level politeness budgeting (host in/out degree). Family:
   shuffle: a page's anchors live in its own html cell)
 - ``host_edges``     — host-projected edge weights with a map-side
   partial combine before the (small) host-keyed groupby
+- ``indegree``       — map-side distinct-target combine, then one
+  dst-keyed groupby (the exchange carries distinct targets, not edges)
 - ``pagerank_int``   — k iterations of a fixed-point *integer*
   PageRank (rank scaled by BASE=10^15, floor division everywhere) so
   partial sums are order-independent and the result is bit-exact
   against the SQL oracle regardless of parallelism
+- ``rank_priority``  — rank -> hot/warm/cold crawl tier (integer
+  thresholds vs uniform mass), closing the frontier-scheduling loop
+  from link structure the way ``recrawl.priority_update`` closes it
+  from measured change rates
+- ``discovered_urls`` — link targets with NO page row + ref counts:
+  the next crawl wave's candidate frontier
 - ``components_min_label`` — k rounds of undirected min-label
   propagation where the label IS the lexicographically smallest URL
   seen so far (string min: exact, engine/SQL identical)
@@ -165,12 +173,19 @@ def host_edges(pages: rd.Dataset) -> rd.Dataset:
 # 5M urls x ~60B + int64 ~ 400MB once in plasma, zero-copy to readers)
 _BROADCAST_NODES = 5_000_000
 
+# edge-id tables at or below this row count are pulled to the driver
+# once (16 B/edge -> <=800 MB) and iterated locally: int64 sums commute,
+# so the k rounds become O(kE) numpy add.at with ZERO extra cluster
+# passes. Above it, rounds run as distributed streaming aggregations.
+_DRIVER_EDGES = 50_000_000
+
 
 def pagerank_int(
     pages: rd.Dataset,
     iters: int = 2,
     base: int = PAGERANK_BASE,
     broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
 ) -> rd.Dataset:
     """k rounds of leaky fixed-point PageRank, bit-exact at any
     parallelism:
@@ -190,15 +205,17 @@ def pagerank_int(
     bound, each round is the canonical edges ⨝ ranks join + Sum
     groupby; both paths share this kernel and are equality-tested.
     """
+    # count() on the untransformed read uses parquet metadata (a
+    # select_columns in between forces a full scan of the column)
+    n_nodes = pages.count()
     node_ds = pages.select_columns(["url"])
-    n_nodes = node_ds.count()
     if n_nodes == 0:
         return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "rank_fp": pa.array([], pa.int64())}))
     tele = (3 * base) // (20 * n_nodes)
     r0 = base // n_nodes
 
     if n_nodes <= broadcast_nodes:
-        out = _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0)
+        out = _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges)
         if out is not None:
             return out
     return _pagerank_join(node_ds, outlinks(pages), iters, tele, r0)
@@ -217,100 +234,146 @@ def _sorted_node_hashes(node_ds, n_nodes):
     return hs, us
 
 
+def _sorted_node_hash_only(node_ds):
+    """Sorted uint64 node-hash array WITHOUT the url strings: hashing
+    runs distributed and the driver pulls only the 8-byte column
+    (10 MB/M nodes vs ~120 MB/M for the strings — the to_pandas of the
+    url column was the single slowest pagerank phase at 1.2M pages).
+    Returns None on a collision (caller falls back to the join path)."""
+    hp = node_ds.map_batches(
+        lambda t: pa.table({"h": pa.array(_hash64(t.column("url").to_pandas()))}),
+        batch_format="pyarrow",
+    )
+    parts = [b["h"] for b in hp.iter_batches(batch_format="numpy")]
+    h = np.concatenate(parts) if parts else np.array([], dtype=np.uint64)
+    h.sort()
+    if len(h) > 1 and (h[1:] == h[:-1]).any():
+        return None
+    return h
+
+
+def _merge_partials(ds, key_col: str, val_col: str, out: np.ndarray) -> None:
+    """Accumulate (key, value) partial batches into ``out`` with
+    vectorized np.add.at — no driver-side pandas concat/groupby."""
+    for b in ds.iter_batches(batch_format="numpy"):
+        if len(b[key_col]):
+            np.add.at(out, b[key_col].astype(np.int64), b[val_col].astype(np.int64))
+
+
 def _edge_id_stage(hashes: np.ndarray):
     """Fused pages -> (si, di) edge-id extraction: ONE pass over the
     html bytes hashes both endpoints and resolves them against the
     broadcast sorted node-hash array — the string edge table never
     materializes (ids are 16 bytes/edge vs ~120 for the url strings).
     dst misses (targets outside the page set) are dropped, matching the
-    oracle's nodes-anchored LEFT JOIN."""
+    oracle's nodes-anchored LEFT JOIN.
+
+    A plain task function, not an actor class: the only state is a
+    plasma-resident numpy array, and ``ray.get`` of it inside a task is
+    a zero-copy view — tasks skip the per-execution actor-pool spin-up
+    that dominated the short graph stages."""
     h_ref = ray.put(hashes)
 
-    class EdgeIds:
-        def __init__(self):
-            self.h = ray.get(h_ref)
+    def edge_ids(t: pa.Table, _h_ref=h_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
+        h = ray.get(_h_ref)
+        urls = t.column("url").to_pylist()
+        html = t.column("html")
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for i, u in enumerate(urls):
+            for m in HREF_RE.findall(memoryview(html[i].as_buffer())):
+                srcs.append(u)
+                dsts.append(bytes(m).decode())
+        if not srcs:
+            return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
+        sh = _hash64(srcs)
+        dh = _hash64(dsts)
+        si = np.searchsorted(h, sh)
+        di = np.searchsorted(h, dh)
+        n = len(h)
+        ok = (di < n) & (h[np.minimum(di, n - 1)] == dh)
+        return pa.table({"si": pa.array(si[ok].astype(np.int64)), "di": pa.array(di[ok].astype(np.int64))})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
-            urls = t.column("url").to_pylist()
-            html = t.column("html")
-            srcs: list[str] = []
-            dsts: list[str] = []
-            for i, u in enumerate(urls):
-                for m in HREF_RE.findall(memoryview(html[i].as_buffer())):
-                    srcs.append(u)
-                    dsts.append(bytes(m).decode())
-            if not srcs:
-                return pa.table({"si": pa.array([], pa.int64()), "di": pa.array([], pa.int64())})
-            sh = _hash64(srcs)
-            dh = _hash64(dsts)
-            si = np.searchsorted(self.h, sh)
-            di = np.searchsorted(self.h, dh)
-            n = len(self.h)
-            ok = (di < n) & (self.h[np.minimum(di, n - 1)] == dh)
-            return pa.table({"si": pa.array(si[ok].astype(np.int64)), "di": pa.array(di[ok].astype(np.int64))})
-
-    return EdgeIds
+    return edge_ids
 
 
-def _graph_pool() -> int:
-    from ..cluster import cluster_cpus
-
-    return max(2, cluster_cpus(8) // 2)
-
-
-def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0):
-    # bounded node table -> driver-held sorted uint64 url-hashes; the
-    # materialized int-pair edge table streams through one aggregation
-    # per round emitting per-dst partials — zero shuffles per round
-    nodes = _sorted_node_hashes(node_ds, n_nodes)
-    if nodes is None:
+def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES):
+    # bounded node table -> driver-held sorted uint64 url-hashes (the
+    # strings never reach the driver); the materialized int-pair edge
+    # table streams through one aggregation per round emitting per-dst
+    # partials — zero shuffles per round
+    hashes = _sorted_node_hash_only(node_ds)
+    if hashes is None:
         return None
-    hashes, urls = nodes
-    edge_ids = pages.map_batches(
-        _edge_id_stage(hashes), batch_format="pyarrow", concurrency=_graph_pool()
-    ).materialize()
+    h_ref = ray.put(hashes)
+    edge_ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
+    n_edges = edge_ids.count()  # metadata of the materialized table
 
-    deg_parts = edge_ids.map_batches(
-        lambda df: df.groupby("si", as_index=False).size().rename(columns={"size": "d"}),
-        batch_format="pandas",
-    ).to_pandas()
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    if len(deg_parts):
-        dg = deg_parts.groupby("si", as_index=False)["d"].sum()
-        deg[dg["si"].to_numpy(np.int64)] = dg["d"].to_numpy(np.int64)
+    if n_edges <= driver_edges:
+        # rounds run locally on the pulled id pairs (see _DRIVER_EDGES)
+        idp = edge_ids.to_pandas()
+        si = idp["si"].to_numpy(np.int64)
+        di = idp["di"].to_numpy(np.int64)
+        deg = np.bincount(si, minlength=n_nodes).astype(np.int64)
+        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        for _ in range(iters):
+            contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(incoming, di, contrib[si])
+            ranks = tele + (17 * incoming) // 20
+    else:
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        _merge_partials(
+            edge_ids.map_batches(
+                lambda df: df.groupby("si", as_index=False).size().rename(columns={"size": "d"}),
+                batch_format="pandas",
+            ),
+            "si",
+            "d",
+            deg,
+        )
 
-    ranks = np.full(n_nodes, r0, dtype=np.int64)
+        ranks = np.full(n_nodes, r0, dtype=np.int64)
 
-    for _ in range(iters):
-        contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
-        c_ref = ray.put(contrib)
+        def round_fn(t: pa.Table, _c_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+            contrib = ray.get(_c_ref)  # zero-copy plasma view per task
+            si = t.column("si").to_numpy(zero_copy_only=False)
+            di = t.column("di").to_numpy(zero_copy_only=False)
+            # int64-exact per-dst partial sums (bincount would go through
+            # float64; pandas int64 groupby stays exact)
+            df = pd.DataFrame({"i": di, "c": contrib[si]})
+            g = df.groupby("i", as_index=False)["c"].sum()
+            return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
 
-        class Round:
-            def __init__(self):
-                self.contrib = ray.get(c_ref)
+        for _ in range(iters):
+            contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+            c_ref = ray.put(contrib)
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            _merge_partials(
+                edge_ids.map_batches(round_fn, batch_format="pyarrow", fn_kwargs={"_c_ref": c_ref}),
+                "i",
+                "s",
+                incoming,
+            )
+            ranks = tele + (17 * incoming) // 20
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
-                si = t.column("si").to_numpy(zero_copy_only=False)
-                di = t.column("di").to_numpy(zero_copy_only=False)
-                # int64-exact per-dst partial sums (bincount would go
-                # through float64; pandas int64 groupby stays exact)
-                df = pd.DataFrame({"i": di, "c": self.contrib[si]})
-                g = df.groupby("i", as_index=False)["c"].sum()
-                return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
+    # distributed emit: ranks broadcast once, each url batch resolves
+    # its own rows — output streams, no driver-built node table
+    r_ref = ray.put(ranks)
 
-        parts = edge_ids.map_batches(Round, batch_format="pyarrow", concurrency=_graph_pool()).to_pandas()
-        incoming = np.zeros(n_nodes, dtype=np.int64)
-        if len(parts):
-            g = parts.groupby("i", as_index=False)["s"].sum()
-            incoming[g["i"].to_numpy(np.int64)] = g["s"].to_numpy(np.int64)
-        ranks = tele + (17 * incoming) // 20
+    def emit(t: pa.Table, _h_ref=h_ref, _r_ref=r_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()), "rank_fp": pa.array([], pa.int64())})
+        h = ray.get(_h_ref)
+        r = ray.get(_r_ref)
+        idx = np.searchsorted(h, _hash64(t.column("url").to_pandas()))
+        return pa.table({"url": t.column("url"), "rank_fp": pa.array(r[idx])})
 
-    out = pa.table({"url": pa.array(list(urls), pa.string()), "rank_fp": pa.array(ranks)})
-    return rd.from_arrow(out)
+    return node_ds.map_batches(emit, batch_format="pyarrow")
 
 
 def _pagerank_join(node_ds, edges, iters, tele, r0):
@@ -399,8 +462,8 @@ def discovered_urls(
     map-side-combined) target partials against the node table."""
     from ray.data.aggregate import Sum
 
+    n_nodes = pages.count()
     node_ds = pages.select_columns(["url"])
-    n_nodes = node_ds.count()
     empty = pa.table({"url": pa.array([], pa.string()), "n_refs": pa.array([], pa.int64())})
     if n_nodes == 0:
         return rd.from_arrow(empty)
@@ -409,34 +472,27 @@ def discovered_urls(
         g = df.groupby("dst", as_index=False).size()
         return pd.DataFrame({"url": g["dst"], "n_refs": g["size"].astype("int64")})
 
-    if n_nodes <= broadcast_nodes:
-        nodes = _sorted_node_hashes(node_ds, n_nodes)
-    else:
-        nodes = None
-    if nodes is not None:
-        hashes, _ = nodes
+    hashes = _sorted_node_hash_only(node_ds) if n_nodes <= broadcast_nodes else None
+    if hashes is not None:
         h_ref = ray.put(hashes)
 
-        class Unknown:
-            def __init__(self):
-                self.h = ray.get(h_ref)
+        def unknown(t: pa.Table, _h_ref=h_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            h = ray.get(_h_ref)
+            dst = np.asarray(t.column("dst").to_pandas(), dtype=object)
+            dh = _hash64(dst)
+            idx = np.searchsorted(h, dh)
+            n = len(h)
+            miss = (idx >= n) | (h[np.minimum(idx, n - 1)] != dh)
+            if not miss.any():
+                return empty
+            g = pd.Series(dst[miss]).value_counts()
+            return pa.table(
+                {"url": pa.array(list(g.index), pa.string()), "n_refs": pa.array(g.to_numpy(np.int64))}
+            )
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return empty
-                dst = np.asarray(t.column("dst").to_pandas(), dtype=object)
-                dh = _hash64(dst)
-                idx = np.searchsorted(self.h, dh)
-                n = len(self.h)
-                miss = (idx >= n) | (self.h[np.minimum(idx, n - 1)] != dh)
-                if not miss.any():
-                    return empty
-                g = pd.Series(dst[miss]).value_counts()
-                return pa.table(
-                    {"url": pa.array(list(g.index), pa.string()), "n_refs": pa.array(g.to_numpy(np.int64))}
-                )
-
-        parts = outlinks(pages).map_batches(Unknown, batch_format="pyarrow", concurrency=_graph_pool())
+        parts = outlinks(pages).map_batches(unknown, batch_format="pyarrow")
         return parts.groupby("url").aggregate(Sum("n_refs", alias_name="n_refs"))
 
     from ..cluster import cluster_cpus
@@ -493,8 +549,8 @@ def components_min_label(
     order-independent. After convergence the label is the component's
     lexicographic min URL; with fixed k both engine and SQL oracle
     compute the identical k-hop contraction."""
+    n_nodes = pages.count()
     node_ds = pages.select_columns(["url"])
-    n_nodes = node_ds.count()
     if n_nodes == 0:
         return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "component": pa.array([], pa.string())}))
     if n_nodes <= broadcast_nodes:
@@ -510,9 +566,11 @@ def _components_broadcast(pages, node_ds, n_nodes, iters):
         return None
     hashes, urls = nodes
     # undirected edge list as int id pairs: one fused streaming pass
-    idp = pages.map_batches(
-        _edge_id_stage(hashes), batch_format="pyarrow", concurrency=_graph_pool()
-    ).rename_columns({"si": "a", "di": "b"}).to_pandas()
+    idp = (
+        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
+        .rename_columns({"si": "a", "di": "b"})
+        .to_pandas()
+    )
     a = idp["a"].to_numpy(np.int64)
     b = idp["b"].to_numpy(np.int64)
     # hashes are sorted, urls aligned to hash order — NOT string order,

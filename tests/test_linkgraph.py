@@ -89,6 +89,18 @@ class TestPageRank:
         assert a["rank_fp"].dtype == np.int64
         pd.testing.assert_frame_equal(a, b.astype({"rank_fp": np.int64}))
 
+    def test_distributed_rounds_equal_driver_rounds(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import pagerank_int
+
+        a = pagerank_int(tiny_graph, iters=2).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            pagerank_int(tiny_graph, iters=2, driver_edges=0)  # force streaming rounds
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
     def test_rank_priority_tiers(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import PAGERANK_BASE, rank_priority
 
