@@ -363,6 +363,24 @@ def _q_graph_components(sf_dir: str):
     return lg.components_min_label(_graph_pages(sf_dir), iters=4)
 
 
+def _q_graph_anchor_text(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.anchor_texts(_graph_pages(sf_dir))
+
+
+def _q_graph_reciprocal(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.reciprocal_links(_graph_pages(sf_dir))
+
+
+def _q_crawl_title_dups(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import duplicate_titles
+
+    return duplicate_titles(_graph_pages(sf_dir))
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -487,6 +505,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_discovered": _q_graph_discovered,
         # undirected min-label propagation (k=4): component = min URL string
         "graph_components": _q_graph_components,
+        # inbound anchor-text profile per link target: distinct (dst, text)
+        # pairs combined map-side, ONE dst-keyed map_groups exchange
+        "graph_anchor_text": _q_graph_anchor_text,
+        # mutual links (url_a < url_b, edges both ways): unordered-pair
+        # fold + idempotent Max presence bits (v8 corpus plants the
+        # i%17 peer pairs this finds)
+        "graph_reciprocal": _q_graph_reciprocal,
+        # duplicate <title> detection (soft-dup signal cheaper than body
+        # hashing): distinct-title exchange with Sum/Min combine
+        "crawl_title_dups": _q_crawl_title_dups,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -995,6 +1023,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
               FROM {pages})
             SELECT dst AS url, COUNT(*) AS in_degree FROM links GROUP BY 1
+        """,
+        "graph_anchor_text": f"""
+            WITH m AS (
+              SELECT UNNEST(regexp_extract_all(decode(html),
+                     '<a href="[^"]+">[^<]*</a>')) AS a
+              FROM {pages}),
+            p AS (
+              SELECT regexp_extract(a, '<a href="([^"]+)"', 1) AS dst,
+                     regexp_extract(a, '>([^<]*)</a>', 1) AS txt
+              FROM m),
+            c AS (SELECT dst, COUNT(*) AS n_anchors FROM p GROUP BY 1),
+            d AS (SELECT DISTINCT dst, txt FROM p),
+            t AS (SELECT dst, string_agg(txt, '|' ORDER BY txt) AS texts
+                  FROM d GROUP BY 1)
+            SELECT c.dst AS url, c.n_anchors, t.texts
+            FROM c JOIN t ON c.dst = t.dst
+        """,
+        "graph_reciprocal": f"""
+            WITH l0 AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            links AS (SELECT DISTINCT src, dst FROM l0 WHERE src <> dst)
+            SELECT a.src AS url_a, a.dst AS url_b
+            FROM links a JOIN links b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        """,
+        "crawl_title_dups": f"""
+            WITH t AS (
+              SELECT regexp_extract(decode(html), '<title>([^<]*)</title>', 1) AS title,
+                     url
+              FROM {pages}
+              WHERE regexp_matches(decode(html), '<title>[^<]*</title>'))
+            SELECT title,
+                   COUNT(*) AS n_pages,
+                   MIN(url) AS first_url
+            FROM t GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "graph_discovered": f"""
             WITH links AS (

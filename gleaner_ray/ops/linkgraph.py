@@ -54,6 +54,8 @@ __all__ = [
     "PAGERANK_BASE",
     "outlinks",
     "outlink_degree",
+    "anchor_texts",
+    "reciprocal_links",
     "indegree",
     "host_edges",
     "pagerank_int",
@@ -123,6 +125,119 @@ def outlink_degree(pages: rd.Dataset) -> rd.Dataset:
         return pa.table({"url": t.column("url"), "out_degree": pa.array(deg)})
 
     return pages.map_batches(fn, batch_format="pyarrow")
+
+
+# href AND inner text: the anchor-text extraction variant (text is the
+# inbound relevance signal; same simple-anchor grammar as HREF_RE)
+ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
+
+def anchor_texts(pages: rd.Dataset) -> rd.Dataset:
+    """(url, n_anchors, texts): the inbound anchor-text profile per link
+    target — anchor text of inbound links is the classic web relevance
+    signal (it describes the target better than the target's own body;
+    search engines and LLM-corpus URL-labelers both consume it).
+    ``texts`` is the '|'-joined sorted distinct anchor strings,
+    ``n_anchors`` the total inbound anchor count.
+
+    Scale shape: per-batch pair extraction + a local (dst, text)
+    distinct/count combine, then ONE dst-keyed ``map_groups`` exchange.
+    The exchange carries one row per distinct (target, text) pair per
+    batch — bounded by the anchor vocabulary, not the edge count — and
+    per-group work is a tiny sort/join."""
+
+    empty = pd.DataFrame(
+        {"url": pd.Series(dtype=str), "txt": pd.Series(dtype=str), "n": pd.Series(dtype="int64")}
+    )
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        html = t.column("html")
+        dsts: list[str] = []
+        txts: list[str] = []
+        for i in range(t.num_rows):
+            for m in ANCHOR_RE.findall(memoryview(html[i].as_buffer())):
+                dsts.append(bytes(m[0]).decode())
+                txts.append(bytes(m[1]).decode())
+        if not dsts:
+            return empty
+        g = (
+            pd.DataFrame({"url": dsts, "txt": txts})
+            .groupby(["url", "txt"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def profile(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": [df["url"].iloc[0]],
+                "n_anchors": np.asarray([df["n"].sum()], dtype=np.int64),
+                "texts": ["|".join(sorted(df["txt"].unique()))],
+            }
+        )
+
+    parts = pages.map_batches(pairs, batch_format="pyarrow")
+    return parts.groupby("url").map_groups(profile, batch_format="pandas")
+
+
+def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
+    """(url_a, url_b) with ``url_a < url_b`` where links exist in BOTH
+    directions — the mutual-link signal (navigation pairs, link rings /
+    link farms; a reciprocal edge is weak evidence of affiliation, so
+    rank pipelines discount it and spam pipelines flag dense patches).
+
+    Scale shape: per-batch distinct directed edges (self-loops dropped)
+    fold into unordered (lo, hi) keys carrying fwd/rev presence bits;
+    ONE (lo, hi)-keyed groupby takes Max of each bit — presence bits
+    are idempotent under Max, so duplicate edges across batches cannot
+    overcount — and a row-local filter keeps both-direction pairs. The
+    exchange carries distinct pairs, not edges."""
+    from ray.data.aggregate import Max
+
+    edges = outlinks(pages)
+    empty = pd.DataFrame(
+        {
+            "url_a": pd.Series(dtype=str),
+            "url_b": pd.Series(dtype=str),
+            "fwd": pd.Series(dtype="int64"),
+            "rev": pd.Series(dtype="int64"),
+        }
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        df = df[df["src"] != df["dst"]]
+        if df.empty:
+            return empty
+        lo = df["src"].where(df["src"] < df["dst"], df["dst"])
+        hi = df["dst"].where(df["src"] < df["dst"], df["src"])
+        fwd = (df["src"] < df["dst"]).astype("int64")  # lo -> hi direction
+        g = (
+            pd.DataFrame({"url_a": lo, "url_b": hi, "fwd": fwd, "rev": 1 - fwd})
+            .groupby(["url_a", "url_b"], as_index=False)
+            .max()
+        )
+        return g
+
+    parts = edges.map_batches(fold, batch_format="pandas")
+    agg = parts.groupby(["url_a", "url_b"]).aggregate(
+        Max("fwd", alias_name="fwd"), Max("rev", alias_name="rev")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pc.and_(
+            pc.equal(t.column("fwd"), pa.scalar(1)), pc.equal(t.column("rev"), pa.scalar(1))
+        )
+        return t.filter(both).select(["url_a", "url_b"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
 
 
 def indegree(pages: rd.Dataset) -> rd.Dataset:

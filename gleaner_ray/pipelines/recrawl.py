@@ -44,7 +44,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats", "mirror_hosts"]
+__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats", "mirror_hosts", "duplicate_titles"]
 
 _HOST_RE = r"^https://([^/]+)/"
 _HASH_KEY = "chg_detect_key!!"  # 16-byte siphash key, both sides + oracle-free
@@ -454,3 +454,73 @@ def mirror_hosts(pages_ds, num_partitions: int | None = None):
         .groupby(["host_a", "host_b"])
         .aggregate(Sum("shared", alias_name="shared"))
     )
+
+
+_TITLE_RE = None  # compiled lazily (bytes pattern; module keeps pandas-only imports light)
+
+
+def duplicate_titles(pages_ds):
+    """(title, n_pages, first_url) for every <title> served by MORE
+    than one URL — the cheap soft-duplicate signal a crawl planner
+    checks before paying for content hashing: shared titles catch
+    mirrors, session-id aliases and boilerplate index pages that byte
+    hashing (``mirror_hosts``) only catches when bodies are identical.
+
+    Scale shape: per-batch byte-level title extraction (no full-page
+    decode on miss) folds to one (title, count, min_url) row per
+    distinct title per batch; ONE title-keyed groupby takes Sum(count)
+    + Min(min_url) — both combine associatively, so the result is
+    exact at any parallelism — and a row-local filter keeps
+    ``n_pages > 1``. The exchange carries distinct titles, not pages.
+    """
+    import re as _re
+
+    import pyarrow as _pa
+    from ray.data.aggregate import Min, Sum
+
+    global _TITLE_RE
+    if _TITLE_RE is None:
+        _TITLE_RE = _re.compile(rb"<title>([^<]*)</title>")
+
+    empty = pd.DataFrame(
+        {
+            "title": pd.Series(dtype=object),
+            "n_pages": pd.Series(dtype="int64"),
+            "first_url": pd.Series(dtype=object),
+        }
+    )
+
+    def fold(t: "_pa.Table") -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        html = t.column("html")
+        urls = t.column("url").to_pylist()
+        ts: list[str] = []
+        us: list[str] = []
+        for i in range(t.num_rows):
+            m = _TITLE_RE.search(memoryview(html[i].as_buffer()))
+            if m is not None:
+                ts.append(bytes(m.group(1)).decode())
+                us.append(urls[i])
+        if not ts:
+            return empty
+        g = (
+            pd.DataFrame({"title": ts, "first_url": us})
+            .groupby("title", as_index=False)
+            .agg(n_pages=("first_url", "size"), first_url=("first_url", "min"))
+        )
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g[["title", "n_pages", "first_url"]]
+
+    agg = (
+        pages_ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("title")
+        .aggregate(Sum("n_pages", alias_name="n_pages"), Min("first_url", alias_name="first_url"))
+    )
+
+    def keep(t: "_pa.Table") -> "_pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("n_pages"), _pa.scalar(1)))
+
+    return agg.map_batches(keep, batch_format="pyarrow")

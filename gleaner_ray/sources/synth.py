@@ -182,6 +182,14 @@ def _nav_links(i: int, n_pages: int) -> bytes:
         anchors.append(
             '<a href="https://ext%d.example.net/p/%d">ext</a>' % ((i // 10) % 7, (i // 10) * 10)
         )
+    # reciprocal pair planting (v8): pages (i, i+1) at i % 17 == 0 link
+    # to EACH OTHER — the hash-walk targets above are effectively random
+    # so mutual edges never arise from them; these planted pairs give
+    # ``ops/linkgraph.reciprocal_links`` real positives (both members
+    # must carry a nav, i.e. be non-jsonext, for the pair to close)
+    p = i + 1 if i % 17 == 0 else (i - 1 if i % 17 == 1 else -1)
+    if 0 <= p < n_pages:
+        anchors.append('<a href="%s">peer</a>' % _url_for(p))
     return ("\n<nav>%s</nav>" % "".join(anchors)).encode()
 
 
@@ -209,7 +217,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 7}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 8}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:

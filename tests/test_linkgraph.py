@@ -221,3 +221,57 @@ class TestDiscovered:
         prj = pagerank_int(graph_with_external, iters=2, broadcast_nodes=0).to_pandas()
         m = pr.merge(prj, on="url", suffixes=("", "_j"))
         assert (m.rank_fp == m.rank_fp_j).all()
+
+
+class TestAnchorsAndPairs:
+    def test_anchor_texts_profile(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import anchor_texts
+
+        rows = [
+            _page("https://h1.org/a", []),
+            _page("https://h1.org/b", []),
+        ]
+        # distinct texts sorted + joined; counts include duplicate texts
+        rows[0]["html"] = (
+            b'<html><body><a href="https://h1.org/t">beta</a>'
+            b'<a href="https://h1.org/t">alpha</a></body></html>'
+        )
+        rows[1]["html"] = b'<html><body><a href="https://h1.org/t">beta</a></body></html>'
+        df = anchor_texts(rd.from_items(rows)).to_pandas()
+        assert len(df) == 1
+        r = df.iloc[0]
+        assert r["url"] == "https://h1.org/t"
+        assert r["n_anchors"] == 3
+        assert r["texts"] == "alpha|beta"
+
+    def test_reciprocal_pairs_only(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import reciprocal_links
+
+        rows = [
+            _page("https://h1.org/a", ["https://h1.org/b", "https://h1.org/a"]),  # self-loop dropped
+            _page("https://h1.org/b", ["https://h1.org/a", "https://h1.org/b"]),
+            _page("https://h1.org/c", ["https://h1.org/a"]),  # one-way only
+        ]
+        df = reciprocal_links(rd.from_items(rows)).to_pandas()
+        assert len(df) == 1
+        assert tuple(df.iloc[0]) == ("https://h1.org/a", "https://h1.org/b")
+
+    def test_duplicate_titles(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import duplicate_titles
+
+        rows = [
+            {"url": "https://h1.org/a", "html": b"<html><head><title>Same</title></head></html>"},
+            {"url": "https://h2.org/b", "html": b"<html><head><title>Same</title></head></html>"},
+            {"url": "https://h1.org/c", "html": b"<html><head><title>Only</title></head></html>"},
+            {"url": "https://h1.org/d", "html": b"{}"},  # no markup, no title
+        ]
+        df = duplicate_titles(rd.from_items(rows)).to_pandas()
+        assert len(df) == 1
+        r = df.iloc[0]
+        assert r["title"] == "Same" and r["n_pages"] == 2 and r["first_url"] == "https://h1.org/a"

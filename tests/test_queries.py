@@ -214,6 +214,9 @@ def test_oracle_checked_small(contract, name):
         "graph_rank_priority",
         "graph_discovered",
         "graph_components",
+        "graph_anchor_text",
+        "graph_reciprocal",
+        "crawl_title_dups",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
