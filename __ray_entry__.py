@@ -227,6 +227,23 @@ def _q_pipe_crawl_corpus(sf_dir: str):
     return corpus_from_crawl(ds.map_batches(docs_only, batch_format="pandas"))
 
 
+def _q_crawl_type_profile(sf_dir: str):
+    """Per-source expanded-@type inventory of the harvested documents:
+    the full JSON-LD 1.1 expansion engine (jsonld_expand.py, the
+    validation authority) runs distributed as an actor-pool stage over
+    the results parquet and reports one row per (source, top-level node
+    type IRI). The oracle reconstructs the same counts from the corpus
+    page classes — each class's expansion outcome (vocab-IRI type,
+    ItemList, graph-array element pairs + empty original slot) is a
+    deterministic function of its planted payload shape."""
+    from gleaner_ray.pipelines.summon import type_profile
+
+    df = type_profile(_summon_results(sf_dir)).to_pandas()
+    df["source"] = df["source"].astype(str)
+    df["type_iri"] = df["type_iri"].astype(str)
+    return df.sort_values(["source", "type_iri"], ignore_index=True)
+
+
 def _q_crawl_change_detect(sf_dir: str):
     """Recrawl change detection over the deterministic corpus: snapshot
     B is derived from the pages table by the md5(url) fate rule (see
@@ -515,6 +532,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicate <title> detection (soft-dup signal cheaper than body
         # hashing): distinct-title exchange with Sum/Min combine
         "crawl_title_dups": _q_crawl_title_dups,
+        # per-source expanded-@type inventory: the JSON-LD 1.1 expansion
+        # engine distributed as an actor-pool stage; tiny (source, type)
+        # groupby-sum, payloads never shuffle
+        "crawl_type_profile": _q_crawl_type_profile,
         # -- relational surface ---------------------------------------------
         "rel_filter_revenue": lambda sf: rel.filter_project(sf),
         "rel_q1_agg": lambda sf: rel.grouped_agg_q1(sf),
@@ -1635,6 +1656,36 @@ def oracle_sql() -> dict[str, str]:
         # forces threads=1, acquire.go:71-73): the k-th URL admits at
         # (k+1)*1000 ms, so max_admit_ms = n*1000; delay-free sources
         # admit at schedule 0
+        # expanded-@type inventory: each corpus class expands to a known
+        # top-level type multiset (schema.org vocab IRI after fixup
+        # standardization; graph-array pages yield two element Datasets
+        # plus the quirk's empty original slot; nojsonld/invalid yield
+        # no documents at all)
+        "crawl_type_profile": f"""
+            WITH p AS (
+              SELECT {_HOST_CASE} AS source,
+                     regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
+              FROM {pages}
+              WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%')
+            SELECT source, type_iri, COUNT(*)::BIGINT AS n_nodes FROM (
+              SELECT source, unnest(CASE cls
+                WHEN 'canon' THEN ['https://schema.org/Dataset']
+                WHEN 'dup' THEN ['https://schema.org/Dataset']
+                WHEN 'ctxstring' THEN ['https://schema.org/Dataset']
+                WHEN 'ctxarray' THEN ['https://schema.org/Dataset']
+                WHEN 'httpurl' THEN ['https://schema.org/Dataset']
+                WHEN 'relid' THEN ['https://schema.org/Dataset']
+                WHEN 'itemlist' THEN ['https://schema.org/ItemList']
+                WHEN 'grapharray' THEN ['https://schema.org/Dataset',
+                                        'https://schema.org/Dataset', 'empty']
+                WHEN 'atgraph' THEN ['https://schema.org/Dataset']
+                WHEN 'jsonext' THEN ['https://schema.org/Dataset']
+                WHEN 'multi' THEN ['https://schema.org/Dataset',
+                                   'https://schema.org/Dataset']
+                ELSE [] END) AS type_iri
+              FROM p)
+            GROUP BY source, type_iri ORDER BY source, type_iri
+        """,
         "crawl_admission": f"""
             SELECT source, COUNT(*) AS n,
                    CASE WHEN source = 'hydro1' THEN COUNT(*) * 1000 ELSE 0 END AS max_admit_ms,

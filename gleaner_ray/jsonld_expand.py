@@ -71,7 +71,12 @@ def _is_keyword(value) -> bool:
 
 
 def _has_keyword_form(value) -> bool:
-    return isinstance(value, str) and bool(_KEYWORD_FORM.match(value)) and value not in KEYWORDS
+    return (
+        isinstance(value, str)
+        and value[:1] == "@"
+        and value not in KEYWORDS
+        and bool(_KEYWORD_FORM.match(value))
+    )
 
 
 class TermDef:
@@ -582,17 +587,34 @@ def expand_iri(
     loader: OfflineLoader | None = None,
     base_url: str | None = None,
 ):
-    if value is None or _is_keyword(value):
-        return value
-    if _has_keyword_form(value):
+    if value is None:
         return None
-    if local_ctx is not None and value in local_ctx and defined is not None and not defined.get(value):
-        create_term_definition(active, local_ctx, value, defined, base_url, loader)
-    td = active.terms.get(value)
-    if td is not None and _is_keyword(td.iri):
-        return td.iri
-    if vocab and td is not None:
-        return td.iri
+    # fast path: a defined term (never keyword-shaped — those are dropped
+    # at definition time) resolves straight from the term map
+    if local_ctx is None:
+        td = active.terms.get(value)
+        if td is not None:
+            iri = td.iri
+            if isinstance(iri, str) and iri in KEYWORDS:
+                return iri
+            if vocab:
+                return iri
+        if value in KEYWORDS:
+            return value
+        if _has_keyword_form(value):
+            return None
+    else:
+        if value in KEYWORDS:
+            return value
+        if _has_keyword_form(value):
+            return None
+        if value in local_ctx and defined is not None and not defined.get(value):
+            create_term_definition(active, local_ctx, value, defined, base_url, loader)
+        td = active.terms.get(value)
+        if td is not None and _is_keyword(td.iri):
+            return td.iri
+        if vocab and td is not None:
+            return td.iri
     if ":" in value[1:]:
         prefix, _, suffix = value.partition(":")
         if prefix == "_" or suffix.startswith("//"):
@@ -942,6 +964,12 @@ def _expand_entries(active, type_scoped, prop, element, result, base_url, loader
                             prev = item.get("@type", [])
                             item["@type"] = [k_exp] + (prev if isinstance(prev, list) else [prev])
                     expanded_value.append(item)
+        elif value is None:
+            continue
+        elif not isinstance(value, (dict, list)) and not (td is not None and td.has_context):
+            # inline scalar fast path — identical to expansion()'s scalar
+            # branch with a non-null active property and no scoped context
+            expanded_value = _expand_value(active, key, value)
         else:
             expanded_value = expansion(active, key, value, base_url, loader)
 

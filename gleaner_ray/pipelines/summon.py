@@ -630,3 +630,77 @@ def corpus_from_crawl(results_ds):
         )
 
     return results_ds.map_batches(finish, batch_format="pandas")
+
+
+class _TypeProfile:
+    """Actor-pool stage: full JSON-LD 1.1 expansion of each harvested
+    document, emitting one partial-count row per (source, expanded
+    top-level node @type). The Expander's processed-context cache is
+    per-actor state (ST1) — a batch of thousands of schema.org documents
+    pays context processing once. Untyped nodes count under 'untyped';
+    documents the engine cannot expand (none exist in the harvested set,
+    which already passed validation) would count under '!error'."""
+
+    def __init__(self):
+        from ..jsonld_expand import Expander
+
+        self.expander = Expander()
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import json as _json
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for source, doc in zip(
+            batch.column("source").to_pylist(), batch.column("jsonld").to_pylist()
+        ):
+            if not doc:
+                # the graph-array quirk (fixups.add_to_json_list_if_valid)
+                # appends an empty original slot — report it as such
+                counts[(source, "empty")] += 1
+                continue
+            try:
+                nodes = self.expander.expand(_json.loads(doc))
+            except (ValueError, RecursionError):
+                counts[(source, "!error")] += 1
+                continue
+            for node in nodes:
+                types = node.get("@type") if isinstance(node, dict) else None
+                if not types:
+                    counts[(source, "untyped")] += 1
+                    continue
+                for t in types if isinstance(types, list) else [types]:
+                    counts[(source, t)] += 1
+        src, typ, n = [], [], []
+        for (s, t), c in counts.items():
+            src.append(s)
+            typ.append(t)
+            n.append(c)
+        return pa.table(
+            {"source": pa.array(src, pa.string()), "type_iri": pa.array(typ, pa.string()),
+             "n_nodes": pa.array(n, pa.int64())}
+        )
+
+
+def type_profile(results_dir: str) -> "rd.Dataset":
+    """Per-source expanded-@type inventory of a crawl's harvested
+    documents — the corpus-shape report a harvester operator reads
+    before handing the crawl to training-data prep.
+
+    Scale shape: pruned read (3 columns), expansion fully map-side in an
+    actor pool, partial (source, type) counts combined per batch, ONE
+    tiny groupby-sum over at most |sources| x |types| rows. Document
+    payloads never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    ds = rd.read_parquet(results_dir, columns=["source", "jsonld", "doc_index"])
+    ds = ds.filter(lambda row: row["doc_index"] >= 0)
+    partials = ds.map_batches(
+        _TypeProfile,
+        batch_format="pyarrow",
+        concurrency=(1, max(2, cluster_cpus() // 2)),
+        batch_size=4096,
+    )
+    return partials.groupby(["source", "type_iri"]).aggregate(Sum("n_nodes", alias_name="n_nodes"))

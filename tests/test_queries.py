@@ -217,6 +217,7 @@ def test_oracle_checked_small(contract, name):
         "graph_anchor_text",
         "graph_reciprocal",
         "crawl_title_dups",
+        "crawl_type_profile",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
