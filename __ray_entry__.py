@@ -68,6 +68,17 @@ def _results_df(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+# BM25 query set — the same literals feed the engine call and the SQL
+# VALUES list, the contract's "user-supplied queries"
+_BM25_QUERIES = {
+    "q1": ["fast", "window", "sort"],
+    "q2": ["hash", "join", "merge"],
+    "q3": ["stream", "filter"],
+}
+_BM25_SQL_VALUES = ", ".join(
+    "('%s', '%s')" % (q, t) for q, ts in sorted(_BM25_QUERIES.items()) for t in ts
+)
+
 # host -> source mapping the oracle reproduces with a CASE expression
 _HOST_CASE = (
     "CASE regexp_extract(url, 'https://([^/]+)/', 1) "
@@ -748,6 +759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (log-free TF-IDF): broadcast DF table, vectorized per-batch
         # top-k, no window shuffle
         "text_tfidf_topk": lambda sf: tx.tfidf_topk(docs(sf)),
+        # BM25 retrieval scoring of a fixed query set: exact matching-doc
+        # row set, transcendental score verified at float tolerance;
+        # query vocab broadcast, corpus streamed once, never shuffled
+        "text_bm25": lambda sf: tx.bm25_scores(docs(sf), _BM25_QUERIES),
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
@@ -1885,6 +1900,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # Okapi BM25 with Lucene idf over the literal query set; the
+        # row set (docs sharing >=1 term) is exact, the score column is
+        # float-tolerance-checked (same trade as tfidf: transcendental
+        # kernel, rational membership)
+        "text_bm25": r"""
+            WITH q(query_id, term) AS (VALUES """ + _BM25_SQL_VALUES + r"""),
+            toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             SUM(len(w)::DOUBLE) / count(*) AS avgdl FROM toks),
+            ex AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM toks),
+            cand AS (
+              SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM ex WHERE term IN (SELECT term FROM q)
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM cand GROUP BY 1)
+            SELECT q.query_id, c.doc_id,
+                   SUM( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                        * c.tf * (1.2 + 1.0)
+                        / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * c.dl / s.avgdl)) ) AS score
+            FROM cand c
+            JOIN dfreq d ON c.term = d.term
+            JOIN q ON q.term = c.term
+            CROSS JOIN stats s
+            GROUP BY 1, 2
         """,
         # per-source TV distance from the corpus unigram distribution:
         # integer numerators over the common denominator ns*n (absent

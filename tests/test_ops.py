@@ -1644,3 +1644,47 @@ class TestQuantilesUnbounded:
         for q in qs:
             want = sv[max(1, math.ceil(q * len(v))) - 1]
             assert got["p%02d" % round(q * 100)].iloc[0] == want, q
+
+
+class TestBM25:
+    def test_scores_match_naive_and_skip_absent_terms(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import bm25_scores
+
+        texts = [
+            "fast sort sort window",
+            "hash join",
+            "",  # empty doc: never a candidate, still counts in N/avgdl
+            "window window window fast",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        # "zzz" never occurs: must neither crash nor emit rows for q2
+        out = (
+            bm25_scores(rd.from_pandas(df), {"q1": ["fast", "sort"], "q2": ["zzz"]})
+            .to_pandas()
+            .sort_values(["query_id", "doc_id"], ignore_index=True)
+        )
+        assert set(out["query_id"]) == {"q1"}
+        assert list(out["doc_id"]) == [0, 3]
+
+        # naive reference
+        toks = [t.split() for t in texts]
+        n = len(texts)
+        avgdl = sum(len(t) for t in toks) / n
+        k1, b = 1.2, 0.75
+
+        def idf(term):
+            d = sum(term in t for t in toks)
+            return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+        for _, row in out.iterrows():
+            t = toks[int(row["doc_id"])]
+            want = 0.0
+            for term in ("fast", "sort"):
+                tf = t.count(term)
+                if tf:
+                    want += idf(term) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            assert abs(row["score"] - want) < 1e-12, (row, want)
