@@ -1062,3 +1062,248 @@ class Expander:
         if result is None:
             return []
         return result if isinstance(result, list) else [result]
+
+
+# ---------------------------------------------------------------------------
+# §8 Deserialize JSON-LD to RDF (node map generation + RDF emission)
+# ---------------------------------------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _escape_nq(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+def _canonical_double(v: float) -> str:
+    """xsd:double canonical lexical form (what json-gold emits):
+    mantissa with no trailing zeros, E exponent with no leading zeros."""
+    m, _, e = ("%1.15E" % v).partition("E")
+    m = m.rstrip("0").rstrip(".")
+    if "." not in m:
+        m += ".0"
+    exp = int(e)
+    return "%sE%d" % (m, exp)
+
+
+def _literal_token(value_obj: dict) -> str | None:
+    v = value_obj.get("@value")
+    dt = value_obj.get("@type")
+    lang = value_obj.get("@language")
+    if dt == "@json":
+        return '"%s"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>' % _escape_nq(
+            json.dumps(v, sort_keys=True, separators=(",", ":"))
+        )
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+        return '"%s"^^<%sboolean>' % (s, dt or _XSD + "boolean") if dt in (None, _XSD + "boolean") else '"%s"^^<%s>' % (s, dt)
+    if isinstance(v, int):
+        return '"%d"^^<%s>' % (v, dt or _XSD + "integer")
+    if isinstance(v, float):
+        if v.is_integer() and dt in (None, _XSD + "integer"):
+            # JSON numbers with no fraction and integer value are xsd:integer
+            return '"%d"^^<%s>' % (int(v), dt or _XSD + "integer")
+        return '"%s"^^<%s>' % (_canonical_double(v), dt or _XSD + "double")
+    if v is None:
+        return None
+    s = _escape_nq(str(v))
+    if dt is not None and dt != _XSD + "string":
+        return '"%s"^^<%s>' % (s, dt)
+    if lang:
+        return '"%s"@%s' % (s, lang)
+    return '"%s"' % s
+
+
+class _NodeMap:
+    def __init__(self):
+        self.graphs: dict[str, dict] = {"@default": {}}
+        self._n = 0
+        self._bnode_map: dict[str, str] = {}
+
+    def bnode(self, old: str | None = None) -> str:
+        if old is not None:
+            if old not in self._bnode_map:
+                self._bnode_map[old] = "_:b%d" % self._n
+                self._n += 1
+            return self._bnode_map[old]
+        b = "_:b%d" % self._n
+        self._n += 1
+        return b
+
+    def node(self, graph: str, nid: str) -> dict:
+        g = self.graphs.setdefault(graph, {})
+        return g.setdefault(nid, {"@id": nid})
+
+
+def _nm_generate(element, nm: _NodeMap, graph: str = "@default",
+                 subject=None, prop=None, lst: list | None = None):
+    """Node Map Generation (spec §8.1) over EXPANDED input."""
+    if isinstance(element, list):
+        for item in element:
+            _nm_generate(item, nm, graph, subject, prop, lst)
+        return
+    if not isinstance(element, dict):
+        return
+    if "@type" in element:
+        element["@type"] = [
+            nm.bnode(t) if isinstance(t, str) and t.startswith("_:") else t
+            for t in element["@type"]
+        ]
+    if "@value" in element:
+        if lst is not None:
+            lst.append(element)
+        elif subject is not None:
+            node = nm.node(graph, subject)
+            node.setdefault(prop, [])
+            if element not in node[prop]:
+                node[prop].append(element)
+        return
+    if "@list" in element:
+        sub: list = []
+        _nm_generate(element["@list"], nm, graph, subject, prop, sub)
+        entry = {"@list": sub}
+        if lst is not None:
+            lst.append(entry)
+        elif subject is not None:
+            nm.node(graph, subject).setdefault(prop, []).append(entry)
+        return
+    # node object
+    nid = element.get("@id")
+    if nid is None:
+        nid = nm.bnode()
+    elif isinstance(nid, str) and nid.startswith("_:"):
+        nid = nm.bnode(nid)
+    node = nm.node(graph, nid)
+    if subject is not None:
+        ref = {"@id": nid}
+        if lst is not None:
+            lst.append(ref)
+        else:
+            p = nm.node(graph, subject).setdefault(prop, [])
+            if ref not in p:
+                p.append(ref)
+    if "@type" in element:
+        for t in element["@type"]:
+            ts = node.setdefault("@type", [])
+            if t not in ts:
+                ts.append(t)
+    if "@index" in element:
+        node["@index"] = element["@index"]
+    if "@reverse" in element:
+        for rp, rvals in element["@reverse"].items():
+            for rv in rvals:
+                _nm_generate(rv, nm, graph, None, None)
+                rv_id = rv.get("@id")
+                if rv_id is None:
+                    continue
+                rv_node = nm.node(graph, nm.bnode(rv_id) if rv_id.startswith("_:") else rv_id)
+                p = rv_node.setdefault(rp, [])
+                ref = {"@id": nid}
+                if ref not in p:
+                    p.append(ref)
+    if "@graph" in element:
+        _nm_generate(element["@graph"], nm, nid, None, None)
+    if "@included" in element:
+        _nm_generate(element["@included"], nm, graph, None, None)
+    for key in sorted(element):
+        if key in ("@id", "@type", "@index", "@reverse", "@graph", "@included"):
+            continue
+        if key.startswith("@") and key not in ("@id",):
+            if key in ("@value", "@list"):
+                continue
+            if not (":" in key[1:]):
+                continue
+        _nm_generate(element[key], nm, graph, nid, key)
+
+
+def _emit_quads(nm: _NodeMap, keep_relative: bool, graph_name: str | None = None):
+    """RDF emission over the node map — quad tuples in urdna format:
+    (subject_token, predicate_iri, object_token, graph). json-gold
+    parity: subjects must be absolute IRIs or blank nodes (a relative
+    @id silently drops the node's quads); relative OBJECT IRIs (bare
+    @type terms with no vocab) survive only in ``keep_relative`` mode —
+    the reference's Normalize goldens pin both behaviors."""
+    quads: list[tuple] = []
+    counter = [0]
+
+    def list_bnode() -> str:
+        b = "_:l%d" % counter[0]
+        counter[0] += 1
+        return b
+
+    def ok_subject(s: str) -> bool:
+        return s.startswith("_:") or _is_abs_iri(s)
+
+    def fmt(t: str) -> str:
+        return t if t.startswith("_:") else "<%s>" % t
+
+    def object_token(v, out: list) -> str | None:
+        """Token for an object value; list objects allocate rdf list
+        triples into ``out``."""
+        if "@list" in v:
+            items = v["@list"]
+            if not items:
+                return fmt(_RDF_NIL)
+            head = list_bnode()
+            cur = head
+            for i, item in enumerate(items):
+                tok = object_token(item, out) if "@list" in item else _simple_token(item)
+                if tok is not None:
+                    out.append((cur, _RDF_FIRST, tok, graph_name))
+                nxt = list_bnode() if i + 1 < len(items) else fmt(_RDF_NIL)
+                out.append((cur, _RDF_REST, nxt if i + 1 == len(items) else nxt, graph_name))
+                if i + 1 < len(items):
+                    cur = nxt
+            return head
+        return _simple_token(v)
+
+    def _simple_token(v) -> str | None:
+        if "@value" in v:
+            return _literal_token(v)
+        o = v.get("@id")
+        if not isinstance(o, str):
+            return None
+        if o.startswith("_:") or _is_abs_iri(o) or keep_relative:
+            return fmt(o)
+        return None
+
+    for gname in sorted(nm.graphs):
+        g = nm.graphs[gname]
+        if gname == "@default":
+            gtok = graph_name
+        elif gname.startswith("_:") or _is_abs_iri(gname):
+            gtok = gname
+        else:
+            continue
+        for nid in g:
+            if not ok_subject(nid):
+                continue
+            node = g[nid]
+            for t in node.get("@type", []):
+                if isinstance(t, str) and (
+                    t.startswith("_:") or _is_abs_iri(t) or keep_relative
+                ):
+                    quads.append((nid, _RDF_TYPE, fmt(t), gtok))
+            for key in sorted(node):
+                if key.startswith("@"):
+                    continue
+                for v in node[key]:
+                    extra: list = []
+                    tok = object_token(v, extra)
+                    if tok is not None:
+                        quads.append((nid, key, tok, gtok))
+                    quads.extend(extra)
+    return quads
+
+
+def expanded_to_quads(expanded, keep_relative: bool = False, graph_name: str | None = None):
+    nm = _NodeMap()
+    _nm_generate(expanded, nm)
+    return _emit_quads(nm, keep_relative, graph_name)

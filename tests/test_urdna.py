@@ -142,3 +142,45 @@ class TestCanonicalizeInvariance:
         assert normalize_nquads(doc) == normalize_nquads(doc_swapped)
         out = normalize_nquads(doc)
         assert out.count("_:c14n0") == 2 and out.count("_:c14n1") == 2
+
+
+class TestCcadiRealWorldParity:
+    """723-quad real-world golden: the reference converts
+    testdata/ccadi.jsonld to RDF with json-gold (ccadi.rdf, go-runtime
+    blank-node labels). Canonical forms must agree label-for-label after
+    URDNA2015 on BOTH sides — an end-to-end check of context
+    processing, expansion, node-map generation, RDF emission, and
+    canonicalization against data this engine never saw."""
+
+    _NQ = __import__("re").compile(
+        r"^(\S+)\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
+    )
+
+    def _parse_nquads(self, path: str):
+        quads = []
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            m = self._NQ.match(line)
+            assert m, line
+            s, p, o = m.groups()
+            if s.startswith("<"):
+                s = s[1:-1]
+            quads.append((s, p, o, None))
+        return quads
+
+    def test_ccadi_canonical_forms_match(self):
+        import json
+
+        from gleaner_ray.jsonld_expand import expand, expanded_to_quads
+
+        src = open("/root/reference/internal/common/testdata/ccadi.jsonld").read()
+        ours = expanded_to_quads(expand(json.loads(src)))
+        theirs = self._parse_nquads(
+            "/root/reference/internal/common/testdata/ccadi.rdf"
+        )
+        assert len(ours) == len(theirs) == 723
+        ours_c = serialize_quads(ours, canonicalize(ours))
+        theirs_c = serialize_quads(theirs, canonicalize(theirs))
+        assert ours_c == theirs_c
