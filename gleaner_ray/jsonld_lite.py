@@ -79,17 +79,35 @@ class Validator:
     def __init__(self, context_maps: dict[str, str] | None = None, resolvable: tuple[str, ...] = DEFAULT_RESOLVABLE):
         from .jsonld_expand import Expander, OfflineLoader
 
-        extra = {}
-        for url in tuple(context_maps or ()) + tuple(resolvable):
-            root = url.rstrip("/#")
-            vocab = url if url.endswith(("/", "#")) else url + "/"
-            extra[root] = {"@context": {"@vocab": vocab}}
-        # the defaults carry the richer schema.org context (id/type
-        # aliases); only add non-default URLs on top
+        # contextmaps entries map a context URL to a LOCAL FILE, exactly
+        # json-gold's CachingDocumentLoader.PreloadWithMapping
+        # (ldproc.go:40-56): when the file exists its parsed content IS
+        # the remote context; a missing/unreadable file falls back to a
+        # synthetic vocab context so the URL still resolves (validation
+        # needs resolvability, not term fidelity, for accept/reject)
         loader = OfflineLoader()
-        for root, doc in extra.items():
+
+        def synthetic(url: str) -> dict:
+            vocab = url if url.endswith(("/", "#")) else url + "/"
+            return {"@context": {"@vocab": vocab}}
+
+        for url, path in (context_maps or {}).items():
+            root = url.rstrip("/#")
+            loaded = None
+            if isinstance(path, str) and path:
+                try:
+                    with open(path) as fh:
+                        loaded = json.load(fh)
+                except (OSError, ValueError):
+                    loaded = None
+            if isinstance(loaded, dict) and "@context" in loaded:
+                loader.preloaded[root] = loaded  # real file overrides defaults
+            elif root not in loader.preloaded:
+                loader.preloaded[root] = synthetic(url)
+        for url in resolvable:
+            root = url.rstrip("/#")
             if root not in loader.preloaded:
-                loader.preloaded[root] = doc
+                loader.preloaded[root] = synthetic(url)
         self.resolvable = tuple(set(resolvable) | set(context_maps or ()))
         self._expander = Expander(loader)
 

@@ -505,3 +505,35 @@ class TestValidatorExpansionFailures:
             '"@reverse": {"isPartOf": {"@id": "https://x/child"}}}'
         )
         assert ok and err is None
+
+
+class TestContextMapFileLoading:
+    """contextmaps URL->file entries load the actual file content as the
+    remote context (json-gold PreloadWithMapping, ldproc.go:40-56); a
+    missing file degrades to a resolvable synthetic vocab context."""
+
+    REAL = "/root/reference/internal/common/testdata/schemaorg-current-https.jsonld"
+
+    def test_real_context_file_terms_resolve(self):
+        v = Validator(context_maps={"https://example.org/ctx": self.REAL})
+        # dcterms prefix comes from the loaded file's prefix map
+        ok, err = v.is_valid(
+            '{"@context": "https://example.org/ctx", "dcterms:title": "t",'
+            ' "@id": "https://x.org/1"}'
+        )
+        assert ok, err
+        out = v._expander.expand(
+            {"@context": "https://example.org/ctx", "dcterms:title": "t",
+             "@id": "https://x.org/1"}
+        )
+        assert out[0]["http://purl.org/dc/terms/title"] == [{"@value": "t"}]
+
+    def test_missing_file_still_resolvable(self):
+        v = Validator(context_maps={"https://example.org/ctx": "/nonexistent/f.jsonld"})
+        ok, err = v.is_valid('{"@context": "https://example.org/ctx", "@id": "https://x/1"}')
+        assert ok, err
+
+    def test_unmapped_url_still_fails(self):
+        v = Validator(context_maps={"https://example.org/ctx": self.REAL})
+        ok, err = v.is_valid('{"@context": "https://other.example/ctx", "@id": "https://x/1"}')
+        assert not ok and "loading remote context" in err
