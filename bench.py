@@ -241,6 +241,13 @@ def run_bench() -> dict:
             docs().map_batches(lambda df: df[df["doc_id"] < 20], batch_format="pandas"),
         ).count(),
     )
+    timed(
+        "text_bm25",
+        lambda: tx.bm25_scores(
+            docs(),
+            {"q1": ["fast", "window", "sort"], "q2": ["hash", "join", "merge"]},
+        ).count(),
+    )
 
     result = {
         "metric": "summon_sec",

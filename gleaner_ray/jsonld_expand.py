@@ -735,7 +735,11 @@ def expansion(
     type_keys = sorted(k for k, e in key_iri.items() if e == "@type")
     for tk in type_keys:
         tv = element[tk]
-        for t in sorted(tv) if isinstance(tv, list) else [tv]:
+        # non-string entries are "invalid type value" later in the entry
+        # loop; the scoped-context scan must not trip over them first
+        for t in (
+            sorted(x for x in tv if isinstance(x, str)) if isinstance(tv, list) else [tv]
+        ):
             if isinstance(t, str):
                 ttd = active.terms.get(t)
                 if ttd is not None and ttd.has_context:
@@ -1151,10 +1155,14 @@ def _nm_generate(element, nm: _NodeMap, graph: str = "@default",
         return
     if not isinstance(element, dict):
         return
-    if "@type" in element:
+    if "@type" in element and "@value" not in element:
+        # node-object @type is a list post-expansion; a value object's
+        # @type is a scalar ("@json" or a datatype IRI) and must not be
+        # touched here
+        ts = element["@type"]
         element["@type"] = [
             nm.bnode(t) if isinstance(t, str) and t.startswith("_:") else t
-            for t in element["@type"]
+            for t in (ts if isinstance(ts, list) else [ts])
         ]
     if "@value" in element:
         if lst is not None:

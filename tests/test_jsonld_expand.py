@@ -360,3 +360,106 @@ class TestGraphAndTopLevel:
         # s is not usable as a prefix: "s:name" is an absolute-IRI-shaped
         # string with scheme "s", kept verbatim as the property
         assert out == [{"s:name": [{"@value": "x"}]}]
+
+
+class TestRdfEmission:
+    """Deserialize-to-RDF corners: canonical xsd:double form, whole
+    floats as xsd:integer (json-gold objectToRDF), rdf:first/rest lists,
+    rdf:JSON literals with canonical JSON, base-IRI resolution."""
+
+    def _nq(self, doc):
+        from gleaner_ray.jsonld_expand import expanded_to_quads
+        from gleaner_ray.urdna import serialize_quads
+
+        return serialize_quads(expanded_to_quads(expand(doc)))
+
+    def test_double_canonical_and_whole_float_integer(self):
+        out = self._nq({"@context": {"@vocab": "https://s/"},
+                        "x": 1.5, "y": 0.0001, "z": 12300000.0})
+        assert '"1.5E0"^^<http://www.w3.org/2001/XMLSchema#double>' in out
+        assert '"1.0E-4"^^<http://www.w3.org/2001/XMLSchema#double>' in out
+        assert '"12300000"^^<http://www.w3.org/2001/XMLSchema#integer>' in out
+
+    def test_rdf_list_triples(self):
+        out = self._nq({"@context": {"l": {"@id": "https://s/l", "@container": "@list"}},
+                        "l": ["a", "b"]})
+        lines = out.strip().splitlines()
+        assert len(lines) == 5
+        assert sum("rdf-syntax-ns#first" in l for l in lines) == 2
+        assert sum("rdf-syntax-ns#rest" in l for l in lines) == 2
+        assert any("rdf-syntax-ns#nil" in l for l in lines)
+
+    def test_empty_list_is_nil(self):
+        out = self._nq({"@context": {"l": {"@id": "https://s/l", "@container": "@list"}},
+                        "l": []})
+        assert out.strip() == "_:b0 <https://s/l> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> ."
+
+    def test_json_literal_canonical(self):
+        out = self._nq({"@context": {"j": {"@id": "https://s/j", "@type": "@json"}},
+                        "j": {"b": 1, "a": [2]}})
+        assert '"{\\"a\\":[2],\\"b\\":1}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>' in out
+
+    def test_base_resolution_chain(self):
+        out = expand({"@context": {"@base": "https://ex.org/a/b/"},
+                      "@id": "../c", "https://s/p": {"@id": "#frag"}})
+        assert out[0]["@id"] == "https://ex.org/a/c"
+        assert out[0]["https://s/p"] == [{"@id": "https://ex.org/a/b/#frag"}]
+
+    def test_import_merges_under_local(self):
+        loader = OfflineLoader(
+            {"https://i.example/base": {"@context": {"nm": "https://s/name"}}}
+        )
+        out = expand({"@context": {"@import": "https://i.example/base",
+                                   "@vocab": "https://v/"},
+                      "nm": "x", "other": "y"},
+                     loader=loader)
+        assert out == [{"https://s/name": [{"@value": "x"}],
+                        "https://v/other": [{"@value": "y"}]}]
+
+    def test_named_graph_quads(self):
+        from gleaner_ray.jsonld_expand import expanded_to_quads
+
+        doc = {"@id": "https://g.example/g1",
+               "@graph": [{"@id": "https://x/a", "https://s/p": "v"}]}
+        quads = expanded_to_quads(expand(doc))
+        assert quads == [("https://x/a", "https://s/p", '"v"', "https://g.example/g1")]
+
+
+class TestValidatorTotality:
+    """The validator is the crawl hot path: on ARBITRARY JSON it must
+    return a verdict, never raise — web-scale inputs include every
+    malformed @-keyword shape imaginable."""
+
+    def test_fuzz_never_raises(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from gleaner_ray.jsonld_lite import Validator
+
+        v = Validator()
+        keys = st.sampled_from(
+            ["@context", "@id", "@type", "@value", "@list", "@set", "@graph",
+             "@reverse", "@nest", "@index", "@language", "@vocab", "@base",
+             "@container", "@prefix", "@protected", "@propagate", "@version",
+             "name", "a:b", "x", "https://s/p", "@bogus", ""]
+        )
+        json_val = st.recursive(
+            st.one_of(st.none(), st.booleans(), st.integers(-10, 10),
+                      st.floats(allow_nan=False, allow_infinity=False),
+                      st.text(max_size=8), keys),
+            lambda children: st.one_of(
+                st.lists(children, max_size=4),
+                st.dictionaries(keys, children, max_size=5),
+            ),
+            max_leaves=25,
+        )
+
+        @settings(max_examples=300, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.dictionaries(keys, json_val, max_size=6))
+        def run(doc):
+            ok, err = v.is_valid(json.dumps(doc))
+            assert isinstance(ok, bool)
+            assert (err is None) == ok
+
+        run()
