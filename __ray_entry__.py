@@ -763,6 +763,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row set, transcendental score verified at float tolerance;
         # query vocab broadcast, corpus streamed once, never shuffled
         "text_bm25": lambda sf: tx.bm25_scores(docs(sf), _BM25_QUERIES),
+        # CCNet-style LM quality scoring: corpus-trained add-one unigram
+        # LM, per-doc perplexity; unigram table broadcast once, corpus
+        # never shuffled
+        "text_lm_perplexity": lambda sf: tx.lm_perplexity(docs(sf)),
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
@@ -1929,6 +1933,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN q ON q.term = c.term
             CROSS JOIN stats s
             GROUP BY 1, 2
+        """,
+        # add-one unigram LM perplexity: exp(-avg ln((c+1)/(N+V)));
+        # empty docs score 0.0
+        "text_lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+            per AS (
+              SELECT e.doc_id, AVG(ln((cnt.c + 1.0) / (tot.n + tot.v))) AS mlp
+              FROM ex e JOIN cnt ON e.tok = cnt.tok CROSS JOIN tot
+              GROUP BY 1)
+            SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+                   COALESCE(exp(-per.mlp), 0.0) AS ppl
+            FROM toks t LEFT JOIN per USING (doc_id)
         """,
         # per-source TV distance from the corpus unigram distribution:
         # integer numerators over the common denominator ns*n (absent

@@ -1169,3 +1169,76 @@ def bm25_scores(ds, queries: dict[str, list[str]], k1: float = 1.2, b: float = 0
         .groupby(["query_id", key])
         .aggregate(Sum("contrib", alias_name="score"))
     )
+
+
+def lm_perplexity(ds, key: str = "doc_id", text_col: str = "text"):
+    """CCNet-style statistical LM quality scoring: train an add-one
+    smoothed unigram language model on the corpus itself, then score
+    every document by its perplexity under that model —
+    ``ppl = exp(-mean_i ln((c(w_i)+1)/(N+V)))`` with token counts c,
+    corpus token total N, vocabulary size V. High perplexity = the
+    document's vocabulary is unlike the corpus (gibberish, boilerplate,
+    wrong-language) — the filter CCNet applies with a KenLM model, here
+    with the corpus-trained unigram LM so the operator is closed over
+    its input and the SQL oracle can verify it value-for-value.
+
+    Output: one row per document, ``(key, n_tokens, ppl)``; empty
+    documents score ppl = 0.0 (no evidence, caller decides). The row
+    set is exact; ppl is a float the oracle checks at tolerance.
+
+    Scale shape (two passes, corpus never shuffled — df_rarity's):
+    count partials -> groupby-Sum unigram table -> sorted vocab + log-
+    prob array broadcast ONCE via ray.put -> per-batch flattened
+    searchsorted probe + per-doc segment means. The broadcast assumes a
+    boundable vocabulary; at open-web scale cap to the top-V tokens
+    with an OOV bucket (seam at the ray.put, as in df_rarity)."""
+    import math
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df[text_col]:
+            c.update((t or "").lower().split())
+        return pd.DataFrame({"tok": list(c.keys()), "n": list(c.values())})
+
+    tbl = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="c"))
+        .to_pandas()
+    )
+    n_total = int(tbl["c"].sum()) if len(tbl) else 0
+    v_size = len(tbl)
+    order = np.argsort(tbl["tok"].to_numpy(dtype=object))
+    vocab = tbl["tok"].to_numpy(dtype=object)[order]
+    logp = np.log((tbl["c"].to_numpy(dtype=np.float64)[order] + 1.0) / (n_total + v_size))
+    ref = ray.put((vocab, logp))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        v, lp = ray.get(ref)
+        tok_lists = [(t or "").lower().split() for t in df[text_col]]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=int(lens.sum()))
+        ppl = np.zeros(len(tok_lists), dtype=np.float64)
+        if len(flat):
+            pos = np.searchsorted(v, flat)
+            # every scored token is in-vocab (the LM was trained on this
+            # corpus); probe defensively anyway for reuse on other inputs
+            pos = np.minimum(pos, len(v) - 1)
+            hit = v[pos] == flat
+            token_lp = np.where(hit, lp[pos], math.log(1.0 / (max(n_total, 1) + v_size + 1)))
+            sums = np.add.reduceat(token_lp, np.r_[0, np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            ppl[nz] = np.exp(-(sums[nz] / lens[nz]))
+        return pd.DataFrame(
+            {key: df[key].to_numpy(), "n_tokens": lens, "ppl": ppl}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

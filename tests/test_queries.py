@@ -166,6 +166,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_source_tv",
         "text_tfidf_topk",
         "text_bm25",
+        "text_lm_perplexity",
         "samp_uniform_n",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
