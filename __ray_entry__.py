@@ -417,6 +417,24 @@ def _knn_queries(sf_dir: str) -> dict:
     return {"qids": df["vec_id"].tolist(), "vectors": [list(v) for v in df["embedding"]]}
 
 
+def _q_emb_covariance(sf_dir: str) -> pd.DataFrame:
+    """Exact streaming covariance of the embedding matrix (PCA /
+    whitening / SemDeDup prep): one moment partial per batch (X^T X sum,
+    column sum, count), driver folds the bounded batches x dim^2 table.
+    Vectors never shuffle. Micro-unit ints for cross-engine hash parity
+    (float32 inputs make each product exact in float64; accumulation-
+    order noise is ~1e-13 relative, absorbed by the 1e-6 rounding)."""
+    import numpy as np
+    import ray.data as rd
+
+    from gleaner_ray.ops.embutil import covariance
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    out = covariance(ds)
+    out["cov_micro"] = np.floor(out["cov"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return out[["i", "j", "cov_micro"]].sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def _q_hash_split(sf_dir: str):
     import ray.data as rd
 
@@ -861,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_knn": lambda sf: sim.ivf_knn(embs(sf), _knn_queries(sf), k=10, n_probe=16)[
             ["qid", "vec_id"]
         ],
+        # exact one-pass covariance of the embedding matrix (map-side
+        # moment partials; see _q_emb_covariance)
+        "emb_covariance": _q_emb_covariance,
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
         "media_resize_fake": _q_media_resize,
@@ -2244,6 +2265,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT qid, vec_id,
                      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
               FROM scored) WHERE rk <= 10
+        """,
+        # population covariance per dimension pair; FLOOR(x*1e6 + 0.5)
+        # mirrors the engine's micro-unit rounding exactly
+        "emb_covariance": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 u AS (SELECT vec_id,
+                              CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                              unnest(v) AS x
+                       FROM e)
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(FLOOR((AVG(a.x * b.x) - AVG(a.x) * AVG(b.x)) * 1000000 + 0.5) AS BIGINT)
+                       AS cov_micro
+            FROM u a JOIN u b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim
+            ORDER BY i, j
         """,
         # the fake codec's output metadata is deterministic: fixed decode
         # shape, payload byte length = utf-8 text length

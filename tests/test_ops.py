@@ -462,6 +462,31 @@ class TestSimilarity:
             recalls.append(len(a & b) / len(b))
         assert np.mean(recalls) >= 0.5  # probing half the cells
 
+    def test_covariance_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.embutil import covariance
+
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((37, 5))
+        ds = rd.from_items(
+            [{"embedding": list(map(float, v))} for v in vecs]
+        ).repartition(4)  # multiple blocks -> multiple moment partials folded
+        out = covariance(ds).sort_values(["i", "j"]).reset_index(drop=True)
+        expect = np.cov(vecs, rowvar=False, bias=True)  # population cov
+        got = out["cov"].to_numpy().reshape(5, 5)
+        assert out.shape == (25, 3)
+        np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-12)
+
+    def test_covariance_empty(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.embutil import covariance
+
+        ds = rd.from_items([{"embedding": [0.0, 0.0]}]).filter(lambda r: False)
+        out = covariance(ds)
+        assert len(out) == 0 and list(out.columns) == ["i", "j", "cov"]
+
     def test_bruteforce_self_is_top1(self, ray_session):
         import ray.data as rd
 

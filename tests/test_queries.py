@@ -186,6 +186,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "dedup_embedding_lsh",
         "sim_knn_bruteforce",
         "sim_ivf_knn",
+        "emb_covariance",
         "media_decode_fake",
         "media_resize_fake",
         "media_frames_fake",
