@@ -682,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
+        # char-distribution entropy (low-entropy spam filter): one
+        # np.unique over the batch's concatenated codepoints
+        "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
         # corpus length histogram: bounded (bin, count) partials per
         # batch, one tiny groupby-Sum — no corpus shuffle
         "text_histogram": lambda sf: tx.token_histogram(
@@ -1756,6 +1759,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
+        # entropy via the cancellation-free form ln(n) - sum(c ln c)/n —
+        # the identical float64 expression the engine evaluates; micro
+        # rounding absorbs libm/accumulation-order ulps
+        "text_char_entropy": r"""
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            chars AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+                      FROM t WHERE text <> ''),
+            cnt AS (SELECT doc_id, ch, COUNT(*)::DOUBLE AS c
+                    FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+            agg AS (SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS slc,
+                           COUNT(*) AS k
+                    FROM cnt GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+                   CAST(coalesce(a.k, 0) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(CASE WHEN a.n IS NULL THEN 0.0
+                                   ELSE ln(a.n) - a.slc / a.n END * 1000000 + 0.5)
+                        AS BIGINT) AS entropy_micro
+            FROM t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
+        """,
         # same tokenization bets as the shingle oracle: lower() + '\s+'
         # split; every ratio is a float64 division of small ints, so the
         # values are bit-identical to the engine's

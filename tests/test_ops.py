@@ -500,6 +500,24 @@ class TestSimilarity:
 
 
 class TestTextOps:
+    def test_char_entropy_edge_cases(self):
+        import math
+
+        from gleaner_ray.ops.text import char_entropy
+
+        docs = ["", "aaaa", "héllo wörld", "😀😀🎉 mix", "a\nb\tc", None, "x" * 500 + "y"]
+        batch = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        out = char_entropy(batch)
+        # empty / null / single-char-alphabet docs all score H = 0
+        assert out.entropy_micro[0] == 0 and out.entropy_micro[5] == 0
+        assert out.entropy_micro[1] == 0 and out.n_distinct[1] == 1
+        # uniform 5-char doc: H = ln(5) exactly
+        assert out.entropy_micro[4] == math.floor(math.log(5) * 1e6 + 0.5)
+        # astral-plane emoji count as single codepoints
+        assert out.n_chars[3] == 7 and out.n_distinct[3] == 6
+        # near-uniform-1-char spam scores close to 0
+        assert 0 < out.entropy_micro[6] < 20_000
+
     def test_langid_heuristic(self):
         from gleaner_ray.ops.text import LangId
 
