@@ -435,6 +435,35 @@ def _q_emb_covariance(sf_dir: str) -> pd.DataFrame:
     return out[["i", "j", "cov_micro"]].sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def _q_emb_quantize(sf_dir: str) -> pd.DataFrame:
+    """uint8 scalar quantization of the embedding column (two streaming
+    passes: map-side min/max partials -> broadcast bounds -> per-batch
+    matrix quantize). Exploded to (vec_id, dim, q) for value hashing —
+    the quantize arithmetic is bit-identical to the SQL expression."""
+    import numpy as np
+    import ray.data as rd
+
+    from gleaner_ray.ops.embutil import quantize_uint8
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = quantize_uint8(ds).to_pandas()
+    dim = len(out["q"].iloc[0]) if len(out) else 0
+    n = len(out)
+    return (
+        pd.DataFrame(
+            {
+                "vec_id": np.repeat(out["vec_id"].to_numpy(), dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                "q": np.concatenate(out["q"].to_numpy()).astype("int64") if n else np.array([], dtype="int64"),
+            }
+        )
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_hash_split(sf_dir: str):
     import ray.data as rd
 
@@ -885,6 +914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact one-pass covariance of the embedding matrix (map-side
         # moment partials; see _q_emb_covariance)
         "emb_covariance": _q_emb_covariance,
+        # uint8 scalar quantization (vector compression for ANN)
+        "emb_quantize_uint8": _q_emb_quantize,
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
         "media_resize_fake": _q_media_resize,
@@ -2304,6 +2335,22 @@ def oracle_sql() -> dict[str, str]:
             FROM u a JOIN u b ON a.vec_id = b.vec_id
             GROUP BY a.dim, b.dim
             ORDER BY i, j
+        """,
+        # the literal quantize expression; float32 values widen to
+        # DOUBLE exactly, so engine/oracle agree bit-for-bit
+        "emb_quantize_uint8": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 u AS (SELECT vec_id,
+                              CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                              unnest(v) AS x
+                       FROM e),
+                 b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY dim)
+            SELECT u.vec_id, u.dim,
+                   CAST(CASE WHEN b.hi = b.lo THEN 0
+                             ELSE FLOOR((u.x - b.lo) / (b.hi - b.lo) * 255 + 0.5)
+                        END AS BIGINT) AS q
+            FROM u JOIN b USING (dim)
+            ORDER BY vec_id, dim
         """,
         # the fake codec's output metadata is deterministic: fixed decode
         # shape, payload byte length = utf-8 text length

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["embedding_matrix", "covariance"]
+__all__ = ["embedding_matrix", "covariance", "dim_bounds", "quantize_uint8"]
 
 
 def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
@@ -92,3 +92,69 @@ def covariance(ds, vec_col: str = "embedding"):
         {"i": ii.ravel().astype("int64"), "j": jj.ravel().astype("int64"),
          "cov": cov.ravel()}
     )
+
+
+def dim_bounds(ds, vec_col: str = "embedding"):
+    """Per-dimension (lo, hi) of an embedding column — ONE streaming
+    pass of map-side partials (each batch contributes a single
+    min-vector/max-vector row); the driver folds the bounded
+    ``batches x dim`` table. Returns ``(lo, hi)`` float64 arrays."""
+    import pandas as pd
+
+    def partial(batch) -> "pd.DataFrame":
+        m = embedding_matrix(batch.column(vec_col))
+        if m.size == 0:
+            return pd.DataFrame({"lo": pd.Series(dtype="object"),
+                                 "hi": pd.Series(dtype="object")})
+        return pd.DataFrame({"lo": [m.min(axis=0)], "hi": [m.max(axis=0)]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return np.zeros(0), np.zeros(0)
+    lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+    return lo, hi
+
+
+def quantize_uint8(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-dimension uint8 scalar quantization (the 4x vector-compression
+    step in front of a disk-resident ANN index):
+    ``q = floor((x - lo_d) / (hi_d - lo_d) * 255 + 0.5)`` (0 when a
+    dimension is constant). Two streaming passes: ``dim_bounds`` folds
+    map-side min/max partials, then the bounds broadcast once via
+    ``ray.put`` and each batch quantizes as one float64 matrix op —
+    vectors never shuffle, no driver materialization of the corpus.
+
+    The arithmetic is the literal float64 expression the SQL oracle
+    evaluates — float32 inputs widen exactly, so the result is
+    bit-identical across engines (no accumulation anywhere)."""
+    import pyarrow as pa
+    import ray
+
+    lo, hi = dim_bounds(ds, vec_col)
+    bounds_ref = ray.put((lo, hi))
+
+    class Quantize:
+        def __init__(self):
+            self.lo, self.hi = ray.get(bounds_ref)
+            self.rng = self.hi - self.lo
+            self.const = self.rng == 0.0
+
+        def __call__(self, t: "pa.Table") -> "pa.Table":
+            if t.num_rows == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "q": pa.array([], pa.list_(pa.uint8()))}
+                )
+            m = embedding_matrix(t.column(vec_col))
+            q = np.floor((m - self.lo) / np.where(self.const, 1.0, self.rng) * 255.0 + 0.5)
+            q[:, self.const] = 0.0
+            qarr = q.astype(np.uint8)
+            n, dim = qarr.shape
+            lists = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+                pa.array(qarr.ravel()),
+            )
+            return pa.table({id_col: t.column(id_col), "q": lists})
+
+    return ds.map_batches(Quantize, batch_format="pyarrow", concurrency=2)

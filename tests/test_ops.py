@@ -478,6 +478,29 @@ class TestSimilarity:
         assert out.shape == (25, 3)
         np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-12)
 
+    def test_quantize_uint8_roundtrip(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.embutil import quantize_uint8
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((50, 6)).astype(np.float32)
+        vecs[:, 2] = 1.5  # constant dim -> q = 0 everywhere
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": [float(x) for x in v]} for i, v in enumerate(vecs)]
+        ).repartition(3)  # bounds folded across several partials
+        out = quantize_uint8(ds).to_pandas().sort_values("vec_id")
+        q = np.stack(out["q"].to_numpy())
+        assert q.shape == (50, 6) and q.dtype == np.uint8
+        assert (q[:, 2] == 0).all()
+        lo = vecs.min(axis=0).astype(np.float64)
+        hi = vecs.max(axis=0).astype(np.float64)
+        for d in (0, 1, 3, 4, 5):
+            # dequantized value within half a quantization step
+            deq = lo[d] + q[:, d].astype(np.float64) / 255.0 * (hi[d] - lo[d])
+            assert np.abs(deq - vecs[:, d]).max() <= (hi[d] - lo[d]) / 255.0 * 0.5 + 1e-12
+            assert q[:, d].min() == 0 and q[:, d].max() == 255  # bounds hit the rails
+
     def test_covariance_empty(self, ray_session):
         import ray.data as rd
 

@@ -187,6 +187,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "sim_knn_bruteforce",
         "sim_ivf_knn",
         "emb_covariance",
+        "emb_quantize_uint8",
         "text_char_entropy",
         "media_decode_fake",
         "media_resize_fake",
