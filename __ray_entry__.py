@@ -714,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # char-distribution entropy (low-entropy spam filter): one
         # np.unique over the batch's concatenated codepoints
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
+        # context-window chunking (training prep ahead of packing)
+        "text_chunk_windows": lambda sf: tx.chunk_windows(docs(sf), size=64, stride=32),
         # corpus length histogram: bounded (bin, count) partials per
         # batch, one tiny groupby-Sum — no corpus shuffle
         "text_histogram": lambda sf: tx.token_histogram(
@@ -1790,6 +1792,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
+        # chunk windows [i*stride, i*stride+size); same trim + \s+ split
+        # + single-space rejoin bets as the token oracles
+        "text_chunk_windows": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(
+                             0, GREATEST(0, CAST(CEIL((n - 64) / 32.0) AS BIGINT))
+                         )) AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ')
+                       AS chunk_text,
+                   LEAST(64, n - chunk_id * 32) AS n_tokens
+            FROM c ORDER BY doc_id, chunk_id
+        """,
         # entropy via the cancellation-free form ln(n) - sum(c ln c)/n —
         # the identical float64 expression the engine evaluates; micro
         # rounding absorbs libm/accumulation-order ulps

@@ -33,6 +33,7 @@ __all__ = [
     "LangId",
     "fingerprints",
     "char_entropy",
+    "chunk_windows",
     "repetition_scores",
     "add_text_ops",
     "ngram_top_k",
@@ -257,6 +258,48 @@ def fingerprints(batch: pd.DataFrame, k: int = 8) -> pd.DataFrame:
         out_fp.append("-".join("%016x" % h for h in hs))
         out_md5.append(hashlib.md5(text.encode("utf-8")).hexdigest())
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out_fp, "content_md5": out_md5})
+
+
+def chunk_windows(ds, size: int = 64, stride: int = 32):
+    """Context-window chunking: split each document into fixed-size
+    overlapping whitespace-token windows — the training-prep step ahead
+    of sequence packing (a 100k-token page becomes ~3k trainable rows
+    instead of one truncated one).
+
+    Tokenization bets match ``token_stats`` (trim + ``\\s+`` split,
+    single-space rejoin) so the DuckDB oracle (``regexp_split_to_array``
+    + ``generate_series`` + ``list_slice``) matches byte-for-byte.
+    Chunks are ``[i*stride, i*stride + size)`` for
+    ``i in [0, max(0, ceil((n-size)/stride))]``; empty docs emit no
+    chunks. Pure flat-map — no shuffle, no state; output rows carry
+    (doc_id, chunk_id, chunk_text, n_tokens)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_cid, out_text, out_n = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _WS_RE.split((text or "").strip())
+            if toks == [""]:
+                continue
+            n = len(toks)
+            last = max(0, -(-(n - size) // stride))  # integer ceil
+            for i in range(last + 1):
+                seg = toks[i * stride : i * stride + size]
+                out_id.append(doc_id)
+                out_cid.append(i)
+                out_text.append(" ".join(seg))
+                out_n.append(len(seg))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "chunk_id": pd.Series(out_cid, dtype="int64"),
+                "chunk_text": pd.Series(out_text, dtype="object"),
+                "n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def char_entropy(batch: pd.DataFrame) -> pd.DataFrame:

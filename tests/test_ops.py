@@ -541,6 +541,28 @@ class TestTextOps:
         # near-uniform-1-char spam scores close to 0
         assert 0 < out.entropy_micro[6] < 20_000
 
+    def test_chunk_windows_edges(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import chunk_windows
+
+        rows = [
+            {"doc_id": 0, "text": ""},  # empty -> no chunks
+            {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},  # < size -> 1 chunk
+            {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(64))},  # == size -> 1 chunk
+            {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(65))},  # size+1 -> 2 chunks
+            {"doc_id": 4, "text": " ".join(f"t{i}" for i in range(96))},  # full overlap tail
+            {"doc_id": 5, "text": None},
+        ]
+        out = chunk_windows(rd.from_items(rows), size=64, stride=32).to_pandas()
+        got = out.groupby("doc_id").chunk_id.count().to_dict()
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+        last = out[(out.doc_id == 3) & (out.chunk_id == 1)].iloc[0]
+        assert last.n_tokens == 33 and last.chunk_text.startswith("t32 ") and last.chunk_text.endswith("t64")
+        # overlap: chunk 1 re-covers tokens [32, 96)
+        c1 = out[(out.doc_id == 4) & (out.chunk_id == 1)].iloc[0]
+        assert c1.n_tokens == 64 and c1.chunk_text.split()[0] == "t32"
+
     def test_langid_heuristic(self):
         from gleaner_ray.ops.text import LangId
 

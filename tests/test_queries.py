@@ -189,6 +189,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "emb_covariance",
         "emb_quantize_uint8",
         "text_char_entropy",
+        "text_chunk_windows",
         "media_decode_fake",
         "media_resize_fake",
         "media_frames_fake",
