@@ -807,6 +807,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens folded algebraically, exact-integer numerators, one
         # final division (bit-identical to the SQL oracle)
         "samp_source_tv": lambda sf: smp.source_tv_distance(docs(sf)),
+        # deterministic source-mixture balancing: downsample each source
+        # to the smallest source's char budget via the md5 coin
+        "samp_source_mix": lambda sf: smp.source_mix_balance(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+        ),
         # per-doc top-3 characteristic terms by exact-rational TF/DF
         # (log-free TF-IDF): broadcast DF table, vectorized per-batch
         # top-k, no window shuffle
@@ -2049,6 +2054,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
                    COALESCE(exp(-per.mlp), 0.0) AS ppl
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # keep iff u < min_total/total_source: u is an exact 32-bit
+        # float64, the rate a single int64/int64 DOUBLE division — the
+        # identical IEEE expression the engine evaluates
+        "samp_source_mix": r"""
+            WITH tot AS (SELECT source, SUM(n_chars) AS total
+                         FROM documents GROUP BY source),
+            r AS (SELECT source,
+                         CAST((SELECT MIN(total) FROM tot) AS DOUBLE)
+                             / CAST(total AS DOUBLE) AS rate
+                  FROM tot)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) AS DOUBLE) / 4294967296.0 < r.rate
+            ORDER BY d.doc_id
         """,
         # per-source TV distance from the corpus unigram distribution:
         # integer numerators over the common denominator ns*n (absent

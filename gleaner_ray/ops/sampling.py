@@ -36,6 +36,7 @@ __all__ = [
     "pack_counts",
     "split_threshold_hex",
     "stratified_sample",
+    "source_mix_balance",
     "vocab_overlap",
     "source_tv_distance",
 ]
@@ -369,6 +370,54 @@ def bernoulli_weighted(ds, scale: int = 512, key: str = "doc_id", text_col: str 
         return out
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def source_mix_balance(
+    ds, group_col: str = "source", weight_col: str = "n_chars", key: str = "doc_id"
+):
+    """Deterministic source-mixture balancing (the Pile/Dolma mixing
+    step): downsample every source to the smallest source's weight
+    budget, so the kept corpus is (in expectation) weight-balanced
+    across sources. Keep a row iff
+    ``u = uint32(md5(str(key))[:8]) / 2^32  <  min_total / total_source``.
+
+    Two streaming passes, neither shuffles the corpus: (1) per-batch
+    partial (source, weight) sums fold into an n_sources-row table on
+    the driver; (2) the tiny rate map broadcasts into a filter stage.
+    The rate is one float64 division of two int64 totals — IEEE-
+    deterministic, so the SQL oracle reproduces the decision bit for
+    bit (same argument as ``bernoulli_weighted``)."""
+    import ray
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False)[weight_col].sum()
+        return g.rename(columns={weight_col: "w"})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    totals = parts.groupby(group_col, as_index=False)["w"].sum()
+    min_total = int(totals["w"].min()) if len(totals) else 0
+    rates = {
+        s: (float(min_total) / float(int(t)) if t else 0.0)
+        for s, t in zip(totals[group_col], totals["w"])
+    }
+    rates_ref = ray.put(rates)
+
+    class Keep:
+        def __init__(self):
+            self.rates = ray.get(rates_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            u = (
+                df[key]
+                .map(lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16))
+                .astype("float64")
+                / 4294967296.0
+            )
+            r = df[group_col].map(self.rates).fillna(0.0).astype("float64")
+            mask = (u < r).to_numpy()
+            return df.loc[mask, [key, group_col]]
+
+    return ds.map_batches(Keep, batch_format="pandas", concurrency=2)
 
 
 def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):

@@ -416,6 +416,31 @@ class TestNearDup:
 
 
 class TestSampling:
+    def test_source_mix_balance_planted(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import source_mix_balance
+
+        # source "big" holds 4x the char budget of "small" -> rate 0.25
+        rows = [{"doc_id": i, "source": "big", "n_chars": 100} for i in range(1600)]
+        rows += [{"doc_id": 10_000 + i, "source": "small", "n_chars": 100} for i in range(400)]
+        out = source_mix_balance(rd.from_items(rows).repartition(4)).to_pandas()
+        # every small-source row survives (rate exactly 1.0, u < 1 always)
+        assert (out.source == "small").sum() == 400
+        # big-source kept set == the exact md5-coin prediction at rate .25
+        expect = {
+            i
+            for i in range(1600)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 4294967296.0
+            < 40_000.0 / 160_000.0
+        }
+        got = set(out[out.source == "big"].doc_id)
+        assert got == expect
+        # and the budgets are roughly balanced after the downsample
+        assert abs(len(expect) - 400) < 80
+
     def test_hash_split_deterministic_and_proportional(self, ray_session):
         import ray.data as rd
 

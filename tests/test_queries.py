@@ -168,6 +168,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_bm25",
         "text_lm_perplexity",
         "samp_uniform_n",
+        "samp_source_mix",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
         "pipe_source_gate",
