@@ -716,6 +716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
         # context-window chunking (training prep ahead of packing)
         "text_chunk_windows": lambda sf: tx.chunk_windows(docs(sf), size=64, stride=32),
+        # canonical normalization: NFC + simple lowercase + ws collapse
+        "text_normalize": lambda sf: tx.normalize_text(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
         # corpus length histogram: bounded (bin, count) partials per
         # batch, one tiny groupby-Sum — no corpus shuffle
         "text_histogram": lambda sf: tx.token_histogram(
@@ -1797,6 +1801,14 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
+        # the engine pins Unicode SIMPLE lowercase + ASCII-\s collapse to
+        # this exact expression (ops/text._SIMPLE_LOWER_OVERRIDES)
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                                       '[\t\n\f\r ]+', ' ', 'g')) AS norm_text
+            FROM documents ORDER BY doc_id
+        """,
         # chunk windows [i*stride, i*stride+size); same trim + \s+ split
         # + single-space rejoin bets as the token oracles
         "text_chunk_windows": r"""

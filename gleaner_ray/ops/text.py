@@ -34,6 +34,7 @@ __all__ = [
     "fingerprints",
     "char_entropy",
     "chunk_windows",
+    "normalize_text",
     "repetition_scores",
     "add_text_ops",
     "ngram_top_k",
@@ -258,6 +259,52 @@ def fingerprints(batch: pd.DataFrame, k: int = 8) -> pd.DataFrame:
         out_fp.append("-".join("%016x" % h for h in hs))
         out_md5.append(hashlib.md5(text.encode("utf-8")).hexdigest())
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out_fp, "content_md5": out_md5})
+
+
+# Unicode SIMPLE lowercase (per-codepoint, no SpecialCasing context
+# rules) — the mapping C engines (utf8proc/ICU simple mode, RE2, DuckDB
+# lower()) apply. Python's str.lower() is the FULL mapping; it diverges
+# on exactly: U+0130 'İ' (full: 'i'+combining dot; simple: 'i'),
+# final-sigma context (full lowers trailing Σ to ς; simple always σ),
+# and 43 post-utf8proc Unicode-15 additions (8 Latin Extended-D +
+# Vithkuqi U+10570-95) that the pinned engine leaves unmapped. The
+# table below pins those so the whole mapping is bit-identical to the
+# oracle's lower(); everything else takes the C fast path.
+_SIMPLE_LOWER_OVERRIDES = {"İ": "i", "Σ": "σ"}
+for _cp in (0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7D0, 0xA7D6, 0xA7D8, 0xA7F5,
+            *range(0x10570, 0x10596)):
+    _SIMPLE_LOWER_OVERRIDES[chr(_cp)] = chr(_cp)
+_SIMPLE_LOWER_RE = re.compile("[" + "".join(_SIMPLE_LOWER_OVERRIDES) + "]")
+# RE2's \s is ASCII-only [\t\n\f\r ]; Python's is Unicode-wide.
+_RE2_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _simple_lower(s: str) -> str:
+    if _SIMPLE_LOWER_RE.search(s) is None:
+        return s.lower()  # C fast path; identical to simple mapping here
+    ovr = _SIMPLE_LOWER_OVERRIDES
+    return "".join(ovr[ch] if ch in ovr else ch.lower() for ch in s)
+
+
+def normalize_text(ds, text_col: str = "text"):
+    """Canonical text normalization (the dedup/tokenizer pre-pass):
+    NFC -> Unicode simple lowercase -> collapse ASCII whitespace runs
+    to one space -> strip spaces. Adds ``norm_text``.
+
+    Pure per-row string work (flat map, no shuffle/state); every step
+    is pinned bit-identical to the SQL oracle's
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '[\\t\\n\\f\\r ]+', ' ', 'g'))``
+    — see ``_SIMPLE_LOWER_OVERRIDES`` for the case-mapping pinning."""
+    import unicodedata
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            _RE2_WS_RE.sub(" ", _simple_lower(unicodedata.normalize("NFC", t or ""))).strip(" ")
+            for t in batch[text_col]
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "norm_text": out})
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def chunk_windows(ds, size: int = 64, stride: int = 32):

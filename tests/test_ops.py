@@ -588,6 +588,33 @@ class TestTextOps:
         c1 = out[(out.doc_id == 4) & (out.chunk_id == 1)].iloc[0]
         assert c1.n_tokens == 64 and c1.chunk_text.split()[0] == "t32"
 
+    def test_normalize_text_pins_duckdb_semantics(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import normalize_text
+
+        stress = [
+            "École  FRANÇAISE",
+            "İstanbul VE IRMAK",          # U+0130 full-vs-simple divergence
+            "ΣΟΦΟΣ ΣΟΦΙΑΣ",              # final-sigma context rule
+            "STRASSE ß  und\tmehr",
+            "a b",                   # NBSP is NOT RE2 whitespace
+            "\t mixed \n ws \r\f end ",
+            "ligature ﬁle ＦＵＬＬ width",
+            "ⰯꟀ post-utf8proc additions \U00010570",
+            "",
+        ]
+        batch = pd.DataFrame({"doc_id": range(len(stress)), "text": stress})
+        got = normalize_text(rd.from_items(batch.to_dict("records"))).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", batch)
+        want = con.execute(
+            r"""SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(coalesce(text,''))),
+                 '[\t\n\f\r ]+', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"""
+        ).df()
+        assert got.sort_values("doc_id", ignore_index=True).equals(want)
+
     def test_langid_heuristic(self):
         from gleaner_ray.ops.text import LangId
 

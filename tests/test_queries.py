@@ -191,6 +191,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "emb_quantize_uint8",
         "text_char_entropy",
         "text_chunk_windows",
+        "text_normalize",
         "media_decode_fake",
         "media_resize_fake",
         "media_frames_fake",
