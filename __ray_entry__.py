@@ -927,6 +927,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": _q_emb_covariance,
         # uint8 scalar quantization (vector compression for ANN)
         "emb_quantize_uint8": _q_emb_quantize,
+        # exact-integer top-k over the quantized corpus (compressed-ANN
+        # scale path; ties break deterministically on the int score)
+        "sim_knn_quantized": lambda sf: sim.knn_quantized(
+            rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            query_ids=_knn_queries(sf)["qids"],
+            k=10,
+        ),
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
         "media_resize_fake": _q_media_resize,
@@ -2405,6 +2412,32 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS q
             FROM u JOIN b USING (dim)
             ORDER BY vec_id, dim
+        """,
+        # same quantize CTE as emb_quantize_uint8; centered-int dot is
+        # exact BIGINT arithmetic, so top-k ties are deterministic
+        "sim_knn_quantized": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 u AS (SELECT vec_id,
+                              CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                              unnest(v) AS x
+                       FROM e),
+                 b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY dim),
+                 qv AS (SELECT u.vec_id, u.dim,
+                               CAST(CASE WHEN b.hi = b.lo THEN 0
+                                         ELSE FLOOR((u.x - b.lo) / (b.hi - b.lo) * 255 + 0.5)
+                                    END AS BIGINT) AS q
+                        FROM u JOIN b USING (dim)),
+                 qq AS (SELECT * FROM qv WHERE vec_id IN
+                          (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+                 scored AS (SELECT qq.vec_id AS qid, t.vec_id,
+                                   SUM((qq.q - 128) * (t.q - 128)) AS score
+                            FROM qq JOIN qv t USING (dim)
+                            GROUP BY qq.vec_id, t.vec_id)
+            SELECT qid, vec_id, score FROM (
+              SELECT qid, vec_id, score,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rk
+              FROM scored) WHERE rk <= 10
+            ORDER BY qid, score DESC, vec_id
         """,
         # the fake codec's output metadata is deterministic: fixed decode
         # shape, payload byte length = utf-8 text length

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["knn_bruteforce", "ivf_knn", "train_centroids"]
+__all__ = ["knn_bruteforce", "ivf_knn", "train_centroids", "knn_quantized"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -150,4 +150,84 @@ def ivf_knn(ds, query_vectors: dict, k: int = 10, n_centroids: int = 16, n_probe
             rows.append({"qid": qid, "vec_id": int(vec_id), "cosine": cosine})
     return pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"]).sort_values(
         ["qid", "cosine", "vec_id"], ascending=[True, False, True], ignore_index=True
+    )
+
+
+def knn_quantized(ds, query_ids: list, k: int = 10, concurrency: int = 2) -> pd.DataFrame:
+    """Exact-integer top-k over uint8-quantized vectors — the
+    compressed-ANN scale path (a 4x smaller scan than float32 brute
+    force; at 100 TB the quantized corpus is what actually fits the
+    object store). Similarity = dot product of CENTERED codes
+    ``sum((qa-128)*(qb-128))`` — exact int64, so ranking ties break
+    deterministically on (score DESC, vec_id ASC) and the SQL oracle
+    matches hash-for-hash (no float tolerance anywhere).
+
+    Pipeline: ``quantize_uint8`` (bounds partials -> broadcast ->
+    quantize) -> bounded take of the query rows -> per-batch int32
+    matmul local top-k -> driver merge of k x queries x blocks partials.
+    Local top-k partitions on the composite key ``score << 32 | ~vec_id``
+    so within-batch ties keep the smaller vec_id — required for the
+    global merge to be exact."""
+    import pyarrow as pa
+
+    from .embutil import embedding_matrix, quantize_uint8
+
+    # materialized ONCE: the quantized corpus (4x smaller than float32)
+    # is consumed twice (query-row take + the scan), and chaining the
+    # Quantize pool directly into the QTopK pool would reserve both
+    # pools' CPUs in one execution (starving the read tasks on small
+    # sessions). At 100 TB this seam is a write_parquet of the
+    # quantized corpus + re-read — the standard compressed-index build.
+    quantized = quantize_uint8(ds).materialize()
+    qid_arr = np.sort(np.asarray(list(query_ids), dtype=np.int64))
+
+    def pick(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array(qid_arr)))
+
+    qrows = quantized.map_batches(pick, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qmat = np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows]) - 128
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    query_ref = ray.put((qids, qmat))
+
+    class QTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(query_ref)
+            self.k = k
+
+        def __call__(self, t) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return pd.DataFrame({"qid": [], "vec_id": [], "score": []})
+            mat = embedding_matrix(t.column("q"), dtype=np.int64) - 128
+            scores = self.qmat @ mat.T  # (n_queries, batch) int64
+            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = min(self.k, scores.shape[1])
+            # composite: ties on score keep the SMALLER vec_id
+            comp = (scores << np.int64(32)) | (np.int64(0xFFFFFFFF) - vec_ids)[None, :]
+            idx = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "qid": np.repeat(self.qids, kk),
+                    "vec_id": vec_ids[idx].ravel(),
+                    "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+                }
+            )
+
+    partials = quantized.map_batches(QTopK, batch_format="pyarrow", concurrency=concurrency)
+    best: dict = {}
+    for row in partials.take_all():
+        heap = best.setdefault(row["qid"], [])
+        item = (row["score"], -row["vec_id"])
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    rows = []
+    for qid, heap in best.items():
+        for score, neg_id in sorted(heap, reverse=True):
+            rows.append({"qid": int(qid), "vec_id": int(-neg_id), "score": int(score)})
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "score"]).sort_values(
+        ["qid", "score", "vec_id"], ascending=[True, False, True], ignore_index=True
     )

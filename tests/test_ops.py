@@ -535,6 +535,25 @@ class TestSimilarity:
         out = covariance(ds)
         assert len(out) == 0 and list(out.columns) == ["i", "j", "cov"]
 
+    def test_knn_quantized_recall_vs_float(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.similarity import knn_bruteforce, knn_quantized
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        head = emb.limit(3).take_all()
+        qv = {"qids": [r["vec_id"] for r in head], "vectors": [list(r["embedding"]) for r in head]}
+        brute = knn_bruteforce(emb, qv, k=10)
+        quant = knn_quantized(emb, query_ids=qv["qids"], k=10)
+        assert set(quant.columns) == {"qid", "vec_id", "score"}
+        recalls = []
+        for qid in qv["qids"]:
+            b = set(brute[brute.qid == qid].vec_id)
+            q = set(quant[quant.qid == qid].vec_id)
+            recalls.append(len(q & b) / len(b))
+        # 8-bit quantization preserves most of the float top-10
+        assert np.mean(recalls) >= 0.6
+
     def test_bruteforce_self_is_top1(self, ray_session):
         import ray.data as rd
 

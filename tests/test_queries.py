@@ -189,6 +189,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "sim_ivf_knn",
         "emb_covariance",
         "emb_quantize_uint8",
+        "sim_knn_quantized",
         "text_char_entropy",
         "text_chunk_windows",
         "text_normalize",
