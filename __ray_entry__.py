@@ -391,6 +391,12 @@ def _q_graph_components(sf_dir: str):
     return lg.components_min_label(_graph_pages(sf_dir), iters=4)
 
 
+def _q_graph_seed_depth(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.seed_depth(_graph_pages(sf_dir), n_seeds=10, iters=4)
+
+
 def _q_graph_anchor_text(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -580,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_discovered": _q_graph_discovered,
         # undirected min-label propagation (k=4): component = min URL string
         "graph_components": _q_graph_components,
+        # BFS depth from the 10 smallest-url seeds (depth-limited-crawl
+        # scheduling signal; 4 relaxation rounds, exact)
+        "graph_seed_depth": _q_graph_seed_depth,
         # inbound anchor-text profile per link target: distinct (dst, text)
         # pairs combined map-side, ONE dst-keyed map_groups exchange
         "graph_anchor_text": _q_graph_anchor_text,
@@ -1282,6 +1291,40 @@ def oracle_sql() -> dict[str, str]:
                      SELECT e.dst AS url, l3.lbl FROM e JOIN l3 ON e.src = l3.url)
                    GROUP BY url)
             SELECT url, lbl AS component FROM l4
+        """,
+        # 4-round min-depth relaxation from the 10 smallest urls; only
+        # reached nodes emitted — same contraction the engine computes
+        "graph_seed_depth": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            d0 AS (SELECT url, 0 AS depth FROM
+                     (SELECT url FROM nodes ORDER BY url LIMIT 10)),
+            d1 AS (SELECT url, MIN(depth) AS depth FROM (
+                     SELECT url, depth FROM d0
+                     UNION ALL
+                     SELECT l.dst AS url, d0.depth + 1 FROM links l JOIN d0 ON l.src = d0.url)
+                   GROUP BY url),
+            d2 AS (SELECT url, MIN(depth) AS depth FROM (
+                     SELECT url, depth FROM d1
+                     UNION ALL
+                     SELECT l.dst AS url, d1.depth + 1 FROM links l JOIN d1 ON l.src = d1.url)
+                   GROUP BY url),
+            d3 AS (SELECT url, MIN(depth) AS depth FROM (
+                     SELECT url, depth FROM d2
+                     UNION ALL
+                     SELECT l.dst AS url, d2.depth + 1 FROM links l JOIN d2 ON l.src = d2.url)
+                   GROUP BY url),
+            d4 AS (SELECT url, MIN(depth) AS depth FROM (
+                     SELECT url, depth FROM d3
+                     UNION ALL
+                     SELECT l.dst AS url, d3.depth + 1 FROM links l JOIN d3 ON l.src = d3.url)
+                   GROUP BY url)
+            SELECT url, CAST(depth AS BIGINT) AS depth FROM d4 ORDER BY url
         """,
         # independent SQL canonicalization of the same planted spellings
         "crawl_url_canon": r"""

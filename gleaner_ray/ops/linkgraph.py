@@ -62,6 +62,7 @@ __all__ = [
     "rank_priority",
     "discovered_urls",
     "components_min_label",
+    "seed_depth",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -748,3 +749,125 @@ def _components_join(node_ds, edges, iters):
             .aggregate(Min("lbl", alias_name="lbl"))
         ).materialize()
     return labels.map_batches(lambda df: df.rename(columns={"lbl": "component"}), batch_format="pandas")
+
+
+def seed_depth(
+    pages: rd.Dataset,
+    n_seeds: int = 10,
+    iters: int = 4,
+    broadcast_nodes: int = _BROADCAST_NODES,
+) -> rd.Dataset:
+    """BFS crawl depth from the ``n_seeds`` lexicographically-smallest
+    URLs along DIRECTED outlinks — the depth-limited-crawl scheduling
+    signal (how many hops from the seed list each page sits). With
+    fixed ``iters`` rounds both the engine and the SQL oracle compute
+    the identical k-hop relaxation: round r holds min-depth over paths
+    of length <= r; only reached nodes are emitted (depth in
+    [0, iters], exact small ints).
+
+    Scale shape mirrors ``components_min_label``: below
+    ``broadcast_nodes`` the node set broadcasts once and each round is
+    a vectorized ``np.minimum.at`` over the int edge ids (round inputs
+    come from the PREVIOUS round's array copy, so within-round
+    chaining cannot diverge from the oracle); above it the same round
+    runs as edges ⨝ depths join + Min groupby."""
+    n_nodes = pages.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "depth": pa.array([], pa.int64())})
+        )
+    node_ds = pages.select_columns(["url"])
+    if n_nodes <= broadcast_nodes:
+        out = _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters)
+        if out is not None:
+            return out
+    return _seed_depth_join(node_ds, outlinks(pages), n_seeds, iters)
+
+
+def _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters):
+    nodes = _sorted_node_hashes(node_ds, n_nodes)
+    if nodes is None:
+        return None
+    hashes, urls = nodes
+    idp = (
+        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
+        .rename_columns({"si": "a", "di": "b"})
+        .to_pandas()
+    )
+    a = idp["a"].to_numpy(np.int64)
+    b = idp["b"].to_numpy(np.int64)
+    big = np.int64(iters + 1)  # sentinel: strictly beyond any reachable depth
+    depth = np.full(n_nodes, big, dtype=np.int64)
+    seed_idx = np.argsort(urls, kind="stable")[: min(n_seeds, n_nodes)]
+    depth[seed_idx] = 0
+    for _ in range(iters):
+        nxt = depth.copy()
+        if len(a):
+            np.minimum.at(nxt, b, depth[a] + 1)
+        depth = nxt
+    mask = depth <= iters
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(list(urls[mask]), pa.string()),
+                "depth": pa.array(depth[mask], pa.int64()),
+            }
+        )
+    )
+
+
+def _min_k_urls(node_ds, k: int) -> list:
+    """Global k smallest url strings: per-batch local min-k partials,
+    driver merge — no global sort."""
+    def local(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.array_sort_indices(t.column("url").combine_chunks())[:k]
+        return pa.table({"url": t.column("url").take(idx)})
+
+    parts = node_ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    return sorted(parts["url"])[:k]
+
+
+def _seed_depth_join(node_ds, edges, n_seeds, iters):
+    from ray.data.aggregate import Min
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    ).materialize()
+    seeds = _min_k_urls(node_ds, n_seeds)
+    depths = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(seeds, pa.string()),
+                "depth": pa.array(np.zeros(len(seeds), dtype=np.int64), pa.int64()),
+            }
+        )
+    )
+
+    def _prop(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("dst", as_index=False)["depth"].min()
+        return pa.table(
+            {
+                "url": pa.array(g["dst"], pa.string()),
+                "depth": pa.array(g["depth"].to_numpy(np.int64) + 1, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        prop = edges.join(
+            depths, join_type="inner", num_partitions=width, on=("src",), right_on=("url",)
+        ).map_batches(_prop, batch_format="pandas")
+        depths = (
+            depths.union(prop).groupby("url").aggregate(Min("depth", alias_name="depth"))
+        ).materialize()
+    return depths
