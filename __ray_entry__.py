@@ -837,6 +837,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM, per-doc perplexity; unigram table broadcast once, corpus
         # never shuffled
         "text_lm_perplexity": lambda sf: tx.lm_perplexity(docs(sf)),
+        # DSIR hashed-ngram importance weighting (target = lang 'en'):
+        # fixed-B bucket counts, O(B) log-ratio broadcast, corpus
+        # streamed twice and never shuffled
+        "samp_dsir_weights": lambda sf: smp.dsir_weights(docs(sf)),
+        # first BPE merge iteration: adjacent char-pair counts weighted
+        # by word frequency, exact integers, top-50 with pinned tie-break
+        "text_bpe_pairs": lambda sf: tx.bpe_pair_counts(docs(sf)),
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
@@ -2116,6 +2123,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
                    COALESCE(exp(-per.mlp), 0.0) AS ppl
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # DSIR log-likelihood ratio under hashed-ngram (uni+bigram)
+        # models: target counts from lang='en' rows, source counts from
+        # the whole corpus, md5-prefix bucketing mod 4096, add-one
+        # smoothing over the bucket space
+        "samp_dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            uni AS (SELECT doc_id, lang, unnest(w) AS f FROM toks),
+            bi AS (
+              SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+              FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+                    FROM toks)),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            fb AS (SELECT doc_id, lang,
+                          CAST(concat('0x', substr(md5(f),1,8)) AS UBIGINT)
+                              % 4096 AS b
+                   FROM feats),
+            cnt AS (SELECT b, SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS nt,
+                           COUNT(*) AS ns FROM fb GROUP BY 1),
+            tot AS (SELECT SUM(nt) AS np, SUM(ns) AS nq FROM cnt),
+            lr AS (SELECT b, ln((cnt.nt + 1.0)/(tot.np + 4096))
+                          - ln((cnt.ns + 1.0)/(tot.nq + 4096)) AS lr
+                   FROM cnt CROSS JOIN tot),
+            per AS (SELECT fb.doc_id, COUNT(*) AS n_feats, SUM(lr.lr) AS logw
+                    FROM fb JOIN lr USING (b) GROUP BY 1)
+            SELECT d.doc_id, COALESCE(per.n_feats, 0)::BIGINT AS n_feats,
+                   COALESCE(per.logw, 0.0) AS logw
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # first BPE merge iteration: adjacent code-point pairs inside
+        # lowercased whitespace tokens, exact counts, (n DESC, pair ASC)
+        "text_bpe_pairs": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            pairs AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM (SELECT w, unnest(range(1, length(w))) AS i FROM toks))
+            SELECT pair, count(*)::BIGINT AS n
+            FROM pairs GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 50
         """,
         # keep iff u < min_total/total_source: u is an exact 32-bit
         # float64, the rate a single int64/int64 DOUBLE division — the

@@ -29,6 +29,7 @@ import pandas as pd
 
 __all__ = [
     "bernoulli_weighted",
+    "dsir_weights",
     "df_rarity",
     "uniform_sample_n",
     "hash_split",
@@ -511,3 +512,114 @@ def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):
         return out.sort_values(group_col, ignore_index=True)
 
     return reduced.repartition(1).map_batches(finish, batch_size=None, batch_format="pandas")
+
+
+def dsir_weights(
+    ds,
+    key: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_val: str = "en",
+    n_buckets: int = 4096,
+):
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed n-gram features under a
+    target-distribution model vs the raw-corpus model —
+    ``logw(d) = sum_{f in feats(d)} [ ln((c_p(b_f)+1)/(N_p+B)) -
+    ln((c_q(b_f)+1)/(N_q+B)) ]`` where features are unigrams + adjacent
+    bigrams of the lowercased whitespace tokens, ``b_f = md5(f)[:8] mod
+    B`` buckets them (the paper's hashed n-gram generative model), the
+    target counts ``c_p`` come from rows with ``target_col ==
+    target_val`` and the source counts ``c_q`` from the whole corpus.
+    High ``logw`` = the document looks like the target domain;
+    importance resampling then keeps docs with Gumbel-perturbed top-k
+    logw (the resample step is ``bernoulli_weighted``'s shape and is
+    left to the caller so this operator stays deterministic).
+
+    Output: one row per document, ``(key, n_feats, logw)``; empty
+    documents score 0.0.
+
+    Scale shape (two passes, corpus never shuffled): per-batch hashed
+    bucket partials -> groupby-Sum over a table bounded by B x batches
+    -> ONE dense float64 log-ratio array of FIXED size B (32 KB at
+    B=4096) broadcast via ``ray.put`` -> per-batch vectorized probe +
+    segment-sum. Unlike vocab-broadcast scorers (``df_rarity``,
+    ``lm_perplexity``) the broadcast here is O(B) regardless of corpus
+    size — this is the operator shape that holds unchanged at 100 TB."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _feat_lists(texts) -> list[list[str]]:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            out.append(toks + [a + " " + b for a, b in zip(toks, toks[1:])])
+        return out
+
+    def _buckets(flat: np.ndarray) -> np.ndarray:
+        # md5 hex prefix -> uint32 mod B: the SQL-reproducible hash
+        # (same trick as split_threshold_hex / samp_uniform_n); md5 runs
+        # once per DISTINCT feature in the batch, not per occurrence
+        uniq, inv = np.unique(flat, return_inverse=True)
+        ub = np.fromiter(
+            (
+                int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return ub[inv]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        feats = _feat_lists(df[text_col])
+        lens = np.fromiter((len(f) for f in feats), dtype=np.int64, count=len(feats))
+        total = int(lens.sum())
+        if not total:
+            return pd.DataFrame(
+                {"b": pd.Series(dtype="int64"), "nt": pd.Series(dtype="int64"), "ns": pd.Series(dtype="int64")}
+            )
+        flat = np.fromiter(chain.from_iterable(feats), dtype=object, count=total)
+        b = _buckets(flat)
+        is_t = np.repeat((df[target_col].to_numpy(dtype=object) == target_val), lens)
+        ns = np.bincount(b, minlength=n_buckets)
+        nt = np.bincount(b[is_t], minlength=n_buckets)
+        nz = ns > 0
+        return pd.DataFrame(
+            {"b": np.flatnonzero(nz), "nt": nt[nz].astype("int64"), "ns": ns[nz].astype("int64")}
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("nt", alias_name="nt"), Sum("ns", alias_name="ns"))
+        .to_pandas()
+    )
+    nt_d = np.zeros(n_buckets, dtype=np.int64)
+    ns_d = np.zeros(n_buckets, dtype=np.int64)
+    if len(cnt):
+        nt_d[cnt["b"].to_numpy(dtype=np.int64)] = cnt["nt"].to_numpy(dtype=np.int64)
+        ns_d[cnt["b"].to_numpy(dtype=np.int64)] = cnt["ns"].to_numpy(dtype=np.int64)
+    n_p, n_q = int(nt_d.sum()), int(ns_d.sum())
+    lr = np.log((nt_d + 1.0) / (n_p + n_buckets)) - np.log((ns_d + 1.0) / (n_q + n_buckets))
+    ref = ray.put(lr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        lr_ = ray.get(ref)
+        feats = _feat_lists(df[text_col])
+        lens = np.fromiter((len(f) for f in feats), dtype=np.int64, count=len(feats))
+        total = int(lens.sum())
+        logw = np.zeros(len(df), dtype=np.float64)
+        if total:
+            flat = np.fromiter(chain.from_iterable(feats), dtype=object, count=total)
+            contrib = lr_[_buckets(flat)]
+            np.add.at(logw, np.repeat(np.arange(len(lens)), lens), contrib)
+        return pd.DataFrame({key: df[key].to_numpy(), "n_feats": lens, "logw": logw})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = [
+    "bpe_pair_counts",
     "token_stats",
     "quality_scores",
     "LangId",
@@ -1377,3 +1378,50 @@ def lm_perplexity(ds, key: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = 50):
+    """First BPE merge iteration over the corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"): count
+    every adjacent character pair inside the lowercased whitespace
+    tokens, weighted by token frequency, and return the top-``k`` pairs
+    — the candidates the tokenizer trainer would merge first. Exact
+    integer counts with a deterministic (n DESC, pair ASC) tie-break,
+    so the result hashes identically to the SQL oracle.
+
+    Output: ``(pair, n)`` rows, ``len(pair) == 2`` code points.
+
+    Scale shape: each batch counts its WORDS first (a Counter over the
+    batch's token multiset), then expands only the batch-DISTINCT words
+    into weighted pair partials — pair work is O(distinct words), not
+    O(token occurrences). Partials groupby-Sum on the pair key (the
+    pair space is bounded by the alphabet squared, so the shuffle is
+    tiny), then ONE distributed sort + limit. At 100 TB nothing here
+    grows with corpus size except the embarrassingly-parallel partial
+    pass. Subsequent merge iterations re-run the same shape over the
+    re-segmented corpus (the iterative driver loop is the caller's —
+    each iteration is this operator)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        wc: Counter = Counter()
+        for t in df[text_col]:
+            wc.update((t or "").lower().split())
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            for i in range(len(w) - 1):
+                pc[w[i : i + 2]] += n
+        return pd.DataFrame(
+            {"pair": pd.Series(list(pc.keys()), dtype="object"),
+             "n": pd.Series(list(pc.values()), dtype="int64")}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([("n"), ("pair")], descending=[True, False])
+        .limit(k)
+    )

@@ -167,6 +167,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_tfidf_topk",
         "text_bm25",
         "text_lm_perplexity",
+        "samp_dsir_weights",
+        "text_bpe_pairs",
         "samp_uniform_n",
         "samp_source_mix",
         "samp_dup_weights",
