@@ -825,6 +825,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_source_mix": lambda sf: smp.source_mix_balance(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"])
         ),
+        # RefinedWeb-style per-domain budget cap: md5-ordered running
+        # char total per source, kept while <= cap; metadata-only read,
+        # ONE domain co-partition exchange
+        "samp_domain_cap": lambda sf: smp.domain_cap(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+        ),
         # per-doc top-3 characteristic terms by exact-rational TF/DF
         # (log-free TF-IDF): broadcast DF table, vectorized per-batch
         # top-k, no window shuffle
@@ -2169,6 +2175,17 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT w, unnest(range(1, length(w))) AS i FROM toks))
             SELECT pair, count(*)::BIGINT AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 50
+        """,
+        # per-domain budget cap: md5-ordered running total per source,
+        # keep while cum <= 6000 — exact integer window, hash-identical
+        "samp_domain_cap": r"""
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM ranked WHERE cum <= 6000
         """,
         # keep iff u < min_total/total_source: u is an exact 32-bit
         # float64, the rate a single int64/int64 DOUBLE division — the

@@ -31,6 +31,7 @@ __all__ = [
     "bernoulli_weighted",
     "dsir_weights",
     "df_rarity",
+    "domain_cap",
     "uniform_sample_n",
     "hash_split",
     "pack_sequences",
@@ -623,3 +624,64 @@ def dsir_weights(
         return pd.DataFrame({key: df[key].to_numpy(), "n_feats": lens, "logw": logw})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def domain_cap(
+    ds,
+    cap_chars: int = 6000,
+    key: str = "doc_id",
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    num_partitions: int | None = None,
+):
+    """Per-domain corpus budget cap (RefinedWeb-style: no single domain
+    may contribute more than a fixed budget to the corpus): within each
+    ``group_col`` group, keep documents in deterministic
+    ``(md5(key), key)`` order while the running ``size_col`` total stays
+    <= ``cap_chars`` — i.e. ``SUM(size) OVER (PARTITION BY group ORDER
+    BY md5(key), key ROWS UNBOUNDED PRECEDING) <= cap``. The md5 order
+    makes the kept subset a stable uniform slice of each domain (same
+    coin as ``hash_split``), independent of ingest order.
+
+    Output: the kept ``(key, group_col, size_col)`` rows — exact row
+    set, hash-identical to the SQL oracle.
+
+    Scale shape: metadata-only read (3 narrow columns, never the text);
+    ONE hash exchange co-partitions domains, then the cap is a
+    vectorized sort + grouped cumsum per partition. Skew seam: a
+    mega-domain is one group task here; beyond single-task size, split
+    the domain into md5-prefix buckets, prefix-sum bucket subtotals on
+    the driver, and apply per-bucket base offsets — ``pack_sequences``'
+    two-level shape, applied per domain."""
+    import numpy as np
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus(8))
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8], "big")
+                for s in df[group_col]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        return df.assign(pid=(h % np.uint64(num_partitions)).astype("int64"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        coin = df[key].astype(str).map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        df = df.assign(_coin=coin).sort_values(
+            [group_col, "_coin", key], kind="mergesort", ignore_index=True
+        )
+        cum = df.groupby(group_col, sort=False)[size_col].cumsum().astype("int64")
+        keep = df.loc[cum.to_numpy() <= cap_chars, [key, group_col, size_col]]
+        return keep.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_pid, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -169,6 +169,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_lm_perplexity",
         "samp_dsir_weights",
         "text_bpe_pairs",
+        "samp_domain_cap",
         "samp_uniform_n",
         "samp_source_mix",
         "samp_dup_weights",
