@@ -336,6 +336,17 @@ def _q_crawl_host_stats(sf_dir: str):
     return host_stats(rd.read_parquet(os.path.join(corpus, "pages")))
 
 
+def _q_crawl_boilerplate(sf_dir: str):
+    """Per-host boilerplate-line removal (CCNet/RefinedWeb-style line
+    filter): frequency pass with exact distinct-url partials, bounded
+    broadcast boilerplate set (provably <= den/num x lines_per_page per
+    host), row-local clean pass — pages never shuffle."""
+    from gleaner_ray.ops.boilerplate import boilerplate_clean
+
+    corpus = synth.generate_corpus(sf_dir)
+    return boilerplate_clean(os.path.join(corpus, "pages"))
+
+
 def _graph_pages(sf_dir: str):
     import ray.data as rd
 
@@ -564,6 +575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror detection, crawl-window span) — host-keyed partials +
         # the blob-packed distinct exchange
         "crawl_host_stats": _q_crawl_host_stats,
+        # per-host boilerplate-line detection + page cleaning: exact
+        # integer threshold (n*den >= pages*num), bounded broadcast set
+        "crawl_boilerplate": _q_crawl_boilerplate,
         # cross-host mirror detection: md5-identity distinct per host,
         # digest-keyed self-join emits only co-occurrences (v6 corpus
         # plants the h1<->h2 /mirror/ section this finds)
@@ -1128,6 +1142,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(MAX(warc_ts)) - epoch(MIN(warc_ts)) AS BIGINT) AS span_s
             FROM {pages}
             GROUP BY 1 ORDER BY 1
+        """,
+        # boilerplate: a line on >= 1/10 of a host's pages is template
+        # noise; integer threshold, per-page cleaned stats. Lines join
+        # as raw strings here (the engine keys md5[:8] internally).
+        "crawl_boilerplate": f"""
+            WITH l AS (
+              SELECT url, split_part(url, '/', 3) AS host,
+                     UNNEST(string_split(decode(html), chr(10))) AS line
+              FROM {pages}),
+            hp AS (
+              SELECT split_part(url, '/', 3) AS host, COUNT(*) AS pages
+              FROM {pages} GROUP BY 1),
+            f AS (
+              SELECT host, line, COUNT(DISTINCT url) AS n
+              FROM l GROUP BY 1, 2),
+            b AS (
+              SELECT f.host, f.line
+              FROM f JOIN hp ON f.host = hp.host
+              WHERE f.n * 10 >= hp.pages),
+            k AS (
+              SELECT l.url, l.host, l.line,
+                     (b.line IS NOT NULL) AS boil
+              FROM l LEFT JOIN b ON l.host = b.host AND l.line = b.line)
+            SELECT url, host,
+                   COUNT(*)::BIGINT AS n_lines,
+                   CAST(SUM(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   CAST(SUM(CASE WHEN boil THEN 0 ELSE length(line) END) AS BIGINT) AS clean_chars
+            FROM k GROUP BY 1, 2
         """,
         "graph_outlink_degree": f"""
             SELECT url,

@@ -231,6 +231,7 @@ def test_oracle_checked_small(contract, name):
         "graph_reciprocal",
         "crawl_title_dups",
         "crawl_type_profile",
+        "crawl_boilerplate",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
