@@ -188,13 +188,155 @@ def _diff_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def change_detect(a_ds, b_ds, num_buckets: int | None = None) -> pd.DataFrame:
+# snapshots at or below this URL count take the broadcast diff: A's
+# (urlhash, pairhash) arrays are 16 B/url (30M -> 480 MB once in
+# plasma, zero-copy to every B task), and the bucket exchange's fixed
+# all-to-all machinery (~10 s however small the blobs) disappears.
+# Above it, the blob-packed bucket exchange below is the scale path.
+_BROADCAST_URLS = 30_000_000
+
+
+def _hash_batch(df: pd.DataFrame):
+    """(urlh, pairh, host) for one batch — the shared identity kernel
+    of both diff paths (same key/odd-multiplier contract as ``_pack``)."""
+    urls = df["url"].to_numpy(dtype=object)
+    urlh = pd.util.hash_array(urls, hash_key=_HASH_KEY)
+    bodyh = pd.util.hash_array(df["html"].to_numpy(dtype=object), hash_key=_HASH_KEY)
+    with np.errstate(over="ignore"):
+        pairh = urlh * _ODD + bodyh
+    hosts = df["url"].str.extract(_HOST_RE, expand=False).to_numpy(dtype=object)
+    return urlh, pairh, hosts
+
+
+def _change_detect_broadcast(a_ds, b_ds):
+    """Broadcast diff: ONE streaming pass per side, no exchange.
+
+    Pass A emits per-batch hash blobs + per-host counts; the driver
+    concatenates the bounded (<= _BROADCAST_URLS x 16 B) arrays, sorts
+    them once, and ``ray.put``s them. Pass B probes both sorted arrays
+    with vectorized searchsorted and emits per-host partial counts;
+    the per-host fold is bounded by host count x batches."""
+    import ray
+
+    def a_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"urlh": pd.Series(dtype=object), "pairh": pd.Series(dtype=object), "hosts": pd.Series(dtype=object), "host_n": pd.Series(dtype=object)})
+        urlh, pairh, hosts = _hash_batch(df)
+        uh, counts = np.unique(hosts, return_counts=True)
+        return pd.DataFrame(
+            {
+                "urlh": [urlh.tobytes()],
+                "pairh": [pairh.tobytes()],
+                "hosts": [list(uh)],
+                "host_n": [counts.astype(np.int64).tobytes()],
+            }
+        )
+
+    a_host: dict[str, int] = {}
+    urlhs, pairhs = [], []
+    for b in a_ds.map_batches(a_partial, batch_format="pandas", batch_size=8192).iter_batches(
+        batch_format="pandas"
+    ):
+        for _, r in b.iterrows():
+            urlhs.append(np.frombuffer(r["urlh"], dtype=np.uint64))
+            pairhs.append(np.frombuffer(r["pairh"], dtype=np.uint64))
+            for h, n in zip(r["hosts"], np.frombuffer(r["host_n"], dtype=np.int64)):
+                a_host[h] = a_host.get(h, 0) + int(n)
+    ua = np.sort(np.concatenate(urlhs)) if urlhs else np.zeros(0, np.uint64)
+    pa = np.sort(np.concatenate(pairhs)) if pairhs else np.zeros(0, np.uint64)
+    a_ref = ray.put((ua, pa))
+
+    def b_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "host": pd.Series(dtype=object),
+                "n_b": pd.Series(dtype="int64"),
+                "n_common": pd.Series(dtype="int64"),
+                "n_unchanged": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        ua_s, pa_s = ray.get(a_ref)
+
+        def member(sorted_arr, v):
+            if not len(sorted_arr):
+                return np.zeros(len(v), dtype=bool)
+            i = np.searchsorted(sorted_arr, v)
+            return (i < len(sorted_arr)) & (sorted_arr[np.minimum(i, len(sorted_arr) - 1)] == v)
+
+        urlh, pairh, hosts = _hash_batch(df)
+        common = member(ua_s, urlh)
+        unchanged = member(pa_s, pairh)
+        uh, codes = np.unique(hosts, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "host": uh,
+                "n_b": np.bincount(codes, minlength=len(uh)).astype("int64"),
+                "n_common": np.bincount(codes, weights=common, minlength=len(uh)).astype("int64"),
+                "n_unchanged": np.bincount(codes, weights=unchanged, minlength=len(uh)).astype("int64"),
+            }
+        )
+
+    parts = pd.DataFrame(
+        b_ds.map_batches(b_partial, batch_format="pandas", batch_size=8192).take_all()
+    )
+    if len(parts):
+        bt = parts.groupby("host", as_index=False).sum()
+    else:
+        bt = pd.DataFrame({"host": [], "n_b": [], "n_common": [], "n_unchanged": []})
+    rows = {h: (0, 0, 0) for h in a_host}
+    for _, r in bt.iterrows():
+        rows[r["host"]] = (int(r["n_b"]), int(r["n_common"]), int(r["n_unchanged"]))
+    out_hosts = sorted(set(a_host) | set(rows))
+    recs = []
+    for h in out_hosts:
+        n_b, n_common, n_unch = rows.get(h, (0, 0, 0))
+        n_a = a_host.get(h, 0)
+        changed = n_common - n_unch
+        seen = changed + n_unch
+        recs.append(
+            {
+                "host": h,
+                "n_unchanged": n_unch,
+                "n_changed": changed,
+                "n_added": n_b - n_common,
+                "n_removed": n_a - n_common,
+                "change_rate": (changed / seen) if seen > 0 else 0.0,
+            }
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            recs,
+            columns=["host", "n_unchanged", "n_changed", "n_added", "n_removed", "change_rate"],
+        ).astype(
+            {c: "int64" for c in ("n_unchanged", "n_changed", "n_added", "n_removed")}
+        )
+    )
+
+
+def change_detect(a_ds, b_ds, num_buckets: int | None = None, broadcast_urls: int = _BROADCAST_URLS) -> pd.DataFrame:
     """Per-host change statistics between snapshots A and B.
 
     Returns (host, n_unchanged, n_changed, n_added, n_removed,
     change_rate) where change_rate = changed / (changed + unchanged)
-    over URLs present in both snapshots (0.0 when no common URLs)."""
+    over URLs present in both snapshots (0.0 when no common URLs).
+
+    Dispatch: snapshot A at or below ``broadcast_urls`` takes the
+    zero-exchange broadcast diff (see ``_change_detect_broadcast``);
+    larger snapshots take the blob-packed bucket exchange below. Both
+    paths share the ``_hash_batch`` identity kernel and are
+    equality-tested against each other and the byte-exact oracle."""
     from gleaner_ray.cluster import cluster_cpus
+
+    try:
+        n_a = a_ds.count()
+    except Exception:  # pragma: no cover - non-dataset input
+        n_a = None
+    if n_a is not None and n_a <= broadcast_urls:
+        return _change_detect_broadcast(a_ds, b_ds)
 
     if num_buckets is None:
         num_buckets = max(16, cluster_cpus(8) * 2)

@@ -651,6 +651,9 @@ class TestChangeDetect:
             ],
             ignore_index=True,
         )
+        # both dispatch paths: default (broadcast diff) and forced
+        # bucket exchange (broadcast_urls=0) must agree with the
+        # reference AND with each other
         got = (
             change_detect(
                 rd.from_pandas(a).repartition(9),
@@ -659,6 +662,20 @@ class TestChangeDetect:
             )
             .to_pandas()
             .set_index("host")
+        )
+        got_bucket = (
+            change_detect(
+                rd.from_pandas(a).repartition(9),
+                rd.from_pandas(b).repartition(7),
+                num_buckets=16,
+                broadcast_urls=0,
+            )
+            .to_pandas()
+            .set_index("host")
+        )
+        cols = ["n_unchanged", "n_changed", "n_added", "n_removed", "change_rate"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_index(), got_bucket[cols].sort_index(), check_dtype=False
         )
         hs = pd.Series([u.split("/")[2] for u in urls])
         for h in hosts:
