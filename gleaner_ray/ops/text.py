@@ -563,30 +563,77 @@ class _NgramPartial:
         return pd.DataFrame({"ngram": vc.index.to_numpy(), "cnt": vc.to_numpy(dtype="int64")})
 
 
-def ngram_top_k(ds, n: int = 2, k: int = 20, concurrency: int = 2) -> pd.DataFrame:
+# gram vocabularies at or below this distinct count fold on the driver
+# (object-dict overhead ~100 B/gram -> ~500 MB at the cap); above it the
+# reduce falls back to the distributed groupby. Natural-language bigram
+# vocabularies over web corpora sit in the 10^8+ range, so the fallback
+# is the 100-TB path — but bounded-vocab corpora (and every test/bench
+# corpus) skip the exchange's ~10 s fixed machinery entirely.
+_DRIVER_GRAMS = 5_000_000
+
+
+def ngram_top_k(
+    ds,
+    n: int = 2,
+    k: int = 20,
+    concurrency: int = 2,
+    driver_grams: int = _DRIVER_GRAMS,
+) -> pd.DataFrame:
     """Top-k most frequent word n-grams of the corpus (vocabulary /
     contamination statistics for training-data pipelines).
 
     Shape: per-batch partial counts (one small table per batch, NOT the
-    exploded grams) -> Sum-aggregate groupby on the gram -> per-block
-    top-k -> driver merge of the bounded k x blocks rows. Ties break
+    exploded grams) -> reduce -> top-k. The reduce is dual-path: partial
+    batches stream to the driver and fold into one table while the
+    running distinct-gram count stays <= ``driver_grams`` (counts
+    commute, so the fold is exact); on overflow the partials re-run
+    through the distributed ``groupby(ngram)`` Sum. Ties break
     deterministically on (count DESC, ngram ASC) — the same ORDER BY
     the SQL oracle uses."""
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(
-        _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
-    )
-    totals = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+    def make_partials():
+        return ds.map_batches(
+            _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
+        )
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
-        return df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+    empty = pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
 
-    merged = totals.map_batches(topk, batch_format="pandas").to_pandas()
-    if merged.empty:
-        return pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
+    # driver fold: stream bounded partial tables, compact with a
+    # vectorized pandas groupby-sum whenever the buffer tops the cap
+    frames: list | None = []
+    buffered = 0
+
+    def compact(fr):
+        g = pd.concat(fr, ignore_index=True).groupby("ngram", as_index=False, sort=False)["cnt"].sum()
+        return g
+
+    for b in make_partials().iter_batches(batch_format="pandas"):
+        if not len(b):
+            continue
+        frames.append(b[["ngram", "cnt"]])
+        buffered += len(b)
+        if buffered > driver_grams:
+            c = compact(frames)
+            if len(c) > driver_grams:
+                frames = None  # vocabulary too wide: distributed reduce below
+                break
+            frames, buffered = [c], len(c)
+    if frames is not None:
+        if not frames:
+            return empty
+        merged = compact(frames)
+    else:
+        totals = make_partials().groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+
+        def topk(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return empty
+            return df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+
+        merged = totals.map_batches(topk, batch_format="pandas").to_pandas()
+        if merged.empty:
+            return empty
     merged["cnt"] = merged["cnt"].astype("int64")
     return (
         merged.sort_values(["cnt", "ngram"], ascending=[False, True], ignore_index=True)

@@ -215,6 +215,10 @@ class TestNearDup:
         assert top["a b"] == 3 and top["b a"] == 1 and top["b c"] == 1
         # cross-document windows are never counted ("c a" from doc1->doc2)
         assert "c a" not in top and len(df) == 3
+        # forced distributed-reduce fallback (driver_grams=0) agrees
+        # with the driver-fold path row for row
+        df_dist = ngram_top_k(rd.from_items(rows), n=2, k=3, driver_grams=0)
+        assert df.equals(df_dist)
 
     def test_decontaminate_flags_overlap(self, ray_session):
         import ray.data as rd
