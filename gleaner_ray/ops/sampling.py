@@ -422,7 +422,7 @@ def source_mix_balance(
     return ds.map_batches(Keep, batch_format="pandas", concurrency=2)
 
 
-def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):
+def source_tv_distance(ds, group_col: str = "source", text_col: str = "text", driver_cap: int = 5_000_000):
     """Data-mixing diagnostic: total-variation distance between each
     source's unigram token distribution and the whole-corpus
     distribution — TV(s) = 1/2 * sum_t |p_s(t) - p(t)|. High-TV sources
@@ -472,6 +472,64 @@ def source_tv_distance(ds, group_col: str = "source", text_col: str = "text"):
         )
         out["c"] = out["c"].astype("int64")
         return out
+
+    # dual-path reduce: the whole algebra below runs over the (source,
+    # tok) count table — when that table is driver-small (<= cap rows
+    # after compaction), stream the partials down and run the identical
+    # integer math locally, skipping four distributed exchanges' fixed
+    # machinery. Web-scale vocabularies overflow the cap and take the
+    # distributed path unchanged.
+    import ray.data as _raydata
+
+    cap = driver_cap
+    frames: list | None = []
+    buffered = 0
+
+    def compact(fr):
+        return (
+            pd.concat(fr, ignore_index=True)
+            .groupby([group_col, "tok"], as_index=False, sort=False)["c"]
+            .sum()
+        )
+
+    for b in ds.map_batches(counts_partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        if not len(b):
+            continue
+        frames.append(b[[group_col, "tok", "c"]])
+        buffered += len(b)
+        if buffered > cap:
+            comp = compact(frames)
+            if len(comp) > cap:
+                frames = None
+                break
+            frames, buffered = [comp], len(comp)
+    if frames is not None:
+        if not frames:
+            return _raydata.from_pandas(
+                pd.DataFrame({group_col: pd.Series(dtype=object), "n_tokens": pd.Series(dtype="int64"), "tv": pd.Series(dtype="float64")})
+            )
+        cst_df = compact(frames)
+        cst_df["c"] = cst_df["c"].astype("int64")
+        ct = cst_df.groupby("tok", sort=False)["c"].transform("sum").to_numpy(dtype=np.int64)
+        ns_by_src = cst_df.groupby(group_col, sort=False)["c"].sum().astype("int64")
+        big_n = int(cst_df["c"].sum())
+        ns = cst_df[group_col].map(ns_by_src).to_numpy(dtype=np.int64)
+        c = cst_df["c"].to_numpy(dtype=np.int64)
+        num = np.abs(c * big_n - ct * ns)
+        agg = pd.DataFrame({group_col: cst_df[group_col], "num": num, "ctsum": ct}).groupby(
+            group_col, as_index=False, sort=False
+        ).sum()
+        ns_v = agg[group_col].map(ns_by_src).to_numpy(dtype=np.int64)
+        total_num = agg["num"].to_numpy(dtype=np.int64) + ns_v * (
+            big_n - agg["ctsum"].to_numpy(dtype=np.int64)
+        )
+        tv = total_num.astype("float64") / (2.0 * ns_v.astype("float64") * float(big_n))
+        out = pd.DataFrame({group_col: agg[group_col], "n_tokens": ns_v, "tv": tv}).sort_values(
+            group_col, ignore_index=True
+        )
+        return _raydata.from_pandas(out)
 
     cst = (
         ds.map_batches(counts_partial, batch_format="pandas")

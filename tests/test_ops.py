@@ -1150,6 +1150,10 @@ class TestSourceTV:
         got2 = source_tv_distance(ds2).to_pandas().set_index("source")
         # p_s1=(1,0), p=(1/2,1/2) -> TV = 1/2 for both
         assert got2.loc["s1", "tv"] == 0.5 and got2.loc["s2", "tv"] == 0.5
+        # forced distributed path (driver_cap=0) agrees bit-for-bit
+        got_dist = source_tv_distance(ds, driver_cap=0).to_pandas().set_index("source")
+        assert got_dist.loc["s1", "tv"] == float(Fraction(5, 21))
+        assert got_dist.loc["s2", "tv"] == float(Fraction(5, 28))
 
 
 class TestSamplingWeights:
