@@ -1259,7 +1259,8 @@ def corpus_report(ds, bench_ds, shingle_k: int = 5, concurrency: int = 2):
 
 
 def bm25_scores(ds, queries: dict[str, list[str]], k1: float = 1.2, b: float = 0.75,
-                key: str = "doc_id", text_col: str = "text"):
+                key: str = "doc_id", text_col: str = "text",
+                driver_pairs: int = 5_000_000):
     """BM25 retrieval scoring of a fixed query set against the corpus:
     one row per (query_id, doc) for every document containing at least
     one query term, with the Okapi BM25 score
@@ -1271,81 +1272,146 @@ def bm25_scores(ds, queries: dict[str, list[str]], k1: float = 1.2, b: float = 0
     tolerance — the arrangement that keeps a transcendental-kernel
     operator verifiable (same trade the tfidf_topk docstring explains).
 
-    Scale shape: the query vocabulary is tiny and broadcast; stage 1
-    streams the corpus once, emitting only (doc, term, tf, dl) rows for
-    query terms (bounded by |matching docs| x |vocab|, never the
-    corpus) plus per-batch (n_docs, sum_dl) partials; df comes from ONE
-    groupby over those bounded rows; stage 2 is map-side scoring with
-    the idf table broadcast, then a (query_id, doc) groupby-Sum of the
-    bounded contribution rows. The corpus itself never shuffles."""
+    Scale shape: the query vocabulary is tiny and broadcast; ONE corpus
+    scan emits the (doc, term, tf, dl) rows for query terms (bounded by
+    |matching docs| x |vocab|, never the corpus) plus one sentinel row
+    per batch carrying the (n_docs, sum_dl) corpus partials — so avgdl
+    costs no second text pass. The df table folds on the driver from
+    per-batch partials (vocab x batches rows, bounded by the tiny query
+    vocab). The final (query_id, doc) reduce is dual-path: driver fold
+    while the pair table stays <= ``driver_pairs`` (each doc's candidate
+    rows are emitted within one block, but the fold does not rely on
+    that — sums commute), distributed groupby-Sum beyond. The corpus
+    itself never shuffles."""
     import math
 
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     vocab = sorted({t for ts in queries.values() for t in ts})
-    vocab_set = set(vocab)
     term_queries: dict[str, list[str]] = {t: [] for t in vocab}
     for qid, ts in sorted(queries.items()):
         for t in set(ts):
             term_queries[t].append(qid)
-    vref = ray.put((vocab_set, term_queries))
+
+    # exact-token regexes, one per query term: (?<!\S)term(?!\S) counts
+    # whitespace-delimited occurrences — identical to Counter(split())
+    # but a C regex pass over the column instead of per-doc Python
+    term_pats = [(t, re.compile(r"(?<!\S)" + re.escape(t) + r"(?!\S)")) for t in vocab]
 
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        vs, _tq = ray.get(vref)
-        out_key, out_term, out_tf, out_dl = [], [], [], []
-        for kid, t in zip(df[key], df[text_col]):
-            toks = (t or "").lower().split()
-            c = Counter(toks)
-            for term in vs.intersection(c):
-                out_key.append(kid)
-                out_term.append(term)
-                out_tf.append(c[term])
-                out_dl.append(len(toks))
-        return pd.DataFrame(
-            {key: pd.Series(out_key, dtype="int64"), "term": pd.Series(out_term, dtype="object"),
-             "tf": pd.Series(out_tf, dtype="int64"), "dl": pd.Series(out_dl, dtype="int64")}
+        text = df[text_col].fillna("").str.lower()
+        dl = text.str.count(r"\S+").astype("int64")
+        keys = df[key].astype("int64")
+        parts = []
+        for term, pat in term_pats:
+            tf = text.str.count(pat).astype("int64")
+            m = (tf > 0).to_numpy()
+            if m.any():
+                parts.append(
+                    pd.DataFrame(
+                        {key: keys[m].to_numpy(), "term": term,
+                         "tf": tf[m].to_numpy(), "dl": dl[m].to_numpy()}
+                    )
+                )
+        # sentinel row: per-batch corpus stats ride the same output so
+        # avgdl needs no second text pass (key=-1, term="")
+        parts.append(
+            pd.DataFrame({key: [-1], "term": [""], "tf": [len(df)], "dl": [int(dl.sum())]})
         )
+        out = pd.concat(parts, ignore_index=True)
+        return out.astype({key: "int64", "tf": "int64", "dl": "int64"})
 
-    def corpus_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].fillna("").str.lower().str.split()
-        return pd.DataFrame({"n_docs": [len(df)], "sum_dl": [int(toks.str.len().sum())]})
+    cand_all = ds.map_batches(candidates, batch_format="pandas").materialize()
 
-    stats = (
-        ds.map_batches(corpus_partial, batch_format="pandas")
-        .sum(["n_docs", "sum_dl"])
-    )
-    n_docs = int(stats["sum(n_docs)"])
-    avgdl = stats["sum(sum_dl)"] / n_docs if n_docs else 0.0
-
-    cand = ds.map_batches(candidates, batch_format="pandas").materialize()
-    df_tbl = cand.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    # driver folds over bounded tables: (1) batch sentinels -> corpus
+    # stats; (2) per-batch df partials (<= |query vocab| rows per batch)
+    n_docs = 0
+    sum_dl_total = 0
+    df_counts: dict[str, int] = {}
+    for blk in cand_all.map_batches(
+        lambda d: d.groupby("term", as_index=False).agg(
+            df=("term", "size"), tf=("tf", "sum"), dl=("dl", "sum")
+        ).assign(is_sent=lambda x: x["term"] == ""),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pandas"):
+        for _, r in blk.iterrows():
+            if r["is_sent"]:
+                n_docs += int(r["tf"])
+                sum_dl_total += int(r["dl"])
+            else:
+                df_counts[r["term"]] = df_counts.get(r["term"], 0) + int(r["df"])
+    avgdl = sum_dl_total / n_docs if n_docs else 0.0
     idf = {
         t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
-        for t, d in zip(df_tbl["term"], df_tbl["df"])
+        for t, d in df_counts.items()
     }
     iref = ray.put(idf)
+    cand = cand_all.map_batches(
+        lambda d: d[d["term"] != ""], batch_format="pandas"
+    )
+
+    # (term -> query_id) expansion table: broadcast once, merged per
+    # batch — the scoring stage is fully vectorized
+    term_q = pd.DataFrame(
+        [(t, q) for t, qs in term_queries.items() for q in qs],
+        columns=["term", "query_id"],
+    )
+    tq_ref = ray.put(term_q)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        _vs, tq = ray.get(vref)
         idf_map = ray.get(iref)
-        out_q, out_key, out_c = [], [], []
+        tq = ray.get(tq_ref)
         tf = df["tf"].to_numpy(dtype="float64")
         dl = df["dl"].to_numpy(dtype="float64")
         contrib = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        for i, term in enumerate(df["term"]):
-            w = idf_map[term] * contrib[i]
-            for qid in tq[term]:
-                out_q.append(qid)
-                out_key.append(df[key].iat[i])
-                out_c.append(w)
-        return pd.DataFrame(
-            {"query_id": pd.Series(out_q, dtype="object"),
-             key: pd.Series(out_key, dtype="int64"),
-             "contrib": pd.Series(out_c, dtype="float64")}
+        base = pd.DataFrame(
+            {key: df[key].to_numpy(), "term": df["term"].to_numpy(),
+             "w": df["term"].map(idf_map).to_numpy(dtype="float64") * contrib}
         )
+        m = base.merge(tq, on="term")
+        # partial per-batch combine: one row per (query, doc) per batch
+        g = m.groupby(["query_id", key], as_index=False, sort=False)["w"].sum()
+        return pd.DataFrame(
+            {"query_id": g["query_id"].astype(object), key: g[key].astype("int64"),
+             "contrib": g["w"].astype("float64")}
+        )
+
+    scored = cand.map_batches(score, batch_format="pandas")
+
+    # dual-path reduce over the bounded (query, doc) pair table
+    frames: list | None = []
+    buffered = 0
+
+    def compact(fr):
+        return (
+            pd.concat(fr, ignore_index=True)
+            .groupby(["query_id", key], as_index=False, sort=False)["contrib"]
+            .sum()
+        )
+
+    for blk in scored.iter_batches(batch_format="pandas"):
+        if not len(blk):
+            continue
+        frames.append(blk[["query_id", key, "contrib"]])
+        buffered += len(blk)
+        if buffered > driver_pairs:
+            comp = compact(frames)
+            if len(comp) > driver_pairs:
+                frames = None
+                break
+            frames, buffered = [comp], len(comp)
+    if frames is not None:
+        import ray.data as _raydata
+
+        if not frames:
+            return _raydata.from_pandas(
+                pd.DataFrame({"query_id": pd.Series(dtype=object), key: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            )
+        out = compact(frames).rename(columns={"contrib": "score"})
+        out[key] = out[key].astype("int64")
+        out["score"] = out["score"].astype("float64")
+        return _raydata.from_pandas(out)
 
     return (
         cand.map_batches(score, batch_format="pandas")
