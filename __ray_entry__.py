@@ -347,6 +347,20 @@ def _q_crawl_boilerplate(sf_dir: str):
     return boilerplate_clean(os.path.join(corpus, "pages"))
 
 
+def _q_crawl_visible_text(sf_dir: str):
+    """html -> visible text (script/style strip, tag drop, entity
+    decode, whitespace collapse): row-local single pass, pinned
+    transform order shared with the SQL oracle byte for byte."""
+    from gleaner_ray.ops.text import html_visible_text
+
+    corpus = synth.generate_corpus(sf_dir)
+    import ray.data as rd
+
+    return html_visible_text(
+        rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    )
+
+
 def _graph_pages(sf_dir: str):
     import ray.data as rd
 
@@ -578,6 +592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host boilerplate-line detection + page cleaning: exact
         # integer threshold (n*den >= pages*num), bounded broadcast set
         "crawl_boilerplate": _q_crawl_boilerplate,
+        # visible-text extraction: script/style/tag strip + entity
+        # decode + ws collapse, byte-pinned transform chain
+        "crawl_visible_text": _q_crawl_visible_text,
         # cross-host mirror detection: md5-identity distinct per host,
         # digest-keyed self-join emits only co-occurrences (v6 corpus
         # plants the h1<->h2 /mirror/ section this finds)
@@ -772,6 +789,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and checks counts + redacted bytes value-for-value
         "text_pii_redact": lambda sf: tx.pii_redact(
             docs(sf).map_batches(_augment_pii, batch_format="pandas")
+        ),
+        # C4-style badwords filter: exact token-equality counts against
+        # a compiled-once alternation regex; row-local, zero exchange
+        "text_blocklist": lambda sf: tx.blocklist_filter(
+            docs(sf), blockwords=["dup", "slow", "spark"]
         ),
         # corpus vocab statistics: top-k word bigrams (partial counts per
         # batch -> Sum groupby -> bounded driver merge)
@@ -1170,6 +1192,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
                    CAST(SUM(CASE WHEN boil THEN 0 ELSE length(line) END) AS BIGINT) AS clean_chars
             FROM k GROUP BY 1, 2
+        """,
+        # visible text: pinned chain (script -> style -> tags -> the
+        # five core entities in order -> \s+ collapse -> trim)
+        "crawl_visible_text": f"""
+            SELECT url,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(decode(html), '<script[^>]*>.*?</script>', ' ', 'gs'),
+                      '<style[^>]*>.*?</style>', ' ', 'gs'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&amp;','&'), '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+                '\\s+', ' ', 'g')) AS text_clean,
+              length(trim(regexp_replace(
+                replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(decode(html), '<script[^>]*>.*?</script>', ' ', 'gs'),
+                      '<style[^>]*>.*?</style>', ' ', 'gs'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&amp;','&'), '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+                '\\s+', ' ', 'g'))) AS n_chars
+            FROM {pages}
         """,
         "graph_outlink_degree": f"""
             SELECT url,
@@ -1989,6 +2035,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # top-20 word bigrams; same tokenization as the shingle oracle,
         # tie-break (cnt DESC, ngram ASC) matches the engine's merge
+        # badwords filter: exact token equality on the corpus-wide
+        # lowercase-whitespace tokenization
+        "text_blocklist": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(w, x -> x IN ('dup','slow','spark'))) AS BIGINT)
+                       AS n_blocked,
+                   len(list_filter(w, x -> x IN ('dup','slow','spark'))) > 0 AS blocked
+            FROM toks
+        """,
         "text_ngram_topk": r"""
             WITH toks AS (
               SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),

@@ -234,6 +234,14 @@ def run_bench() -> dict:
             rd.read_parquet(pages_dir, columns=["url", "html"]), iters=2
         ).count(),
     )
+    # visible-text extraction over the full pages corpus: row-local
+    # regex chain, the upstream step of every documents-table op
+    timed(
+        "text_visible",
+        lambda: tx.html_visible_text(
+            rd.read_parquet(pages_dir, columns=["url", "html"])
+        ).count(),
+    )
     timed(
         "training_data_prep",
         lambda: tx.training_data_prep(

@@ -45,6 +45,8 @@ __all__ = [
     "tfidf_topk",
     "training_data_prep",
     "corpus_report",
+    "html_visible_text",
+    "blocklist_filter",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -1538,3 +1540,90 @@ def bpe_pair_counts(ds, text_col: str = "text", k: int = 50):
         .sort([("n"), ("pair")], descending=[True, False])
         .limit(k)
     )
+
+
+# html -> visible text extraction (the corpus-prep step upstream of
+# every documents-table op when the input is a crawl: strip script and
+# style subtrees, drop tags, decode the five core entities, collapse
+# whitespace). Kept to RE2-compatible lazy patterns so the DuckDB
+# regexp_replace(..., 'gs') oracle matches byte for byte.
+_SCRIPT_RE = re.compile(r"<script[^>]*>.*?</script>", re.S)
+_STYLE_RE = re.compile(r"<style[^>]*>.*?</style>", re.S)
+_ANY_TAG_RE = re.compile(r"<[^>]*>")
+_WS_COLLAPSE_RE = re.compile(r"\s+")
+_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def html_visible_text(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """Visible-text extraction from raw page bytes: one row per page,
+    ``(url, text_clean, n_chars)``. Entirely row-local (ONE streaming
+    pass, zero exchange); every substitution is a compiled-regex or
+    literal C pass over the column — no per-row Python.
+
+    The transform chain is pinned in order (script -> style -> tags ->
+    entities in declaration order -> whitespace collapse -> trim) and
+    identical to the SQL oracle's ``regexp_replace``/``replace`` chain,
+    so the output hashes exactly. Reference analogue: the reference
+    stores raw bytes and extracts only JSON-LD (acquire.go:244); this
+    supplies the training-data plane's text column."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    url_col: pd.Series(dtype=str),
+                    "text_clean": pd.Series(dtype=str),
+                    "n_chars": pd.Series(dtype="int64"),
+                }
+            )
+        h = df[html_col]
+        if isinstance(h.iloc[0], (bytes, bytearray, memoryview)):
+            text = h.str.decode("utf-8", errors="replace")
+        else:
+            text = h.astype(str)
+        text = text.str.replace(_SCRIPT_RE, " ", regex=True)
+        text = text.str.replace(_STYLE_RE, " ", regex=True)
+        text = text.str.replace(_ANY_TAG_RE, " ", regex=True)
+        for ent, ch in _ENTITIES:
+            text = text.str.replace(ent, ch, regex=False)
+        text = text.str.replace(_WS_COLLAPSE_RE, " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {
+                url_col: df[url_col].to_numpy(),
+                "text_clean": text.to_numpy(),
+                "n_chars": text.str.len().astype("int64").to_numpy(),
+            }
+        )
+
+    return pages_ds.map_batches(extract, batch_format="pandas")
+
+
+def blocklist_filter(ds, blockwords, key: str = "doc_id", text_col: str = "text"):
+    """C4-style "bad words" filtering: count exact whitespace-delimited
+    occurrences of each blocklist term per document and flag documents
+    containing any (C4 drops them; the flag is returned so callers can
+    drop, downweight, or audit). Output: ``(key, n_blocked, blocked)``
+    with ``blocked`` = n_blocked > 0.
+
+    Scale shape: row-local single pass, zero exchange. The blocklist
+    compiles ONCE at pipeline build into a single alternation regex
+    (longest-first so overlapping terms match like token equality), and
+    counting is one C regex pass per batch column — blocklist size
+    (typically a few hundred terms) never touches the data plane.
+    Token semantics match the corpus-wide lowercase-whitespace contract,
+    so the SQL oracle counts list_filter(tokens, IN blocklist) exactly."""
+    words = sorted({w.lower() for w in blockwords}, key=lambda w: (-len(w), w))
+    if not words:
+        raise ValueError("empty blocklist")
+    pat = re.compile(
+        r"(?<!\S)(?:" + "|".join(re.escape(w) for w in words) + r")(?!\S)"
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col].fillna("").str.lower()
+        n = text.str.count(pat).astype("int64")
+        return pd.DataFrame(
+            {key: df[key].to_numpy(), "n_blocked": n.to_numpy(), "blocked": (n > 0).to_numpy()}
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")

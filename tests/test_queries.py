@@ -151,6 +151,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_langid",
         "text_repetition",
         "text_ngram_topk",
+        "text_blocklist",
         "text_pii_redact",
         "text_decontaminate",
         "text_decontaminate_bloom",
@@ -232,6 +233,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_title_dups",
         "crawl_type_profile",
         "crawl_boilerplate",
+        "crawl_visible_text",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
