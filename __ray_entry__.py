@@ -751,6 +751,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
+        # full Gopher rule gate (word-count/word-length bounds, symbol
+        # ratio, bullet/ellipsis line fractions, alpha-word fraction,
+        # required stopwords): row-local, zero exchange, one compiled
+        # regex pass per signal
+        "text_gopher": lambda sf: tx.add_text_ops(docs(sf), "gopher"),
         # char-distribution entropy (low-entropy spam filter): one
         # np.unique over the batch's concatenated codepoints
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
@@ -2032,6 +2037,45 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(gagg.top_c AS DOUBLE) / gagg.n_grams, 0.0)
                        AS top_2gram_frac
             FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN gagg USING (doc_id)
+        """,
+        # full Gopher rule gate: thresholds are the module literals from
+        # ops/text.py (GOPHER_*); tokenization is the pinned shingle bet
+        # (lower + '\s+' split). The engine counts stopwords with a
+        # boundary regex; the oracle uses exact list membership — only
+        # the token-equality semantics must agree (test-pinned).
+        "text_gopher": r"""
+            WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents),
+            w AS (SELECT doc_id, lt,
+                    list_filter(regexp_split_to_array(lt, '\s+'), x -> x <> '') AS w
+                  FROM t),
+            base AS (SELECT doc_id, lt,
+                    CAST(len(w) AS BIGINT) AS n_words,
+                    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                    CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords,
+                    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len
+                  FROM w),
+            sig AS (SELECT doc_id, n_words, n_alpha, n_stopwords, sum_len,
+                    length(lt) - length(replace(lt, '#', '')) + len(regexp_extract_all(lt, '\.\.\.')) AS n_symbols,
+                    length(lt) - length(replace(lt, chr(10), '')) + 1 AS n_lines,
+                    len(regexp_extract_all(lt, '(?m)^[-*•]')) AS n_bullet,
+                    len(regexp_extract_all(lt, '(?m)\.\.\.$')) AS n_ell_end
+                  FROM base)
+            SELECT doc_id, n_words,
+              COALESCE(CAST(sum_len AS DOUBLE) / nullif(n_words, 0), 0.0) AS mean_word_len,
+              COALESCE(CAST(n_symbols AS DOUBLE) / nullif(n_words, 0), 0.0) AS symbol_ratio,
+              CAST(n_bullet AS DOUBLE) / n_lines AS bullet_line_frac,
+              CAST(n_ell_end AS DOUBLE) / n_lines AS ellipsis_line_frac,
+              COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 0.0) AS alpha_word_frac,
+              n_stopwords,
+              (n_words >= 30 AND n_words <= 100000
+               AND COALESCE(CAST(sum_len AS DOUBLE) / nullif(n_words, 0), 0.0) >= 3.0
+               AND COALESCE(CAST(sum_len AS DOUBLE) / nullif(n_words, 0), 0.0) <= 10.0
+               AND COALESCE(CAST(n_symbols AS DOUBLE) / nullif(n_words, 0), 0.0) <= 0.1
+               AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+               AND CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3
+               AND COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 0.0) >= 0.8
+               AND n_stopwords >= 2) AS keep
+            FROM sig
         """,
         # top-20 word bigrams; same tokenization as the shingle oracle,
         # tie-break (cnt DESC, ngram ASC) matches the engine's merge

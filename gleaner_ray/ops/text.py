@@ -37,6 +37,7 @@ __all__ = [
     "chunk_windows",
     "normalize_text",
     "repetition_scores",
+    "gopher_quality",
     "add_text_ops",
     "ngram_top_k",
     "pii_redact",
@@ -443,6 +444,88 @@ def repetition_scores(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# Gopher rule thresholds (Rae et al. 2021 app. A1.1). Module-level
+# literals shared verbatim with the SQL oracle so the keep flag is
+# value-identical across engines. min_words is scaled to this corpus's
+# 10-99-word documents (Gopher's own bound is 50 on full web pages).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's required-stopword list (the paper's 8-word set)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Vectorized counting patterns. All RE2-compatible except the stopword
+# lookahead — the ORACLE side uses exact list membership instead, so
+# only value semantics (exact token equality) must agree, not the regex.
+_ALPHA_TOKEN_RE = re.compile(r"(?:^|\s)\S*[a-z]")
+_STOPWORD_RE = re.compile(r"(?:^|\s)(?:%s)(?=\s|$)" % "|".join(_GOPHER_STOPWORDS))
+_BULLET_LINE_RE = re.compile(r"(?m)^[-*•]")
+_ELLIPSIS_END_RE = re.compile(r"(?m)\.\.\.$")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+
+def gopher_quality(batch: pd.DataFrame) -> pd.DataFrame:
+    """Full Gopher quality-rule gate (Rae et al. 2021, app. A1.1) —
+    the document-shape rules that complement ``repetition_scores``:
+
+    - word count within [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+    - mean word length within [3, 10]
+    - symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+    - fraction of lines starting with a bullet (-, *, •) <= 0.9
+    - fraction of lines ending with '...' <= 0.3
+    - >= 80% of words contain an [a-z] letter
+    - >= 2 occurrences of Gopher's 8 required stopwords
+
+    Row-local and zero-exchange; every signal is one compiled-regex C
+    pass over the lowercased text (tokenization bet: whitespace split,
+    same as the shingle oracle), every ratio an int/int float64
+    division, so the DuckDB oracle reproduces the keep flag exactly.
+    """
+    lt = batch["text"].fillna("").str.lower()
+    n_words = lt.str.count(r"\S+").astype("int64")
+    nz = n_words.replace(0, np.nan)
+    sum_len = lt.str.count(r"\S").astype("int64")
+    mean_word_len = (sum_len / nz).fillna(0.0)
+    n_alpha = lt.str.count(_ALPHA_TOKEN_RE).astype("int64")
+    alpha_word_frac = (n_alpha / nz).fillna(0.0)
+    n_stopwords = lt.str.count(_STOPWORD_RE).astype("int64")
+    n_symbols = lt.str.count("#") + lt.str.count(_ELLIPSIS_RE)
+    symbol_ratio = (n_symbols / nz).fillna(0.0)
+    n_lines = lt.str.count("\n").astype("int64") + 1
+    bullet_line_frac = lt.str.count(_BULLET_LINE_RE) / n_lines
+    ellipsis_line_frac = lt.str.count(_ELLIPSIS_END_RE) / n_lines
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_word_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stopwords >= GOPHER_MIN_STOPWORDS)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_line_frac,
+            "ellipsis_line_frac": ellipsis_line_frac,
+            "alpha_word_frac": alpha_word_frac,
+            "n_stopwords": n_stopwords,
+            "keep": keep,
+        }
+    )
+
+
 class _PrepSignals:
     """Fused corpus-prep stage: length, punctuation ratio, language id
     and content md5 in ONE pass over each batch (no joins between signal
@@ -651,6 +734,7 @@ def add_text_ops(ds, op: str, **kwargs):
         "quality": quality_scores,
         "fingerprint": fingerprints,
         "repetition": repetition_scores,
+        "gopher": gopher_quality,
         "entropy": char_entropy,
     }
     if op == "langid":

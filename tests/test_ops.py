@@ -589,6 +589,34 @@ class TestTextOps:
         # near-uniform-1-char spam scores close to 0
         assert 0 < out.entropy_micro[6] < 20_000
 
+    def test_gopher_quality_rules(self):
+        from gleaner_ray.ops.text import gopher_quality
+
+        words30 = ("the of " + "word " * 28).strip()  # 30 words, 2 stopwords
+        docs = [
+            "",  # empty -> everything 0, dropped (n_words < min)
+            words30,  # passes every rule
+            words30.replace("the of", "aa bb"),  # no stopwords -> dropped
+            "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\nthe of plain",  # bullets
+            "wait... the of... and so...",  # every line ends with ...
+            "# # # # the of " + "w " * 24,  # symbol ratio 4/30 > 0.1
+            None,
+        ]
+        out = gopher_quality(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+        assert list(out.keep) == [False, True, False, False, False, False, False]
+        # bullet doc: 9 of 10 lines start with '-' -> 0.9, at the bound
+        assert out.bullet_line_frac[3] == 0.9 and out.n_words[3] == 21
+        # ellipsis doc: its single line ends with '...' -> frac 1.0 > 0.3
+        assert out.ellipsis_line_frac[4] == 1.0
+        # '...' runs also count as symbols: 3 of 5 words -> 0.6
+        assert out.symbol_ratio[4] == 0.6
+        # stopword counting is exact token equality: 'the' and 'and'
+        # count, 'of...' does not
+        assert out.n_stopwords[4] == 2
+        # '#' tokens carry no [a-z]: 4 of 30 words non-alpha
+        assert out.alpha_word_frac[5] == 26 / 30 and out.symbol_ratio[5] == 4 / 30
+        assert out.n_words[0] == 0 and out.mean_word_len[0] == 0.0
+
     def test_chunk_windows_edges(self, ray_session):
         import ray.data as rd
 

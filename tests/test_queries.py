@@ -150,6 +150,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_fingerprint_md5",
         "text_langid",
         "text_repetition",
+        "text_gopher",
         "text_ngram_topk",
         "text_blocklist",
         "text_pii_redact",
