@@ -997,6 +997,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             query_ids=_knn_queries(sf)["qids"],
             k=10,
         ),
+        # product-quantization ADC top-k (Jégou et al. 2011): per-subspace
+        # streaming Lloyd codebooks -> 2-byte codes -> LUT-add distance
+        # scan. Ranking is oracle-stable because a query sees only
+        # k_sub**m = 16 distinct distances (equal-code ties break on
+        # vec_id in both engines)
+        "sim_knn_pq": lambda sf: sim.pq_knn(
+            rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            query_ids=[0, 1, 2, 3],
+            k=10,
+        )[["qid", "vec_id"]],
         # -- multimodal plumbing (stubbed codec, deterministic fake) -----------
         "media_decode_fake": _q_media_decode,
         "media_resize_fake": _q_media_resize,
@@ -2697,6 +2707,63 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rk
               FROM scored) WHERE rk <= 10
             ORDER BY qid, score DESC, vec_id
+        """,
+        # product quantization: two independent kmeans chains (the
+        # cluster_kmeans convention: init = vec_id < 4, list_distance
+        # ordering with cid tie-break, 2 Lloyd rounds, empty clusters
+        # keep the previous centroid) over dimension halves, then ADC
+        # distance = sum of per-subspace query->centroid distances.
+        # Output is rank-only (qid, vec_id): a query sees just 16
+        # distinct adist values, so cross-engine float noise cannot
+        # reorder, and equal-code ties break on vec_id in both engines.
+        "sim_knn_pq": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s0 AS (SELECT vec_id, v[1:32] AS v FROM e),
+            s1 AS (SELECT vec_id, v[33:64] AS v FROM e),
+            p0c0 AS (SELECT vec_id AS cid, v AS c FROM s0 WHERE vec_id < 4),
+            p0a1 AS (SELECT vec_id, (SELECT cid FROM p0c0 ORDER BY list_distance(s0.v, p0c0.c), cid LIMIT 1) AS cluster FROM s0),
+            p0m1 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                      SELECT p0a1.cluster, unnest(s0.v) AS val,
+                             CAST(unnest(range(len(s0.v))) AS BIGINT) AS pos
+                      FROM p0a1 JOIN s0 USING (vec_id)) GROUP BY 1,2),
+            p0c1agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM p0m1 GROUP BY 1),
+            p0c1 AS (SELECT p0c0.cid, COALESCE(p0c1agg.c, p0c0.c) AS c FROM p0c0 LEFT JOIN p0c1agg ON p0c0.cid = p0c1agg.cid),
+            p0a2 AS (SELECT vec_id, (SELECT cid FROM p0c1 ORDER BY list_distance(s0.v, p0c1.c), cid LIMIT 1) AS cluster FROM s0),
+            p0m2 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                      SELECT p0a2.cluster, unnest(s0.v) AS val,
+                             CAST(unnest(range(len(s0.v))) AS BIGINT) AS pos
+                      FROM p0a2 JOIN s0 USING (vec_id)) GROUP BY 1,2),
+            p0c2agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM p0m2 GROUP BY 1),
+            p0c2 AS (SELECT p0c1.cid, COALESCE(p0c2agg.c, p0c1.c) AS c FROM p0c1 LEFT JOIN p0c2agg ON p0c1.cid = p0c2agg.cid),
+            p0af AS (SELECT vec_id, (SELECT cid FROM p0c2 ORDER BY list_distance(s0.v, p0c2.c), cid LIMIT 1) AS code FROM s0),
+            p1c0 AS (SELECT vec_id AS cid, v AS c FROM s1 WHERE vec_id < 4),
+            p1a1 AS (SELECT vec_id, (SELECT cid FROM p1c0 ORDER BY list_distance(s1.v, p1c0.c), cid LIMIT 1) AS cluster FROM s1),
+            p1m1 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                      SELECT p1a1.cluster, unnest(s1.v) AS val,
+                             CAST(unnest(range(len(s1.v))) AS BIGINT) AS pos
+                      FROM p1a1 JOIN s1 USING (vec_id)) GROUP BY 1,2),
+            p1c1agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM p1m1 GROUP BY 1),
+            p1c1 AS (SELECT p1c0.cid, COALESCE(p1c1agg.c, p1c0.c) AS c FROM p1c0 LEFT JOIN p1c1agg ON p1c0.cid = p1c1agg.cid),
+            p1a2 AS (SELECT vec_id, (SELECT cid FROM p1c1 ORDER BY list_distance(s1.v, p1c1.c), cid LIMIT 1) AS cluster FROM s1),
+            p1m2 AS (SELECT cluster, pos, AVG(val) AS m FROM (
+                      SELECT p1a2.cluster, unnest(s1.v) AS val,
+                             CAST(unnest(range(len(s1.v))) AS BIGINT) AS pos
+                      FROM p1a2 JOIN s1 USING (vec_id)) GROUP BY 1,2),
+            p1c2agg AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM p1m2 GROUP BY 1),
+            p1c2 AS (SELECT p1c1.cid, COALESCE(p1c2agg.c, p1c1.c) AS c FROM p1c1 LEFT JOIN p1c2agg ON p1c1.cid = p1c2agg.cid),
+            p1af AS (SELECT vec_id, (SELECT cid FROM p1c2 ORDER BY list_distance(s1.v, p1c2.c), cid LIMIT 1) AS code FROM s1),
+            q AS (SELECT vec_id AS qid, v[1:32] AS q0, v[33:64] AS q1 FROM e WHERE vec_id < 4),
+            scored AS (
+              SELECT q.qid, p0af.vec_id,
+                     power(list_distance(q.q0, b0.c), 2) + power(list_distance(q.q1, b1.c), 2) AS adist
+              FROM q
+              CROSS JOIN p0af
+              JOIN p1af ON p1af.vec_id = p0af.vec_id
+              JOIN p0c2 b0 ON b0.cid = p0af.code
+              JOIN p1c2 b1 ON b1.cid = p1af.code)
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+              FROM scored) WHERE rk <= 10
         """,
         # the fake codec's output metadata is deterministic: fixed decode
         # shape, payload byte length = utf-8 text length

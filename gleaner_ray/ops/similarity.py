@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["knn_bruteforce", "ivf_knn", "train_centroids", "knn_quantized"]
+__all__ = ["knn_bruteforce", "ivf_knn", "train_centroids", "knn_quantized", "pq_codebooks", "pq_knn"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -230,4 +230,177 @@ def knn_quantized(ds, query_ids: list, k: int = 10, concurrency: int = 2) -> pd.
             rows.append({"qid": int(qid), "vec_id": int(-neg_id), "score": int(score)})
     return pd.DataFrame(rows, columns=["qid", "vec_id", "score"]).sort_values(
         ["qid", "score", "vec_id"], ascending=[True, False, True], ignore_index=True
+    )
+
+
+class _PQPartial:
+    """Per-batch Lloyd partials for every PQ subspace in one pass:
+    emits (sub, cluster, count, float64-sum bytes) rows against the
+    broadcast per-subspace codebooks."""
+
+    def __init__(self, books_ref):
+        self.books = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+
+    def __call__(self, batch) -> pd.DataFrame:
+        from .cluster import _assign
+        from .embutil import embedding_matrix
+
+        if batch.num_rows == 0:
+            return pd.DataFrame({"sub": [], "cluster": [], "count": [], "vsum": []})
+        mat = embedding_matrix(batch.column("embedding"))
+        subs, clusters, counts, sums = [], [], [], []
+        span = mat.shape[1] // len(self.books)
+        for s, book in enumerate(self.books):
+            sub = mat[:, s * span : (s + 1) * span]
+            assign = _assign(sub, book)
+            for c in np.unique(assign):
+                members = sub[assign == c]
+                subs.append(s)
+                clusters.append(int(c))
+                counts.append(len(members))
+                sums.append(members.sum(axis=0).tobytes())
+        return pd.DataFrame(
+            {
+                "sub": pd.Series(subs, dtype="int64"),
+                "cluster": pd.Series(clusters, dtype="int64"),
+                "count": pd.Series(counts, dtype="int64"),
+                "vsum": pd.Series(sums, dtype="object"),
+            }
+        )
+
+
+def pq_codebooks(
+    ds,
+    m: int = 2,
+    k_sub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> list:
+    """Product-quantization codebooks: an independent Lloyd k-means per
+    dimension subspace, all subspaces trained in the SAME streaming
+    pass per iteration (one bounded (m x k_sub x blocks) driver
+    combine, no shuffle). Deterministic convention shared with the
+    ``cluster_kmeans`` oracle: init = the rows with ``id_col < k_sub``,
+    squared-euclid assignment with ties to the lowest cluster id,
+    empty clusters keep their previous centroid."""
+    seed = ds.map_batches(
+        lambda df: df[df[id_col] < k_sub], batch_format="pandas"
+    ).take_all()
+    seed.sort(key=lambda r: r[id_col])
+    full = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed])
+    span = full.shape[1] // m
+    books = [full[:, s * span : (s + 1) * span].copy() for s in range(m)]
+
+    for _ in range(iters):
+        ref = ray.put(books)
+        parts = ds.map_batches(
+            _PQPartial,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).to_pandas()  # bounded: <= m * k_sub rows per input block
+        new_books = [b.copy() for b in books]
+        for s in range(m):
+            sp = parts[parts["sub"] == s]
+            for c in range(k_sub):
+                rows = sp[sp["cluster"] == c]
+                total = int(rows["count"].sum())
+                if total:
+                    vsum = np.zeros(span, dtype=np.float64)
+                    for b in rows["vsum"]:
+                        vsum += np.frombuffer(b, dtype=np.float64)
+                    new_books[s][c] = vsum / total
+        books = new_books
+    return books
+
+
+def pq_knn(ds, query_ids: list, k: int = 10, m: int = 2, k_sub: int = 4, iters: int = 2, concurrency: int = 2) -> pd.DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011) — the
+    memory-bound ANN scale path: each vector is stored as ``m`` small
+    codes (2 bytes here vs 256 float32 bytes), and query-time distance
+    is ``m`` lookup-table adds instead of a ``dim``-wide dot product.
+
+    Pipeline: ``pq_codebooks`` (streaming Lloyd per subspace) ->
+    bounded take of the query rows -> one ADC scan pass (per batch:
+    assign codes per subspace, distance = sum of broadcast per-query
+    LUT entries, local top-k on (adist ASC, vec_id ASC)) -> driver
+    merge of k x queries x blocks partials.
+
+    Ranking is oracle-stable by construction: a query sees only
+    ``k_sub**m`` distinct approximate distances (16 here), so ordering
+    margins between distinct code pairs are macroscopic and equal-code
+    ties break exactly on vec_id in both engines."""
+    from .cluster import _assign
+    from .embutil import embedding_matrix
+
+    import pyarrow as pa
+
+    books = pq_codebooks(ds, m=m, k_sub=k_sub, iters=iters, concurrency=concurrency)
+    qid_arr = np.sort(np.asarray(list(query_ids), dtype=np.int64))
+
+    def pick(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array(qid_arr)))
+
+    qrows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    span = qmat.shape[1] // m
+    # per-query ADC lookup tables: (n_queries, m, k_sub) squared dists
+    luts = np.stack(
+        [
+            ((qmat[:, s * span : (s + 1) * span, None] - books[s].T[None]) ** 2).sum(axis=1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    state_ref = ray.put({"books": books, "luts": luts, "qids": qids})
+
+    class ADCScan:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.books, self.luts, self.qids = st["books"], st["luts"], st["qids"]
+
+        def __call__(self, t) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return pd.DataFrame({"qid": [], "vec_id": [], "adist": []})
+            mat = embedding_matrix(t.column("embedding"))
+            codes = [
+                _assign(mat[:, s * span : (s + 1) * span], self.books[s]) for s in range(m)
+            ]
+            # (n_queries, batch): sum of LUT entries per subspace
+            adist = np.zeros((len(self.qids), t.num_rows), dtype=np.float64)
+            for s in range(m):
+                adist += self.luts[:, s, :][:, codes[s]]
+            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = min(k, t.num_rows)
+            # local top-k on (adist ASC, vec_id ASC): lexsort per query
+            order = np.lexsort((np.broadcast_to(vec_ids, adist.shape), adist), axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "qid": np.repeat(self.qids, kk),
+                    "vec_id": vec_ids[order].ravel(),
+                    "adist": np.take_along_axis(adist, order, axis=1).ravel(),
+                }
+            )
+
+    partials = ds.map_batches(ADCScan, batch_format="pyarrow", concurrency=concurrency)
+    best: dict = {}
+    for row in partials.take_all():
+        heap = best.setdefault(row["qid"], [])
+        item = (-row["adist"], -row["vec_id"])  # keep k smallest (adist, vec_id)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    rows = []
+    for qid, heap in best.items():
+        for neg_d, neg_id in sorted(heap, reverse=True):
+            rows.append({"qid": int(qid), "vec_id": int(-neg_id), "adist": -neg_d})
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "adist"]).sort_values(
+        ["qid", "adist", "vec_id"], ignore_index=True
     )

@@ -558,6 +558,30 @@ class TestSimilarity:
         # 8-bit quantization preserves most of the float top-10
         assert np.mean(recalls) >= 0.6
 
+    def test_pq_structure_and_self_retrieval(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.similarity import pq_codebooks, pq_knn
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = pq_codebooks(emb, m=2, k_sub=4, iters=2)
+        dim = len(emb.take(1)[0]["embedding"])
+        assert len(books) == 2 and all(b.shape == (4, dim // 2) for b in books)
+        out = pq_knn(emb, query_ids=[0, 1], k=10, m=2, k_sub=4)
+        assert list(out.columns) == ["qid", "vec_id", "adist"]
+        assert set(out.qid) == {0, 1}
+        for qid in (0, 1):
+            sub = out[out.qid == qid]
+            assert len(sub) == 10
+            # adist is non-decreasing and ties are vec_id-ordered
+            assert (sub.adist.diff().dropna() >= 0).all()
+            # the query's own codes give the minimum LUT distance, so the
+            # query lands in the top tie-group (equal-code members sorted
+            # by vec_id); its adist equals the group minimum
+            assert sub.adist.iloc[0] == sub[sub.vec_id == qid].adist.min()
+            # only k_sub**m = 16 distinct distances exist corpus-wide
+            assert sub.adist.nunique() <= 16
+
     def test_bruteforce_self_is_top1(self, ray_session):
         import ray.data as rd
 

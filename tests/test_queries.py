@@ -195,6 +195,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "emb_covariance",
         "emb_quantize_uint8",
         "sim_knn_quantized",
+        "sim_knn_pq",
         "text_char_entropy",
         "text_chunk_windows",
         "text_normalize",
