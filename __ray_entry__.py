@@ -398,6 +398,12 @@ def _q_graph_pagerank(sf_dir: str):
     return lg.pagerank_int(_graph_pages(sf_dir), iters=2)
 
 
+def _q_graph_hits(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.hits_int(_graph_pages(sf_dir), iters=2)
+
+
 def _q_graph_rank_priority(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -609,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer fixed-point PageRank (k=2): order-independent int64
         # arithmetic, broadcast rounds under the node bound, join rounds above
         "graph_pagerank": _q_graph_pagerank,
+        # HITS hub/authority (k=2): exact int64 fixed point with integer
+        # L1 renormalization per half-step; broadcast half-steps under
+        # the node bound, join half-steps above (equality-tested)
+        "graph_hits": _q_graph_hits,
         # rank -> crawl priority tier (integer thresholds vs uniform mass):
         # the link-structure twin of crawl_priority_update
         "graph_rank_priority": _q_graph_rank_priority,
@@ -1339,6 +1349,42 @@ def oracle_sql() -> dict[str, str]:
                           + (17 * COALESCE(i1.s, 0)) // 20 AS r
                    FROM nodes nd LEFT JOIN i1 ON nd.url = i1.url)
             SELECT url, CAST(r AS BIGINT) AS rank_fp FROM r2
+        """,
+        # HITS (k=2): same links CTE; per half-step the L1 total becomes
+        # one integer scale divisor greatest(T // BASE, 1) — sums commute,
+        # so the engine's add-order-free partials hash-match exactly
+        "graph_hits": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            n AS (SELECT COUNT(*) AS n FROM nodes),
+            h0 AS (SELECT url, 1000000000000 // (SELECT n FROM n) AS v FROM nodes),
+            a1r AS (SELECT l.dst AS url, SUM(h0.v) AS s FROM links l JOIN h0 ON l.src = h0.url GROUP BY l.dst),
+            t1 AS (SELECT COALESCE(SUM(s), 0) AS t FROM a1r),
+            a1 AS (SELECT nd.url, CASE WHEN (SELECT t FROM t1) = 0 THEN 0
+                    ELSE COALESCE(a1r.s, 0) // greatest((SELECT t FROM t1) // 1000000000000, 1) END AS v
+                   FROM nodes nd LEFT JOIN a1r ON nd.url = a1r.url),
+            h1r AS (SELECT l.src AS url, SUM(a1.v) AS s FROM links l JOIN a1 ON l.dst = a1.url GROUP BY l.src),
+            s1 AS (SELECT COALESCE(SUM(s), 0) AS t FROM h1r),
+            h1 AS (SELECT nd.url, CASE WHEN (SELECT t FROM s1) = 0 THEN 0
+                    ELSE COALESCE(h1r.s, 0) // greatest((SELECT t FROM s1) // 1000000000000, 1) END AS v
+                   FROM nodes nd LEFT JOIN h1r ON nd.url = h1r.url),
+            a2r AS (SELECT l.dst AS url, SUM(h1.v) AS s FROM links l JOIN h1 ON l.src = h1.url GROUP BY l.dst),
+            t2 AS (SELECT COALESCE(SUM(s), 0) AS t FROM a2r),
+            a2 AS (SELECT nd.url, CASE WHEN (SELECT t FROM t2) = 0 THEN 0
+                    ELSE COALESCE(a2r.s, 0) // greatest((SELECT t FROM t2) // 1000000000000, 1) END AS v
+                   FROM nodes nd LEFT JOIN a2r ON nd.url = a2r.url),
+            h2r AS (SELECT l.src AS url, SUM(a2.v) AS s FROM links l JOIN a2 ON l.dst = a2.url GROUP BY l.src),
+            s2 AS (SELECT COALESCE(SUM(s), 0) AS t FROM h2r),
+            h2 AS (SELECT nd.url, CASE WHEN (SELECT t FROM s2) = 0 THEN 0
+                    ELSE COALESCE(h2r.s, 0) // greatest((SELECT t FROM s2) // 1000000000000, 1) END AS v
+                   FROM nodes nd LEFT JOIN h2r ON nd.url = h2r.url)
+            SELECT a2.url, CAST(a2.v AS BIGINT) AS auth_fp, CAST(h2.v AS BIGINT) AS hub_fp
+            FROM a2 JOIN h2 ON a2.url = h2.url
         """,
         # same k=2 recurrence + integer tier thresholds vs uniform mass
         "graph_rank_priority": f"""

@@ -59,6 +59,8 @@ __all__ = [
     "indegree",
     "host_edges",
     "pagerank_int",
+    "hits_int",
+    "HITS_BASE",
     "rank_priority",
     "discovered_urls",
     "components_min_label",
@@ -70,6 +72,14 @@ __all__ = [
 HREF_RE = re.compile(rb'<a href="([^"]+)"')
 
 PAGERANK_BASE = 10**15  # fixed-point scale: sum of all ranks ~ BASE
+
+# HITS fixed-point scale. Smaller than PAGERANK_BASE because the raw
+# per-half-step sums multiply mass by a degree factor before the
+# renormalization: int64 safety needs max_degree * BASE * dup_mult
+# < 2^63, i.e. degrees up to ~9e6 at 10^12 — ample for page-level link
+# degrees (host-level mega-hubs are bounded upstream by the frontier's
+# host bucketing).
+HITS_BASE = 10**12
 
 
 def _host_of(urls: pd.Series) -> pd.Series:
@@ -559,6 +569,199 @@ def _pagerank_join(node_ds, edges, iters, tele, r0):
     return ranks.map_batches(
         lambda df: df.rename(columns={"r": "rank_fp"}), batch_format="pandas"
     )
+
+
+def hits_int(
+    pages: rd.Dataset,
+    iters: int = 2,
+    base: int = HITS_BASE,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
+) -> rd.Dataset:
+    """k rounds of HITS hub/authority scoring (Kleinberg 1999) in exact
+    int64 fixed point — bit-identical at any parallelism:
+
+        h_0(u)  = base // N
+        a'(v)   = sum over in-edges (u,v) of h(u)
+        a(v)    = a'(v) // max(T // base, 1),  T = sum_v a'(v)
+        h'(u)   = sum over out-edges (u,v) of a(v)
+        h(u)    = h'(u) // max(S // base, 1),  S = sum_u h'(u)
+
+    The L1 renormalization uses one integer scale divisor per
+    half-step, so sums commute and the SQL oracle matches hash-exactly
+    (the classic L2 normalization would need a float sqrt). External
+    link targets are masked like ``pagerank_int`` (edges whose dst has
+    no page row are dropped before any round).
+
+    Broadcast path (<= broadcast_nodes): the per-half-step score
+    column ships once via ``ray.put``; each edge batch probes it and
+    emits bounded per-target partial sums — zero shuffle rounds.
+    Beyond, each half-step is one edges ⨝ scores join + Sum groupby
+    (the ``_pagerank_join`` shape); both paths are equality-tested.
+    """
+    n_nodes = pages.count()
+    node_ds = pages.select_columns(["url"])
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "auth_fp": pa.array([], pa.int64()),
+            "hub_fp": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    h0 = base // n_nodes
+
+    if n_nodes <= broadcast_nodes:
+        out = _hits_broadcast(pages, node_ds, n_nodes, iters, base, h0, driver_edges, empty)
+        if out is not None:
+            return out
+    return _hits_join(node_ds, outlinks(pages), iters, base, h0)
+
+
+def _hits_rescale(raw: np.ndarray, base: int) -> np.ndarray:
+    total = int(raw.sum())
+    if total == 0:
+        return np.zeros_like(raw)
+    return raw // max(total // base, 1)
+
+
+def _hits_broadcast(pages, node_ds, n_nodes, iters, base, h0, driver_edges, empty):
+    hashes = _sorted_node_hash_only(node_ds)
+    if hashes is None:
+        return None
+    h_ref = ray.put(hashes)
+    edge_ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
+    n_edges = edge_ids.count()
+
+    hub = np.full(n_nodes, h0, dtype=np.int64)
+    auth = np.zeros(n_nodes, dtype=np.int64)
+
+    if n_edges <= driver_edges:
+        idp = edge_ids.to_pandas()
+        si = idp["si"].to_numpy(np.int64)
+        di = idp["di"].to_numpy(np.int64)
+        for _ in range(iters):
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(raw, di, hub[si])
+            auth = _hits_rescale(raw, base)
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(raw, si, auth[di])
+            hub = _hits_rescale(raw, base)
+    else:
+
+        def half_step(scores: np.ndarray, key: str, probe: str) -> np.ndarray:
+            s_ref = ray.put(scores)
+
+            def partial(t: pa.Table, _s_ref=s_ref) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+                sc = ray.get(_s_ref)  # zero-copy plasma view
+                tgt = t.column(key).to_numpy(zero_copy_only=False)
+                src = t.column(probe).to_numpy(zero_copy_only=False)
+                df = pd.DataFrame({"i": tgt, "c": sc[src]})
+                g = df.groupby("i", as_index=False)["c"].sum()
+                return pa.table(
+                    {"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))}
+                )
+
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            _merge_partials(
+                edge_ids.map_batches(partial, batch_format="pyarrow"), "i", "s", raw
+            )
+            return raw
+
+        for _ in range(iters):
+            auth = _hits_rescale(half_step(hub, "di", "si"), base)
+            hub = _hits_rescale(half_step(auth, "si", "di"), base)
+
+    a_ref = ray.put(auth)
+    b_ref = ray.put(hub)
+
+    def emit(t: pa.Table, _h_ref=h_ref, _a_ref=a_ref, _b_ref=b_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        h = ray.get(_h_ref)
+        idx = np.searchsorted(h, _hash64(t.column("url").to_pandas()))
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "auth_fp": pa.array(ray.get(_a_ref)[idx]),
+                "hub_fp": pa.array(ray.get(_b_ref)[idx]),
+            }
+        )
+
+    return node_ds.map_batches(emit, batch_format="pyarrow")
+
+
+def _hits_join(node_ds, edges, iters, base, h0):
+    """General path: two joins + two Sum groupbys per round, each
+    half-step materialized (same Pregel-checkpoint reasoning as
+    ``_pagerank_join``). The half-step L1 total is one tiny
+    ``sum('s')`` aggregate — a scalar, not a shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    ).materialize()
+
+    def half_step(scores, on_col, emit_col):
+        # scores: Dataset (url, v). join edges on on_col -> sum v per emit_col
+        raw = (
+            edges.join(scores, join_type="inner", num_partitions=width, on=(on_col,), right_on=("url",))
+            .map_batches(
+                lambda df, _e=emit_col: df.groupby(_e, as_index=False)["v"].sum(),
+                batch_format="pandas",
+            )
+            .groupby(emit_col)
+            .aggregate(Sum("v", alias_name="s"))
+        ).materialize()
+        total = int(raw.sum("s") or 0)
+        scale = max(total // base, 1) if total else None
+        out = node_ds.join(
+            raw, join_type="left_outer", num_partitions=width, on=("url",), right_on=(emit_col,)
+        ).map_batches(
+            lambda df, _sc=scale: pd.DataFrame(
+                {
+                    "url": df["url"],
+                    "v": (
+                        df["s"].fillna(0).astype("int64").to_numpy(np.int64) // _sc
+                        if _sc
+                        else np.zeros(len(df), dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        return out.materialize()
+
+    hub = node_ds.map_batches(
+        lambda t: pa.table({"url": t.column("url"), "v": pa.array(np.full(t.num_rows, h0, dtype=np.int64))}),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+    joined = auth.map_batches(
+        lambda df: df.rename(columns={"v": "auth_fp"}), batch_format="pandas"
+    ).join(
+        hub.map_batches(lambda df: df.rename(columns={"url": "h_url", "v": "hub_fp"}), batch_format="pandas"),
+        join_type="inner",
+        num_partitions=width,
+        on=("url",),
+        right_on=("h_url",),
+    )
+    return joined.select_columns(["url", "auth_fp", "hub_fp"])
 
 
 def discovered_urls(

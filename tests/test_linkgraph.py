@@ -123,6 +123,60 @@ class TestPageRank:
         assert pagerank_int(empty).count() == 0
 
 
+class TestHits:
+    def test_hand_computed_fixed_point(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import HITS_BASE, hits_int
+
+        df = hits_int(tiny_graph, iters=2).to_pandas().set_index("url")
+        h0 = HITS_BASE // 6  # 166_666_666_666
+        # round-2 authority: a receives 2x c's round-1 hub (the dup edge)
+        assert df.loc["https://h1.org/a", "auth_fp"] == 2 * 4 * h0
+        assert df.loc["https://h1.org/b", "auth_fp"] == h0
+        assert df.loc["https://h2.org/d", "auth_fp"] == 0  # no in-links
+        # round-2 hub: S = 19*h0 > BASE -> scale 3; c holds 2x a's auth
+        assert df.loc["https://h2.org/c", "hub_fp"] == (2 * 8 * h0) // 3
+        assert df.loc["https://h1.org/a", "hub_fp"] == h0 // 3
+        assert df.loc["https://h2.org/e", "hub_fp"] == 0  # no out-links
+        assert df.loc["https://h3.org/f", ["auth_fp", "hub_fp"]].tolist() == [0, 0]
+        # c is the dominant hub, a the dominant authority
+        assert df.hub_fp.idxmax() == "https://h2.org/c"
+        assert df.auth_fp.idxmax() == "https://h1.org/a"
+
+    def test_broadcast_equals_join_path(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import hits_int
+
+        a = hits_int(tiny_graph, iters=2).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            hits_int(tiny_graph, iters=2, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "auth_fp", "hub_fp"]]
+        )
+        assert a["auth_fp"].dtype == np.int64
+        pd.testing.assert_frame_equal(a, b.astype({"auth_fp": np.int64, "hub_fp": np.int64}))
+
+    def test_distributed_rounds_equal_driver_rounds(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import hits_int
+
+        a = hits_int(tiny_graph, iters=2).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            hits_int(tiny_graph, iters=2, driver_edges=0)  # force streaming half-steps
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import hits_int
+
+        empty = rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}))
+        assert hits_int(empty).count() == 0
+
+
 class TestComponents:
     def test_two_components_plus_isolate(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import components_min_label

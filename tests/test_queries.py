@@ -226,6 +226,7 @@ def test_oracle_checked_small(contract, name):
         "graph_host_edges",
         "graph_indegree",
         "graph_pagerank",
+        "graph_hits",
         "graph_rank_priority",
         "graph_discovered",
         "graph_components",
