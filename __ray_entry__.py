@@ -766,6 +766,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # required stopwords): row-local, zero exchange, one compiled
         # regex pass per signal
         "text_gopher": lambda sf: tx.add_text_ops(docs(sf), "gopher"),
+        # word2phrase collocations: exact-int cross-multiplied score,
+        # two key-width count reduces + two vocabulary joins — the
+        # corpus never shuffles. threshold=1 is corpus-scaled (the
+        # synthetic word-salad has no strong collocations at the
+        # word2phrase default of 100)
+        "text_phrases": lambda sf: tx.phrase_detect(docs(sf), threshold=1),
         # char-distribution entropy (low-entropy spam filter): one
         # np.unique over the batch's concatenated codepoints
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
@@ -2132,6 +2138,28 @@ def oracle_sql() -> dict[str, str]:
                AND COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 0.0) >= 0.8
                AND n_stopwords >= 2) AS keep
             FROM sig
+        """,
+        # word2phrase: same tokenization + bigram windows as the ngram
+        # oracle; the phrase decision is one exact-integer comparison
+        # (no log/division), so the flag hash-matches bit for bit
+        "text_phrases": r"""
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            uni AS (SELECT unnest(w) AS tok FROM toks),
+            uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n FROM uni),
+            bi AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
+                          ELSE list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i + 1]) END) AS g
+                   FROM toks),
+            bc AS (SELECT g, COUNT(*) AS c_ab FROM bi GROUP BY g HAVING COUNT(*) >= 3),
+            sp AS (SELECT g, split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b, c_ab FROM bc)
+            SELECT sp.g AS bigram, CAST(sp.c_ab AS BIGINT) AS c_ab,
+                   CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+                   (sp.c_ab - 5) * (SELECT n FROM n) >= 1 * ua.c * ub.c AS is_phrase
+            FROM sp JOIN uc ua ON sp.a = ua.tok JOIN uc ub ON sp.b = ub.tok
         """,
         # top-20 word bigrams; same tokenization as the shingle oracle,
         # tie-break (cnt DESC, ngram ASC) matches the engine's merge

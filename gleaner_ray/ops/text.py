@@ -40,6 +40,7 @@ __all__ = [
     "gopher_quality",
     "add_text_ops",
     "ngram_top_k",
+    "phrase_detect",
     "pii_redact",
     "length_quantile_filter",
     "source_gate",
@@ -725,6 +726,106 @@ def ngram_top_k(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def _split_bigram_stage(min_count: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_ab"] >= min_count]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "ngram": pd.Series(dtype="object"),
+                    "c_ab": pd.Series(dtype="int64"),
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                }
+            )
+        parts = df["ngram"].str.partition(" ")
+        return df.assign(a=parts[0], b=parts[2])
+
+    return fn
+
+
+def phrase_detect(
+    ds,
+    min_count: int = 3,
+    delta: int = 5,
+    threshold: int = 100,
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+):
+    """word2phrase collocation detection (Mikolov et al. 2013, §4):
+    a bigram (a, b) is a phrase iff
+
+        (count(a b) - delta) * N >= threshold * count(a) * count(b)
+
+    — the paper's discounted-PMI score cross-multiplied so the decision
+    is EXACT int64 arithmetic (no log, no division; int64-safe while
+    ``threshold * count(a) * count(b)`` < 2^63, i.e. corpora to ~10^8
+    tokens at the defaults — beyond that the comparison rescales to
+    per-shard counts or HUGEINT, the documented seam).
+
+    Shape: the ``_NgramPartial`` pass runs once for unigrams and once
+    for bigrams (bounded per-batch partial count tables, never the
+    exploded grams); each reduce is ONE key-width groupby-Sum; the
+    total token count N is a scalar aggregate of the unigram table; the
+    bigram table is min_count-filtered BEFORE its two key-width hash
+    joins against the unigram vocabulary. The corpus itself is never
+    shuffled. Returns a Dataset of
+    (bigram, c_ab, c_a, c_b, is_phrase)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    width = num_partitions or max(8, cluster_cpus(8) // 4)
+    uni = (
+        ds.map_batches(
+            _NgramPartial, fn_constructor_kwargs={"n": 1}, batch_format="pandas", concurrency=concurrency
+        )
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()  # consumed twice: scalar N + the vocabulary joins
+    )
+    n_total = int(uni.sum("c") or 0)
+    bi = (
+        ds.map_batches(
+            _NgramPartial, fn_constructor_kwargs={"n": 2}, batch_format="pandas", concurrency=concurrency
+        )
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="c_ab"))
+        .map_batches(_split_bigram_stage(min_count), batch_format="pandas")
+    )
+    ua = uni.map_batches(
+        lambda df: df.rename(columns={"ngram": "a_tok", "c": "c_a"}), batch_format="pandas"
+    )
+    ub = uni.map_batches(
+        lambda df: df.rename(columns={"ngram": "b_tok", "c": "c_b"}), batch_format="pandas"
+    )
+    # materialize between the two vocabulary joins: chaining them in one
+    # lazy plan stacks two join-aggregator actor pools (each reserves
+    # num_partitions x 0.125 CPUs) and deadlocks small clusters — the
+    # same seam _pagerank_join documents
+    half = bi.join(
+        ua, join_type="inner", num_partitions=width, on=("a",), right_on=("a_tok",)
+    ).materialize()
+    joined = half.join(ub, join_type="inner", num_partitions=width, on=("b",), right_on=("b_tok",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c_ab = df["c_ab"].to_numpy(np.int64)
+        c_a = df["c_a"].to_numpy(np.int64)
+        c_b = df["c_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bigram": df["ngram"],
+                "c_ab": c_ab,
+                "c_a": c_a,
+                "c_b": c_b,
+                "is_phrase": (c_ab - delta) * n_total >= threshold * c_a * c_b,
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pandas")
 
 
 def add_text_ops(ds, op: str, **kwargs):

@@ -151,6 +151,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_langid",
         "text_repetition",
         "text_gopher",
+        "text_phrases",
         "text_ngram_topk",
         "text_blocklist",
         "text_pii_redact",
