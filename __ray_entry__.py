@@ -772,6 +772,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthetic word-salad has no strong collocations at the
         # word2phrase default of 100)
         "text_phrases": lambda sf: tx.phrase_detect(docs(sf), threshold=1),
+        # iterative BPE training (3 merge rounds): distributed pair
+        # counts over the distinct-word table + broadcast replace-merge
+        # per round; the corpus shuffles once (word counts), never again
+        "text_bpe_train": lambda sf: tx.bpe_train(docs(sf), merges=3),
         # char-distribution entropy (low-entropy spam filter): one
         # np.unique over the batch's concatenated codepoints
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
@@ -2138,6 +2142,43 @@ def oracle_sql() -> dict[str, str]:
                AND COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 0.0) >= 0.8
                AND n_stopwords >= 2) AS keep
             FROM sig
+        """,
+        # iterative BPE (3 unrolled rounds): words as double-space-padded
+        # symbol strings so each merge is ONE replace() with the same
+        # left-to-right non-overlapping semantics as the engine's
+        # str.replace (parity pinned by TestTextOps::test_bpe_train);
+        # best pair per round = ORDER BY c DESC, pair ASC LIMIT 1
+        "text_bpe_train": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                            x -> x <> '')) AS word
+              FROM documents),
+            wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+            w0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS s, cnt FROM wc),
+            p1 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w0),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc1 AS (SELECT pair, SUM(cnt) AS c FROM p1 GROUP BY pair),
+            b1 AS (SELECT pair, c FROM pc1 ORDER BY c DESC, pair LIMIT 1),
+            w1 AS (SELECT replace(s, ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+                                     ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s, cnt FROM w0),
+            p2 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w1),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc2 AS (SELECT pair, SUM(cnt) AS c FROM p2 GROUP BY pair),
+            b2 AS (SELECT pair, c FROM pc2 ORDER BY c DESC, pair LIMIT 1),
+            w2 AS (SELECT replace(s, ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+                                     ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s, cnt FROM w1),
+            p3 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w2),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc3 AS (SELECT pair, SUM(cnt) AS c FROM p3 GROUP BY pair),
+            b3 AS (SELECT pair, c FROM pc3 ORDER BY c DESC, pair LIMIT 1)
+            SELECT CAST(0 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b1
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), pair, replace(pair, ' ', ''), CAST(c AS BIGINT) FROM b2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(c AS BIGINT) FROM b3
         """,
         # word2phrase: same tokenization + bigram windows as the ngram
         # oracle; the phrase decision is one exact-integer comparison

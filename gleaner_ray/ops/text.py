@@ -41,6 +41,7 @@ __all__ = [
     "add_text_ops",
     "ngram_top_k",
     "phrase_detect",
+    "bpe_train",
     "pii_redact",
     "length_quantile_filter",
     "source_gate",
@@ -726,6 +727,102 @@ def ngram_top_k(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): ``merges``
+    rounds of (count all adjacent symbol pairs over the distinct-word
+    vocabulary, weighted by word frequency) -> (merge the most frequent
+    pair everywhere, left-to-right non-overlapping). Extends the
+    single-round ``bpe_pair_counts`` into the real training loop.
+
+    Returns the tiny merge table (round, pair, merged, cnt) — what a
+    tokenizer build actually persists.
+
+    Distributed shape: ONE corpus pass builds the distinct-word count
+    table (key-width groupby-Sum — the corpus itself never shuffles
+    again); each round is one streaming pair-count pass over the
+    (bounded, vocabulary-sized) word table + a tiny per-block top-1
+    reduce + a broadcast ``str.replace`` merge, materialized per round
+    (Pregel-checkpoint seam).
+
+    Oracle-parity device: words are carried as double-space-padded
+    symbol strings (``'  x  y  '``), so one merge is literally
+    ``s.replace(' x  y ', ' xy ')`` — Python and DuckDB ``replace``
+    share left-to-right non-overlapping scan-the-original semantics
+    (parity pinned by tests incl. runs/adjacency/boundary cases), and
+    the double separator makes token-internal matches impossible while
+    adjacent merge sites still all match."""
+    from ray.data.aggregate import Sum
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [(t or "").lower().split() for t in df["text"]]
+        from itertools import chain
+
+        vc = pd.Series(list(chain.from_iterable(toks)), dtype="object").value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(), "cnt": vc.to_numpy(dtype="int64")})
+
+    words = (
+        ds.map_batches(word_partial, batch_format="pandas", concurrency=concurrency)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        # '  '.join over a str iterates codepoints -> initial char symbols
+        s = df["word"].map(lambda w: "  " + "  ".join(w) + "  ")
+        return pd.DataFrame({"s": s, "cnt": df["cnt"].astype("int64")})
+
+    cur = words.map_batches(pad, batch_format="pandas").materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sym_lists = [[x for x in s.split("  ") if x] for s in df["s"]]
+        lens = np.fromiter((len(t) for t in sym_lists), dtype=np.int64, count=len(sym_lists))
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame({"pair": pd.Series(dtype="object"), "c": pd.Series(dtype="int64")})
+        from itertools import chain
+
+        flat = np.fromiter(chain.from_iterable(sym_lists), dtype=object, count=total)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        m = total - 1
+        valid = row_idx[:m] == row_idx[1:]
+        if not valid.any():
+            return pd.DataFrame({"pair": pd.Series(dtype="object"), "c": pd.Series(dtype="int64")})
+        pairs = pd.Series(flat[:m], dtype="object").str.cat(pd.Series(flat[1:], dtype="object"), sep=" ")
+        w = df["cnt"].to_numpy(np.int64)[row_idx[:m]]
+        g = pd.DataFrame({"pair": pairs[valid], "c": w[valid]}).groupby("pair", as_index=False)["c"].sum()
+        return g
+
+    def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(["c", "pair"], ascending=[False, True]).head(1)
+
+    hist = []
+    for r in range(merges):
+        partial_tops = (
+            cur.map_batches(pair_partial, batch_format="pandas", concurrency=concurrency)
+            .groupby("pair")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(local_top1, batch_format="pandas")
+            .take_all()
+        )
+        if not partial_tops:
+            break
+        best = min(partial_tops, key=lambda row: (-row["c"], row["pair"]))
+        pair, cnt = best["pair"], int(best["c"])
+        merged = pair.replace(" ", "")
+        hist.append({"round": r, "pair": pair, "merged": merged, "cnt": cnt})
+        old = " " + pair.replace(" ", "  ") + " "
+        new = " " + merged + " "
+
+        def apply_merge(df: pd.DataFrame, _old=old, _new=new) -> pd.DataFrame:
+            return pd.DataFrame({"s": df["s"].str.replace(_old, _new, regex=False), "cnt": df["cnt"]})
+
+        cur = cur.map_batches(apply_merge, batch_format="pandas").materialize()
+    out = pd.DataFrame(hist, columns=["round", "pair", "merged", "cnt"])
+    return out.astype({"round": "int64", "cnt": "int64"}) if len(out) else out
 
 
 def _split_bigram_stage(min_count: int):

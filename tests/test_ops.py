@@ -641,6 +641,33 @@ class TestTextOps:
         assert out.alpha_word_frac[5] == 26 / 30 and out.symbol_ratio[5] == 4 / 30
         assert out.n_words[0] == 0 and out.mean_word_len[0] == 0.0
 
+    def test_bpe_train_merge_semantics(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import bpe_train
+
+        # 'aaab' x4 forces merge 0 = 'a a' applied left-to-right
+        # (aaa -> (aa)a, NOT a(aa)); then 'aa a' wins round 1 inside
+        # aaab; runs, adjacency and boundary safety all exercised
+        rows = [
+            {"doc_id": 0, "text": "aaab aaab"},
+            {"doc_id": 1, "text": "aaab aaab xyxy"},
+            {"doc_id": 2, "text": "ba xy"},
+        ]
+        out = bpe_train(rd.from_items(rows), merges=3)
+        # round 0: 'a a' counts overlapping occurrences (2 per aaab) x4 = 8
+        # round 1: 'aa a' and 'a b' tie at 4 -> lexicographic min 'a b' wins
+        # round 2: aaab is now 'aa ab' -> pair 'aa ab' (4) beats 'x y' (3)
+        assert out["pair"].tolist() == ["a a", "a b", "aa ab"]
+        assert out["merged"].tolist() == ["aa", "ab", "aaab"]
+        assert out["cnt"].tolist() == [8, 4, 4]
+        # replace-semantics parity with the oracle device is pinned by
+        # the same padded strings through DuckDB's replace()
+        py = "  a  a  a  b  ".replace(" a  a ", " aa ")
+        db = duckdb.sql("SELECT replace('  a  a  a  b  ', ' a  a ', ' aa ')").fetchone()[0]
+        assert py == db == "  aa  a  b  "
+
     def test_chunk_windows_edges(self, ray_session):
         import ray.data as rd
 

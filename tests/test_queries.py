@@ -152,6 +152,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_repetition",
         "text_gopher",
         "text_phrases",
+        "text_bpe_train",
         "text_ngram_topk",
         "text_blocklist",
         "text_pii_redact",
