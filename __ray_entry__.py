@@ -446,6 +446,12 @@ def _q_crawl_title_dups(sf_dir: str):
     return duplicate_titles(_graph_pages(sf_dir))
 
 
+def _q_crawl_url_templates(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import url_templates
+
+    return url_templates(_graph_pages(sf_dir).select_columns(["url"]))
+
+
 def _knn_queries(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -640,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicate <title> detection (soft-dup signal cheaper than body
         # hashing): distinct-title exchange with Sum/Min combine
         "crawl_title_dups": _q_crawl_title_dups,
+        # URL template mining / spider-trap detection: row-local regex
+        # template collapse, ONE template-vocabulary-sized exchange
+        "crawl_url_templates": _q_crawl_url_templates,
         # per-source expanded-@type inventory: the JSON-LD 1.1 expansion
         # engine distributed as an actor-pool stage; tiny (source, type)
         # groupby-sum, payloads never shuffle
@@ -1307,6 +1316,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src AS url_a, a.dst AS url_b
             FROM links a JOIN links b ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
+        """,
+        # URL template mining: the identical 6-step regexp_replace chain
+        # as the engine's _TPL_CHAIN (digit segments twice — consecutive
+        # segments share a slash — then end-of-path, then hex)
+        "crawl_url_templates": f"""
+            WITH t AS (SELECT url,
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(url, '/[0-9]+/', '/{{n}}/', 'g'),
+                  '/[0-9]+/', '/{{n}}/', 'g'),
+                 '/[0-9]+$', '/{{n}}'),
+                '/[0-9a-f]{{8,}}/', '/{{x}}/', 'g'),
+               '/[0-9a-f]{{8,}}/', '/{{x}}/', 'g'),
+              '/[0-9a-f]{{8,}}$', '/{{x}}') AS template,
+              regexp_extract(url, '^https://([^/]+)/', 1) AS host
+             FROM {pages})
+            SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   COUNT(*) >= 1000 AS trap
+            FROM t GROUP BY host, template
         """,
         "crawl_title_dups": f"""
             WITH t AS (

@@ -44,7 +44,15 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["recrawl_snapshot", "change_detect", "priority_update", "host_stats", "mirror_hosts", "duplicate_titles"]
+__all__ = [
+    "recrawl_snapshot",
+    "change_detect",
+    "priority_update",
+    "host_stats",
+    "mirror_hosts",
+    "duplicate_titles",
+    "url_templates",
+]
 
 _HOST_RE = r"^https://([^/]+)/"
 _HASH_KEY = "chg_detect_key!!"  # 16-byte siphash key, both sides + oracle-free
@@ -666,3 +674,61 @@ def duplicate_titles(pages_ds):
         return t.filter(pc.greater(t.column("n_pages"), _pa.scalar(1)))
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+# URL-template normalization chain (spider-trap / URL-explosion mining).
+# RE2-compatible, no lookaround: consecutive variable segments share
+# their '/' so each segment pattern is applied TWICE (the second pass
+# catches the odd positions the first one's consumed slash skipped) —
+# both engines run the identical fixed chain, so templates are
+# byte-identical. Digits collapse first; the hex rule then only sees
+# letter-bearing segments.
+_TPL_CHAIN = (
+    (r"/[0-9]+/", "/{n}/"),
+    (r"/[0-9]+/", "/{n}/"),
+    (r"/[0-9]+$", "/{n}"),
+    (r"/[0-9a-f]{8,}/", "/{x}/"),
+    (r"/[0-9a-f]{8,}/", "/{x}/"),
+    (r"/[0-9a-f]{8,}$", "/{x}"),
+)
+
+
+def url_templates(pages_ds, trap_threshold: int = 1000):
+    """URL template mining — the crawler's spider-trap / URL-explosion
+    detector (infinite calendars, session ids, pagination): collapse
+    numeric and long-hex path segments into placeholders and count URLs
+    per (host, template). A template whose URL count reaches
+    ``trap_threshold`` marks a likely crawl trap the frontier should
+    budget-cap (the link-structure complement of
+    ``ops/sampling.domain_cap``'s per-domain quota).
+
+    Scale shape: template extraction is row-local C-regex passes; the
+    only exchange is the (host, template)-keyed Sum of per-batch
+    partial counts — template-vocabulary-sized, never per-URL."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["url"]
+        for pat, repl in _TPL_CHAIN:
+            t = t.str.replace(pat, repl, regex=True)
+        g = (
+            pd.DataFrame({"host": df["url"].str.extract(_HOST_RE, expand=False), "template": t})
+            .groupby(["host", "template"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    agg = (
+        pages_ds.map_batches(partial, batch_format="pandas")
+        .groupby(["host", "template"])
+        .aggregate(Sum("n", alias_name="n_urls"))
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_urls"] = df["n_urls"].astype("int64")
+        df["trap"] = df["n_urls"] >= trap_threshold
+        return df
+
+    return agg.map_batches(flag, batch_format="pandas")

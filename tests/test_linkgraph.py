@@ -329,3 +329,25 @@ class TestAnchorsAndPairs:
         assert len(df) == 1
         r = df.iloc[0]
         assert r["title"] == "Same" and r["n_pages"] == 2 and r["first_url"] == "https://h1.org/a"
+
+    def test_url_templates_trap_detection(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import url_templates
+
+        rows = (
+            [{"url": "https://h1.org/cal/%d/%d/item" % (2020 + i % 3, i)} for i in range(6)]
+            + [{"url": "https://h1.org/p/deadbeef0123"}]  # long hex segment
+            + [{"url": "https://h1.org/about"}]  # no variable segment
+            + [{"url": "https://h2.org/x/7"}]  # numeric at end-of-path
+        )
+        df = url_templates(rd.from_items(rows), trap_threshold=6).to_pandas()
+        t = df.set_index("template")
+        # consecutive numeric segments both collapse (the double pass)
+        assert t.loc["https://h1.org/cal/{n}/{n}/item", "n_urls"] == 6
+        assert bool(t.loc["https://h1.org/cal/{n}/{n}/item", "trap"])
+        assert t.loc["https://h1.org/p/{x}", "n_urls"] == 1
+        assert t.loc["https://h1.org/about", "n_urls"] == 1
+        assert t.loc["https://h2.org/x/{n}", "n_urls"] == 1
+        assert not t.loc["https://h1.org/about", "trap"]
+        assert set(df.host) == {"h1.org", "h2.org"}

@@ -236,6 +236,7 @@ def test_oracle_checked_small(contract, name):
         "graph_anchor_text",
         "graph_reciprocal",
         "crawl_title_dups",
+        "crawl_url_templates",
         "crawl_type_profile",
         "crawl_boilerplate",
         "crawl_visible_text",
