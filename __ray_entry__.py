@@ -446,6 +446,12 @@ def _q_crawl_title_dups(sf_dir: str):
     return duplicate_titles(_graph_pages(sf_dir))
 
 
+def _q_graph_host_rank(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_rank(_graph_pages(sf_dir), iters=2)
+
+
 def _q_crawl_url_templates(sf_dir: str):
     from gleaner_ray.pipelines.recrawl import url_templates
 
@@ -625,6 +631,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # L1 renormalization per half-step; broadcast half-steps under
         # the node bound, join half-steps above (equality-tested)
         "graph_hits": _q_graph_hits,
+        # site-level weighted PageRank over the host graph (Common-Crawl
+        # style host ranks): host_edges bounds the exchange at O(hosts^2),
+        # rounds run on the bounded host table
+        "graph_host_rank": _q_graph_host_rank,
         # rank -> crawl priority tier (integer thresholds vs uniform mass):
         # the link-structure twin of crawl_priority_update
         "graph_rank_priority": _q_graph_rank_priority,
@@ -1426,6 +1436,34 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes nd LEFT JOIN h2r ON nd.url = h2r.url)
             SELECT a2.url, CAST(a2.v AS BIGINT) AS auth_fp, CAST(h2.v AS BIGINT) AS hub_fp
             FROM a2 JOIN h2 ON a2.url = h2.url
+        """,
+        # weighted host-level PageRank (k=2): per-unit-link contribution
+        # r(u) // W(u) floored BEFORE the weight multiply, exactly as the
+        # engine computes it — all int64 floor arithmetic, hash-exact
+        "graph_host_rank": f"""
+            WITH l0 AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            he AS (SELECT split_part(src, '/', 3) AS sh, split_part(dst, '/', 3) AS dh,
+                          COUNT(*) AS w
+                   FROM l0 GROUP BY 1, 2),
+            crawled AS (SELECT DISTINCT split_part(url, '/', 3) AS h FROM {pages}),
+            e AS (SELECT sh, dh, w FROM he WHERE dh IN (SELECT h FROM crawled)),
+            n AS (SELECT COUNT(*) AS n FROM crawled),
+            ws AS (SELECT sh, SUM(w) AS wt FROM e GROUP BY sh),
+            r0 AS (SELECT h, 1000000000000000 // (SELECT n FROM n) AS r FROM crawled),
+            i0 AS (SELECT e.dh AS h, SUM((r0.r // ws.wt) * e.w) AS s
+                   FROM e JOIN ws ON e.sh = ws.sh JOIN r0 ON r0.h = e.sh GROUP BY e.dh),
+            r1 AS (SELECT c.h, (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i0.s, 0)) // 20 AS r
+                   FROM crawled c LEFT JOIN i0 ON c.h = i0.h),
+            i1 AS (SELECT e.dh AS h, SUM((r1.r // ws.wt) * e.w) AS s
+                   FROM e JOIN ws ON e.sh = ws.sh JOIN r1 ON r1.h = e.sh GROUP BY e.dh),
+            r2 AS (SELECT c.h, (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i1.s, 0)) // 20 AS r
+                   FROM crawled c LEFT JOIN i1 ON c.h = i1.h)
+            SELECT h AS host, CAST(r AS BIGINT) AS rank_fp FROM r2
         """,
         # same k=2 recurrence + integer tier thresholds vs uniform mass
         "graph_rank_priority": f"""

@@ -58,6 +58,7 @@ __all__ = [
     "reciprocal_links",
     "indegree",
     "host_edges",
+    "host_rank",
     "pagerank_int",
     "hits_int",
     "HITS_BASE",
@@ -292,6 +293,60 @@ def host_edges(pages: rd.Dataset) -> rd.Dataset:
 
     parts = edges.map_batches(partial, batch_format="pandas")
     return parts.groupby(["src_host", "dst_host"]).aggregate(Sum("n_links", alias_name="n_links"))
+
+
+def host_rank(pages: rd.Dataset, iters: int = 2, base: int = PAGERANK_BASE) -> pd.DataFrame:
+    """Site-level PageRank over the weighted host graph — the
+    Common-Crawl-style host ranking a frontier planner uses to budget
+    whole sites (the host-granularity twin of ``pagerank_int``):
+
+        r_0(h)     = base // N_hosts
+        c(u -> v)  = (r_t(u) // W(u)) * w(u, v)   (W = total out-weight)
+        r_{t+1}(v) = (3*base) // (20*N) + (17 * sum_in c) // 20
+
+    All int64 floor arithmetic — order-independent, oracle-exact.
+    Edges whose target host has no crawled page are masked (the same
+    dst-resolution rule as ``pagerank_int``); intra-host self-loops are
+    kept (internal navigation mass stays home, both engines agree).
+
+    Scale shape: ``host_edges`` already reduces the edge set to
+    O(hosts^2) weighted rows and this op's only other exchange is the
+    distinct-host reduce, so rounds run on the driver over the bounded
+    host table (~10^8 hosts on the full web: the int64 rank vector is
+    0.8 GB — driver-sized; beyond, the rounds switch to the
+    ``_pagerank_join`` shape on (host, rank) datasets, the documented
+    seam)."""
+    edges = host_edges(pages).to_pandas()  # bounded: O(hosts^2) weighted rows
+
+    def host_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": _host_of(df["url"]).drop_duplicates()})
+
+    crawled = np.asarray(
+        sorted(
+            pages.select_columns(["url"])
+            .map_batches(host_partial, batch_format="pandas")
+            .unique("host")
+        ),
+        dtype=object,
+    )
+    n = len(crawled)
+    if n == 0:
+        return pd.DataFrame({"host": pd.Series(dtype=object), "rank_fp": pd.Series(dtype="int64")})
+    idx = {h: i for i, h in enumerate(crawled)}
+    mask = edges["dst_host"].isin(idx).to_numpy()
+    si = edges["src_host"][mask].map(idx).to_numpy(dtype=np.int64)
+    di = edges["dst_host"][mask].map(idx).to_numpy(dtype=np.int64)
+    w = edges["n_links"].to_numpy(np.int64)[mask]
+    wsum = np.zeros(n, dtype=np.int64)
+    np.add.at(wsum, si, w)
+    tele = (3 * base) // (20 * n)
+    ranks = np.full(n, base // n, dtype=np.int64)
+    for _ in range(iters):
+        per_unit = np.where(wsum > 0, ranks // np.maximum(wsum, 1), 0)
+        incoming = np.zeros(n, dtype=np.int64)
+        np.add.at(incoming, di, per_unit[si] * w)
+        ranks = tele + (17 * incoming) // 20
+    return pd.DataFrame({"host": crawled, "rank_fp": ranks})
 
 
 # nodes above this count stop broadcasting the per-round value column

@@ -229,6 +229,7 @@ def test_oracle_checked_small(contract, name):
         "graph_indegree",
         "graph_pagerank",
         "graph_hits",
+        "graph_host_rank",
         "graph_rank_priority",
         "graph_discovered",
         "graph_components",
