@@ -659,6 +659,36 @@ class _NgramPartial:
 _DRIVER_GRAMS = 5_000_000
 
 
+def _fold_counts(ds_partials, cap: int, key: str = "ngram", val: str = "cnt"):
+    """Stream bounded per-batch (key, count) partial tables to the driver
+    and fold them exactly (counts commute, so the fold equals the
+    distributed groupby-Sum): batches concatenate into a buffer that is
+    compacted with a vectorized pandas groupby-sum whenever it tops
+    ``cap`` rows. Returns the merged table, or None the moment the
+    *distinct*-key count itself exceeds ``cap`` — the caller then falls
+    back to the distributed reduce. Driver memory is bounded by
+    ~2 x cap rows at all times."""
+    frames: list = []
+    buffered = 0
+
+    def compact(fr):
+        return pd.concat(fr, ignore_index=True).groupby(key, as_index=False, sort=False)[val].sum()
+
+    for b in ds_partials.iter_batches(batch_format="pandas"):
+        if not len(b):
+            continue
+        frames.append(b[[key, val]])
+        buffered += len(b)
+        if buffered > cap:
+            c = compact(frames)
+            if len(c) > cap:
+                return None  # vocabulary too wide for the driver
+            frames, buffered = [c], len(c)
+    if not frames:
+        return pd.DataFrame({key: pd.Series(dtype="object"), val: pd.Series(dtype="int64")})
+    return compact(frames)
+
+
 def ngram_top_k(
     ds,
     n: int = 2,
@@ -686,30 +716,10 @@ def ngram_top_k(
 
     empty = pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
 
-    # driver fold: stream bounded partial tables, compact with a
-    # vectorized pandas groupby-sum whenever the buffer tops the cap
-    frames: list | None = []
-    buffered = 0
-
-    def compact(fr):
-        g = pd.concat(fr, ignore_index=True).groupby("ngram", as_index=False, sort=False)["cnt"].sum()
-        return g
-
-    for b in make_partials().iter_batches(batch_format="pandas"):
-        if not len(b):
-            continue
-        frames.append(b[["ngram", "cnt"]])
-        buffered += len(b)
-        if buffered > driver_grams:
-            c = compact(frames)
-            if len(c) > driver_grams:
-                frames = None  # vocabulary too wide: distributed reduce below
-                break
-            frames, buffered = [c], len(c)
-    if frames is not None:
-        if not frames:
+    merged = _fold_counts(make_partials(), driver_grams)
+    if merged is not None:
+        if merged.empty:
             return empty
-        merged = compact(frames)
     else:
         totals = make_partials().groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
 
@@ -850,6 +860,7 @@ def phrase_detect(
     threshold: int = 100,
     concurrency: int = 2,
     num_partitions: int | None = None,
+    driver_vocab: int = _DRIVER_GRAMS,
 ):
     """word2phrase collocation detection (Mikolov et al. 2013, §4):
     a bigram (a, b) is a phrase iff
@@ -864,31 +875,86 @@ def phrase_detect(
 
     Shape: the ``_NgramPartial`` pass runs once for unigrams and once
     for bigrams (bounded per-batch partial count tables, never the
-    exploded grams); each reduce is ONE key-width groupby-Sum; the
-    total token count N is a scalar aggregate of the unigram table; the
-    bigram table is min_count-filtered BEFORE its two key-width hash
-    joins against the unigram vocabulary. The corpus itself is never
-    shuffled. Returns a Dataset of
+    exploded grams); the corpus itself is never shuffled. The reduces
+    are tiered like ``ngram_top_k``: (1) both count tables fold on the
+    driver while they stay under ``driver_vocab`` distinct keys — the
+    score is then exact local arithmetic with zero shuffles; (2) if only
+    the bigram table overflows, it reduces with one key-width
+    groupby-Sum and the (bounded) unigram vocabulary broadcasts once via
+    ``ray.put`` into a ``_PhraseScore`` actor pool — still no join
+    shuffle; (3) if even the unigram vocabulary overflows the driver,
+    the bigram table is min_count-filtered and hash-joined twice against
+    the distributed vocabulary (the fully general path). Returns
     (bigram, c_ab, c_a, c_b, is_phrase)."""
     import numpy as np
+    import ray
+    import ray.data
     from ray.data.aggregate import Sum
 
     from gleaner_ray.cluster import cluster_cpus
 
+    def partials(n: int):
+        return ds.map_batches(
+            _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
+        )
+
+    uni_df = _fold_counts(partials(1), driver_vocab)
+    if uni_df is not None:
+        n_total = int(uni_df["cnt"].sum())
+        lookup = uni_df.set_index("ngram")["cnt"]
+        bi_df = _fold_counts(partials(2), driver_vocab)
+        if bi_df is not None:
+            # tier 1: everything bounded — exact driver arithmetic
+            bi_df = bi_df[bi_df["cnt"] >= min_count]
+            if bi_df.empty:
+                return ray.data.from_pandas(_phrase_empty())
+            parts = bi_df["ngram"].str.partition(" ")
+            # both tokens of a counted bigram exist in the unigram vocab
+            # by construction, so reindex never produces NaN
+            c_ab = bi_df["cnt"].to_numpy(np.int64)
+            c_a = lookup.reindex(parts[0]).to_numpy(np.int64)
+            c_b = lookup.reindex(parts[2]).to_numpy(np.int64)
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "bigram": bi_df["ngram"].to_numpy(),
+                        "c_ab": c_ab,
+                        "c_a": c_a,
+                        "c_b": c_b,
+                        "is_phrase": (c_ab - delta) * n_total >= threshold * c_a * c_b,
+                    }
+                )
+            )
+        # tier 2: wide bigram table, bounded vocab — distributed reduce,
+        # broadcast-vocab score (no join shuffle)
+        vocab_ref = ray.put(lookup)
+        return (
+            partials(2)
+            .groupby("ngram")
+            .aggregate(Sum("cnt", alias_name="c_ab"))
+            .map_batches(_split_bigram_stage(min_count), batch_format="pandas")
+            .map_batches(
+                _PhraseScore,
+                fn_constructor_kwargs={
+                    "vocab_ref": vocab_ref,
+                    "n_total": n_total,
+                    "delta": delta,
+                    "threshold": threshold,
+                },
+                batch_format="pandas",
+                concurrency=concurrency,
+            )
+        )
+
+    # tier 3: even the unigram vocabulary overflows the driver — fully
+    # distributed two-join path
     width = num_partitions or max(8, cluster_cpus(8) // 4)
     uni = (
-        ds.map_batches(
-            _NgramPartial, fn_constructor_kwargs={"n": 1}, batch_format="pandas", concurrency=concurrency
-        )
-        .groupby("ngram")
-        .aggregate(Sum("cnt", alias_name="c"))
-        .materialize()  # consumed twice: scalar N + the vocabulary joins
-    )
+        partials(1).groupby("ngram").aggregate(Sum("cnt", alias_name="c")).materialize()
+    )  # consumed twice: scalar N + the vocabulary joins
     n_total = int(uni.sum("c") or 0)
     bi = (
-        ds.map_batches(
-            _NgramPartial, fn_constructor_kwargs={"n": 2}, batch_format="pandas", concurrency=concurrency
-        )
+        partials(2)
         .groupby("ngram")
         .aggregate(Sum("cnt", alias_name="c_ab"))
         .map_batches(_split_bigram_stage(min_count), batch_format="pandas")
@@ -923,6 +989,51 @@ def phrase_detect(
         )
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+def _phrase_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bigram": pd.Series(dtype="object"),
+            "c_ab": pd.Series(dtype="int64"),
+            "c_a": pd.Series(dtype="int64"),
+            "c_b": pd.Series(dtype="int64"),
+            "is_phrase": pd.Series(dtype="bool"),
+        }
+    )
+
+
+class _PhraseScore:
+    """Actor stage scoring min_count-filtered bigram rows against the
+    broadcast unigram vocabulary: ``ray.get`` + index build happen ONCE
+    per actor in ``__init__`` (never per batch); ``__call__`` is a
+    vectorized reindex + int64 cross-multiplied phrase decision."""
+
+    def __init__(self, vocab_ref, n_total: int, delta: int, threshold: int):
+        import ray
+
+        self.lookup = ray.get(vocab_ref)
+        self.n_total = int(n_total)
+        self.delta = int(delta)
+        self.threshold = int(threshold)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if df.empty:
+            return _phrase_empty()
+        c_ab = df["c_ab"].to_numpy(np.int64)
+        c_a = self.lookup.reindex(df["a"]).to_numpy(np.int64)
+        c_b = self.lookup.reindex(df["b"]).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bigram": df["ngram"].to_numpy(),
+                "c_ab": c_ab,
+                "c_a": c_a,
+                "c_b": c_b,
+                "is_phrase": (c_ab - self.delta) * self.n_total >= self.threshold * c_a * c_b,
+            }
+        )
 
 
 def add_text_ops(ds, op: str, **kwargs):

@@ -220,6 +220,35 @@ class TestNearDup:
         df_dist = ngram_top_k(rd.from_items(rows), n=2, k=3, driver_grams=0)
         assert df.equals(df_dist)
 
+    def test_phrase_detect_tier_parity(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import phrase_detect
+
+        rows = [
+            {"doc_id": 1, "text": "a b a c"},  # bigrams: "a b" "b a" "a c"
+            {"doc_id": 2, "text": "b a a"},    # bigrams: "b a" "a a"
+        ]
+        # 3 distinct unigrams, 4 distinct bigrams: driver_vocab=3 folds
+        # the unigram vocab but overflows the bigram table (tier 2);
+        # driver_vocab=0 overflows both (tier 3 distributed joins)
+        def run(**kw):
+            out = phrase_detect(
+                rd.from_items(rows), min_count=1, delta=0, threshold=1, **kw
+            ).to_pandas()
+            return out.sort_values("bigram", ignore_index=True)
+
+        t1 = run()                  # tier 1: full driver fold
+        t2 = run(driver_vocab=3)    # tier 2: broadcast-vocab actor score
+        t3 = run(driver_vocab=0)    # tier 3: two-join fallback
+        assert list(t1["bigram"]) == ["a a", "a b", "a c", "b a"]
+        # exact word2phrase decision: (c_ab - 0) * N >= 1 * c_a * c_b, N=7
+        got = dict(zip(t1["bigram"], t1["is_phrase"]))
+        assert got == {"a a": False, "a b": False, "a c": True, "b a": True}
+        for other in (t2, t3):
+            pd_sorted = other[t1.columns]
+            assert t1.equals(pd_sorted), f"tier mismatch:\n{t1}\nvs\n{pd_sorted}"
+
     def test_decontaminate_flags_overlap(self, ray_session):
         import ray.data as rd
 
