@@ -861,6 +861,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # graded novelty vs the benchmark slice: fraction of each doc's
+        # DISTINCT 5-shingles absent from the bench set (same broadcast
+        # probe as decontaminate; counts + one float64 division)
+        "text_novelty": lambda sf: dd.novelty_scores(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # FUZZY decontamination: flag only docs whose shingle-Jaccard
         # with some benchmark doc is >= 0.8 (near-dup contamination, not
         # any single shared n-gram). Bench LSH index + shingle sets are
@@ -2320,6 +2329,38 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT DISTINCT g.doc_id FROM sh g JOIN b ON g.s = b.s)
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        # novelty oracle: per-doc DISTINCT shingle count + bench-hit count,
+        # novelty = (ns - nh) / ns as one double division (bit-identical to
+        # the engine's numpy expression); shingle CASE mirrors
+        # _shingle_hashes_batch (empty -> none, < 5 tokens -> whole doc)
+        "text_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+              FROM toks),
+            flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            b AS (SELECT DISTINCT s FROM flat WHERE doc_id < 20),
+            sizes AS (SELECT doc_id, count(*) AS ns FROM flat GROUP BY 1),
+            hits AS (SELECT f.doc_id, count(*) AS nh FROM flat f JOIN b USING (s)
+                     GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sizes.ns, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_hit,
+                   CASE WHEN COALESCE(sizes.ns, 0) = 0 THEN 1.0
+                        ELSE (sizes.ns - COALESCE(hits.nh, 0)) / CAST(sizes.ns AS DOUBLE)
+                   END AS novelty
+            FROM documents d
+            LEFT JOIN sizes USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
         """,
         # corpus_prep oracle: the same signal expressions as text_quality /
         # text_langid / fingerprint_md5, composed (langid SQL nests as a CTE)

@@ -967,17 +967,11 @@ def embedding_near_dup(
     return paired.map_batches(verify, batch_format="pandas")
 
 
-def decontaminate(ds, bench_ds, shingle_k: int = 5):
-    """Benchmark decontamination: flag documents sharing ANY word
-    k-shingle with a benchmark corpus (the standard training-data
-    hygiene step — GPT-3 Appendix C / Gopher A.2 style n-gram overlap).
-
-    Scale shape: benchmark corpora are small by definition, so the
-    benchmark's distinct shingle-hash set is collected once (bounded by
-    the benchmark size, never the corpus), broadcast via ``ray.put``,
-    and every corpus batch probes it with a vectorized searchsorted —
-    the corpus is never shuffled and nothing corpus-sized reaches the
-    driver. Returns (doc_id, contaminated) for every document."""
+def _bench_shingle_ref(bench_ds, shingle_k: int):
+    """Collect the benchmark corpus's distinct shingle-hash set (sorted
+    int64, bounded by the benchmark size — never the corpus) and
+    broadcast it once via ``ray.put``. Shared by ``decontaminate`` and
+    ``novelty_scores``."""
     import ray as _ray
 
     def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
@@ -996,7 +990,23 @@ def decontaminate(ds, bench_ds, shingle_k: int = 5):
     bench_arr = (
         np.unique(np.concatenate(parts).astype(np.int64)) if parts else np.zeros(0, np.int64)
     )
-    bench_ref = _ray.put(bench_arr)
+    return _ray.put(bench_arr)
+
+
+def decontaminate(ds, bench_ds, shingle_k: int = 5):
+    """Benchmark decontamination: flag documents sharing ANY word
+    k-shingle with a benchmark corpus (the standard training-data
+    hygiene step — GPT-3 Appendix C / Gopher A.2 style n-gram overlap).
+
+    Scale shape: benchmark corpora are small by definition, so the
+    benchmark's distinct shingle-hash set is collected once (bounded by
+    the benchmark size, never the corpus), broadcast via ``ray.put``,
+    and every corpus batch probes it with a vectorized searchsorted —
+    the corpus is never shuffled and nothing corpus-sized reaches the
+    driver. Returns (doc_id, contaminated) for every document."""
+    import ray as _ray
+
+    bench_ref = _bench_shingle_ref(bench_ds, shingle_k)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         arr = _ray.get(bench_ref)
@@ -1017,6 +1027,63 @@ def decontaminate(ds, bench_ds, shingle_k: int = 5):
             {
                 "doc_id": np.asarray(df["doc_id"], dtype=np.int64),
                 "contaminated": hit_any,
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def novelty_scores(ds, bench_ds, shingle_k: int = 5):
+    """Continuous novelty scoring against a benchmark/reference corpus:
+    for every document, the fraction of its DISTINCT word k-shingles
+    NOT present in the benchmark's shingle set — the graded companion
+    to ``decontaminate``'s boolean flag (rank documents by how much new
+    content they add vs a held-out set / previous snapshot, the
+    "novelty" selection signal of data-curation pipelines; cf. GPT-3
+    Appendix C overlap *fractions*). A document with no shingles scores
+    novelty 1.0.
+
+    Scale shape: identical to ``decontaminate`` — the benchmark shingle
+    set broadcasts once via ``ray.put``, every corpus batch probes it
+    with one vectorized searchsorted; per-document DISTINCT shingle
+    counts come from one lexsort over the batch's (row, hash) pairs +
+    bincount segment sums (no per-document Python loop, no shuffle,
+    nothing corpus-sized on the driver). Returns
+    (doc_id, n_shingles, n_hit, novelty)."""
+    import ray as _ray
+
+    bench_ref = _bench_shingle_ref(bench_ds, shingle_k)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        arr = _ray.get(bench_ref)
+        sh_list = _shingle_hashes_batch(list(df["text"]), shingle_k)
+        nrows = len(sh_list)
+        sizes = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=nrows)
+        total = int(sizes.sum())
+        ns = np.zeros(nrows, dtype=np.int64)
+        nh = np.zeros(nrows, dtype=np.int64)
+        if total:
+            flat = np.concatenate(sh_list).view(np.int64)
+            row = np.repeat(np.arange(nrows), sizes)
+            o = np.lexsort((flat, row))
+            fr, fh = row[o], flat[o]
+            first = np.ones(total, dtype=bool)
+            first[1:] = (fr[1:] != fr[:-1]) | (fh[1:] != fh[:-1])
+            ur, uh = fr[first], fh[first]
+            ns = np.bincount(ur, minlength=nrows).astype(np.int64)
+            if len(arr):
+                idx = np.searchsorted(arr, uh)
+                hits = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == uh)
+                nh = np.bincount(ur, weights=hits, minlength=nrows).astype(np.int64)
+        # (ns - nh) / ns in float64 — the exact expression the SQL oracle
+        # uses, so the doubles are bit-identical
+        novelty = np.where(ns > 0, (ns - nh) / np.maximum(ns, 1), 1.0)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(df["doc_id"], dtype=np.int64),
+                "n_shingles": ns,
+                "n_hit": nh,
+                "novelty": novelty,
             }
         )
 

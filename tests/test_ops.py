@@ -249,6 +249,35 @@ class TestNearDup:
             pd_sorted = other[t1.columns]
             assert t1.equals(pd_sorted), f"tier mismatch:\n{t1}\nvs\n{pd_sorted}"
 
+    def test_novelty_scores(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import novelty_scores
+
+        bench = rd.from_items(
+            [{"doc_id": 0, "text": "the secret benchmark question about turtles and rivers"}]
+        )
+        corpus = rd.from_items(
+            [
+                # shares exactly the 5-shingles covering "the secret
+                # benchmark question about turtles" (2 of its 4 shingles)
+                {"doc_id": 10, "text": "zz yy the secret benchmark question about turtles"},
+                {"doc_id": 11, "text": "completely unrelated corpus document with many words"},
+                {"doc_id": 12, "text": ""},  # no shingles -> novelty 1.0
+            ]
+        )
+        out = (
+            novelty_scores(corpus, bench)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 10: 8 tokens -> 4 distinct shingles, windows 3 and 4 match
+        assert out.loc[10, "n_shingles"] == 4 and out.loc[10, "n_hit"] == 2
+        assert out.loc[10, "novelty"] == 0.5
+        assert out.loc[11, "n_hit"] == 0 and out.loc[11, "novelty"] == 1.0
+        assert out.loc[12, "n_shingles"] == 0 and out.loc[12, "novelty"] == 1.0
+
     def test_decontaminate_flags_overlap(self, ray_session):
         import ray.data as rd
 
