@@ -861,6 +861,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # incremental / cross-snapshot exact dedup: flag corpus docs
+        # whose md5 digest exists in the reference slice (doc_id < 20);
+        # reference digest set broadcast, corpus never shuffled
+        "dedup_cross_corpus": lambda sf: dd.cross_corpus_dedup(
+            docs(sf),
+            docs(sf).map_batches(
+                lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+            ),
+        ),
         # graded novelty vs the benchmark slice: fraction of each doc's
         # DISTINCT 5-shingles absent from the bench set (same broadcast
         # probe as decontaminate; counts + one float64 division)
@@ -2329,6 +2338,16 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT DISTINCT g.doc_id FROM sh g JOIN b ON g.s = b.s)
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        # cross-corpus dedup oracle: digest membership in the reference
+        # slice's distinct digest set
+        "dedup_cross_corpus": r"""
+            WITH r AS (SELECT DISTINCT md5(coalesce(text,'')) AS h
+                       FROM documents WHERE doc_id < 20)
+            SELECT d.doc_id, md5(coalesce(d.text,'')) AS h,
+                   (r.h IS NULL) AS is_new
+            FROM documents d
+            LEFT JOIN r ON md5(coalesce(d.text,'')) = r.h
         """,
         # novelty oracle: per-doc DISTINCT shingle count + bench-hit count,
         # novelty = (ns - nh) / ns as one double division (bit-identical to

@@ -101,6 +101,109 @@ def exact_dedup(ds):
     return agg
 
 
+def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partitions: int | None = None):
+    """Incremental / cross-snapshot exact dedup: flag every corpus
+    document whose md5(text) digest already appears in a reference
+    corpus (previous crawl snapshot, another source, an already-curated
+    training set) — the corpus-granularity analogue of the reference's
+    skip-if-object-exists idempotency (StatObject-then-Put,
+    internal/summoner/acquire/jsonutils.go:384-388).
+
+    Dual path: the reference side's DISTINCT digest set folds to the
+    driver while it stays under ``broadcast_cap`` keys (broadcast once
+    via ``ray.put``; each corpus batch probes a sorted digest array with
+    one vectorized searchsorted — the corpus never shuffles); beyond the
+    cap both sides reduce to digest tables and exchange in ONE
+    hash-partitioned left_outer join (bounded by distinct digests plus
+    doc ids, never text payloads).
+
+    Returns (doc_id, h, is_new) for every corpus document."""
+    import ray as _ray
+    import ray.data  # noqa: F401
+
+    from gleaner_ray.cluster import cluster_cpus
+
+    def digests(d):
+        def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"], "h": [_md5(t or "") for t in batch["text"]]}
+            )
+
+        return d.map_batches(add_hash, batch_format="pandas")
+
+    def ref_distinct_local(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": batch["h"].drop_duplicates(ignore_index=True)})
+
+    ref_digests = digests(ref_ds).map_batches(ref_distinct_local, batch_format="pandas")
+
+    # driver fold of the reference digest set under the cap (exact:
+    # distinct-set union commutes)
+    seen: list = []
+    total = 0
+    folded: np.ndarray | None = np.zeros(0, dtype="U32")
+    for b in ref_digests.iter_batches(batch_format="pandas"):
+        if not len(b):
+            continue
+        seen.append(b["h"].to_numpy(dtype="U32"))
+        total += len(b)
+        if total > broadcast_cap:
+            u = np.unique(np.concatenate(seen))
+            if len(u) > broadcast_cap:
+                folded = None  # reference too wide for the driver
+                break
+            seen, total = [u], len(u)
+    if folded is not None and seen:
+        folded = np.unique(np.concatenate(seen))
+
+    if folded is not None:
+        ref_arr = np.sort(folded)
+        ref_ref = _ray.put(ref_arr)
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            arr = _ray.get(ref_ref)
+            h = np.array([_md5(t or "") for t in batch["text"]], dtype="U32")
+            if len(arr):
+                idx = np.searchsorted(arr, h)
+                dup = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == h)
+            else:
+                dup = np.zeros(len(h), dtype=bool)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(batch["doc_id"], dtype=np.int64),
+                    "h": h,
+                    "is_new": ~dup,
+                }
+            )
+
+        return ds.map_batches(probe, batch_format="pandas")
+
+    # scale fallback: digest-table left_outer join, one exchange bounded
+    # by distinct digests (the marker column flags matched rows)
+    width = num_partitions or max(8, cluster_cpus(8))
+    ref_marked = (
+        ref_digests.groupby("h")
+        .count()
+        .map_batches(
+            lambda df: pd.DataFrame({"ref_h": df["h"], "seen": np.ones(len(df), dtype=np.int8)}),
+            batch_format="pandas",
+        )
+    )
+    joined = digests(ds).join(
+        ref_marked, join_type="left_outer", num_partitions=width, on=("h",), right_on=("ref_h",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": df["h"],
+                "is_new": df["seen"].isna(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # odd multiplier for the positional-polynomial shingle combine and a
 # splitmix64 finalizer for key mixing — both pure uint64 array math
 _SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)

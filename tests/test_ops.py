@@ -278,6 +278,37 @@ class TestNearDup:
         assert out.loc[11, "n_hit"] == 0 and out.loc[11, "novelty"] == 1.0
         assert out.loc[12, "n_shingles"] == 0 and out.loc[12, "novelty"] == 1.0
 
+    def test_cross_corpus_dedup_paths_agree(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import cross_corpus_dedup
+
+        ref = rd.from_items(
+            [
+                {"doc_id": 0, "text": "already in the old snapshot"},
+                {"doc_id": 1, "text": "also old content"},
+            ]
+        )
+        corpus = rd.from_items(
+            [
+                {"doc_id": 10, "text": "already in the old snapshot"},  # dup
+                {"doc_id": 11, "text": "brand new document"},
+                {"doc_id": 12, "text": ""},
+            ]
+        )
+
+        def run(**kw):
+            return (
+                cross_corpus_dedup(corpus, ref, **kw)
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+
+        bcast = run()                  # broadcast probe path
+        joined = run(broadcast_cap=0)  # forced left_outer join fallback
+        assert list(bcast["is_new"]) == [False, True, True]
+        assert bcast[["doc_id", "h", "is_new"]].equals(joined[["doc_id", "h", "is_new"]])
+
     def test_decontaminate_flags_overlap(self, ray_session):
         import ray.data as rd
 
