@@ -446,6 +446,12 @@ def _q_crawl_title_dups(sf_dir: str):
     return duplicate_titles(_graph_pages(sf_dir))
 
 
+def _q_graph_trustrank(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.trustrank_int(_graph_pages(sf_dir), n_seeds=10, iters=2)
+
+
 def _q_graph_host_rank(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -631,6 +637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # L1 renormalization per half-step; broadcast half-steps under
         # the node bound, join half-steps above (equality-tested)
         "graph_hits": _q_graph_hits,
+        # TrustRank: seed-teleport PageRank (trusted = 10 lexicographically
+        # smallest urls), int64 fixed point, link-spam demotion signal
+        "graph_trustrank": _q_graph_trustrank,
         # site-level weighted PageRank over the host graph (Common-Crawl
         # style host ranks): host_edges bounds the exchange at O(hosts^2),
         # rounds run on the bounded host table
@@ -1418,6 +1427,44 @@ def oracle_sql() -> dict[str, str]:
                           + (17 * COALESCE(i1.s, 0)) // 20 AS r
                    FROM nodes nd LEFT JOIN i1 ON nd.url = i1.url)
             SELECT url, CAST(r AS BIGINT) AS rank_fp FROM r2
+        """,
+        # TrustRank (k=2): the pagerank recurrence with teleport and the
+        # initial rank restricted to the 10 lexicographically-smallest
+        # urls — all int64 floor arithmetic, hash-exact
+        "graph_trustrank": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            seeds AS (SELECT url FROM nodes ORDER BY url LIMIT 10),
+            ns AS (SELECT COUNT(*) AS n FROM seeds),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+            r0 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN 1000000000000000 // (SELECT n FROM ns) ELSE 0 END AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url),
+            i0 AS (SELECT l.dst AS url, SUM(r0.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r0 ON l.src = r0.url
+                   GROUP BY l.dst),
+            r1 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN (3 * 1000000000000000) // (20 * (SELECT n FROM ns)) ELSE 0 END
+                          + (17 * COALESCE(i0.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url
+                   LEFT JOIN i0 ON nd.url = i0.url),
+            i1 AS (SELECT l.dst AS url, SUM(r1.r // deg.d) AS s
+                   FROM links l JOIN deg ON l.src = deg.src JOIN r1 ON l.src = r1.url
+                   GROUP BY l.dst),
+            r2 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN (3 * 1000000000000000) // (20 * (SELECT n FROM ns)) ELSE 0 END
+                          + (17 * COALESCE(i1.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url
+                   LEFT JOIN i1 ON nd.url = i1.url)
+            SELECT url, CAST(r AS BIGINT) AS trust_fp FROM r2
         """,
         # HITS (k=2): same links CTE; per half-step the L1 total becomes
         # one integer scale divisor greatest(T // BASE, 1) — sums commute,

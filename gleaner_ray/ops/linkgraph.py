@@ -402,6 +402,57 @@ def pagerank_int(
     return _pagerank_join(node_ds, outlinks(pages), iters, tele, r0)
 
 
+def trustrank_int(
+    pages: rd.Dataset,
+    n_seeds: int = 10,
+    iters: int = 2,
+    base: int = PAGERANK_BASE,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
+) -> rd.Dataset:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    whose teleport vector is restricted to a trusted seed set — trust
+    mass flows out from the seeds along outlinks, and pages unreachable
+    from them converge to zero; the ratio trust/pagerank is the classic
+    link-spam-mass demotion signal for a crawl frontier.
+
+        r_0(u)     = base // |S|                     if u in S else 0
+        r_{t+1}(u) = [u in S] * (3*base)//(20*|S|) + (17 * sum_in r_t(v)//deg(v)) // 20
+
+    All int64 floor arithmetic (damping 17/20), so sums commute and the
+    SQL oracle hash-matches at any parallelism — the same kernel as
+    ``pagerank_int`` with per-seed teleport.
+
+    Seeds: the ``n_seeds`` lexicographically-smallest URLs (the
+    deterministic stand-in ``seed_depth`` also uses; production would
+    pass a curated whitelist). The seed list is bounded and ships by
+    closure / position array — never a shuffle.
+
+    Returns (url, trust_fp)."""
+    n_nodes = pages.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "trust_fp": pa.array([], pa.int64())})
+        )
+    node_ds = pages.select_columns(["url"])
+    seeds = _min_k_urls(node_ds, min(n_seeds, n_nodes))
+    n_s = len(seeds)
+    tele = (3 * base) // (20 * n_s)
+    r0 = base // n_s
+
+    out = None
+    if n_nodes <= broadcast_nodes:
+        out = _pagerank_broadcast(
+            pages, node_ds, n_nodes, iters, tele, r0, driver_edges, seeds=seeds
+        )
+    if out is None:
+        out = _pagerank_join(node_ds, outlinks(pages), iters, tele, r0, seeds=seeds)
+    return out.map_batches(
+        lambda df: df.rename(columns={"rank_fp": "trust_fp"}),
+        batch_format="pandas",
+    )
+
+
 def _sorted_node_hashes(node_ds, n_nodes):
     """(sorted uint64 hashes, urls aligned to that order) — or None on
     a 64-bit collision between distinct URLs (caller falls back to the
@@ -480,14 +531,26 @@ def _edge_id_stage(hashes: np.ndarray):
     return edge_ids
 
 
-def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES):
+def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES, seeds=None):
     # bounded node table -> driver-held sorted uint64 url-hashes (the
     # strings never reach the driver); the materialized int-pair edge
     # table streams through one aggregation per round emitting per-dst
-    # partials — zero shuffles per round
+    # partials — zero shuffles per round.
+    # seeds (TrustRank): teleport mass and the initial rank go ONLY to
+    # the seed nodes — tele/r0 become per-node vectors, zero elsewhere.
     hashes = _sorted_node_hash_only(node_ds)
     if hashes is None:
         return None
+    if seeds is None:
+        tele_term: "np.ndarray | int" = tele
+        init = np.full(n_nodes, r0, dtype=np.int64)
+    else:
+        spos = np.searchsorted(hashes, _hash64(np.asarray(list(seeds), dtype=object)))
+        tele_vec = np.zeros(n_nodes, dtype=np.int64)
+        tele_vec[spos] = tele
+        tele_term = tele_vec
+        init = np.zeros(n_nodes, dtype=np.int64)
+        init[spos] = r0
     h_ref = ray.put(hashes)
     edge_ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
     n_edges = edge_ids.count()  # metadata of the materialized table
@@ -498,12 +561,12 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
         si = idp["si"].to_numpy(np.int64)
         di = idp["di"].to_numpy(np.int64)
         deg = np.bincount(si, minlength=n_nodes).astype(np.int64)
-        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        ranks = init
         for _ in range(iters):
             contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
             incoming = np.zeros(n_nodes, dtype=np.int64)
             np.add.at(incoming, di, contrib[si])
-            ranks = tele + (17 * incoming) // 20
+            ranks = tele_term + (17 * incoming) // 20
     else:
         deg = np.zeros(n_nodes, dtype=np.int64)
         _merge_partials(
@@ -516,7 +579,7 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
             deg,
         )
 
-        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        ranks = init
 
         def round_fn(t: pa.Table, _c_ref) -> pa.Table:
             if t.num_rows == 0:
@@ -540,7 +603,7 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
                 "s",
                 incoming,
             )
-            ranks = tele + (17 * incoming) // 20
+            ranks = tele_term + (17 * incoming) // 20
 
     # distributed emit: ranks broadcast once, each url batch resolves
     # its own rows — output streams, no driver-built node table
@@ -557,8 +620,11 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
     return node_ds.map_batches(emit, batch_format="pyarrow")
 
 
-def _pagerank_join(node_ds, edges, iters, tele, r0):
+def _pagerank_join(node_ds, edges, iters, tele, r0, seeds=None):
     """General path: one hash join + one Sum groupby per round.
+
+    ``seeds`` (TrustRank): teleport and the initial rank apply only to
+    the (bounded, closure-shipped) seed URL set instead of every node.
 
     Each round is materialized before the next starts (the canonical
     Pregel-style iteration checkpoint): a round's plan already carries
@@ -594,10 +660,16 @@ def _pagerank_join(node_ds, edges, iters, tele, r0):
         .groupby("src")
         .aggregate(Sum("d", alias_name="d"))
     ).materialize()
-    ranks = node_ds.map_batches(
-        lambda t: pa.table({"url": t.column("url"), "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64))}),
-        batch_format="pyarrow",
-    )
+    seed_set = frozenset(seeds) if seeds is not None else None
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if seed_set is None:
+            r = np.full(len(df), r0, dtype=np.int64)
+        else:
+            r = df["url"].isin(seed_set).to_numpy(dtype=np.int64) * r0
+        return pd.DataFrame({"url": df["url"], "r": r})
+
+    ranks = node_ds.map_batches(init_ranks, batch_format="pandas")
     for _ in range(iters):
         contrib = ranks.join(deg, join_type="inner", num_partitions=width, on=("url",), right_on=("src",)).map_batches(
             lambda df: pd.DataFrame({"src": df["url"], "c": df["r"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)}),
@@ -612,13 +684,21 @@ def _pagerank_join(node_ds, edges, iters, tele, r0):
             .groupby("dst")
             .aggregate(Sum("c", alias_name="s"))
         )
-        ranks = node_ds.join(incoming, join_type="left_outer", num_partitions=width, on=("url",), right_on=("dst",)).map_batches(
-            lambda df: pd.DataFrame(
+        def apply_tele(df: pd.DataFrame) -> pd.DataFrame:
+            t = (
+                tele
+                if seed_set is None
+                else df["url"].isin(seed_set).to_numpy(dtype=np.int64) * tele
+            )
+            return pd.DataFrame(
                 {
                     "url": df["url"],
-                    "r": tele + (17 * df["s"].fillna(0).astype("int64").to_numpy(np.int64)) // 20,
+                    "r": t + (17 * df["s"].fillna(0).astype("int64").to_numpy(np.int64)) // 20,
                 }
-            ),
+            )
+
+        ranks = node_ds.join(incoming, join_type="left_outer", num_partitions=width, on=("url",), right_on=("dst",)).map_batches(
+            apply_tele,
             batch_format="pandas",
         ).materialize()
     return ranks.map_batches(

@@ -89,6 +89,31 @@ class TestPageRank:
         assert a["rank_fp"].dtype == np.int64
         pd.testing.assert_frame_equal(a, b.astype({"rank_fp": np.int64}))
 
+    def test_trustrank_seed_mass_and_path_parity(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import trustrank_int
+
+        a = (
+            trustrank_int(tiny_graph, n_seeds=2, iters=2)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        t = a.set_index("url")["trust_fp"]
+        # seeds are the 2 lexicographically-smallest urls (a, b); trust
+        # flows only along outlinks from them — f (no trusted inlinks,
+        # not a seed) converges to exactly 0
+        assert t["https://h3.org/f"] == 0
+        assert t["https://h1.org/a"] > 0 and t["https://h1.org/b"] > 0
+        # both non-broadcast fallbacks agree bit-for-bit
+        for kw in ({"broadcast_nodes": 0}, {"driver_edges": 0}):
+            b = (
+                trustrank_int(tiny_graph, n_seeds=2, iters=2, **kw)
+                .to_pandas()
+                .sort_values("url")
+                .reset_index(drop=True)[["url", "trust_fp"]]
+            )
+            pd.testing.assert_frame_equal(a, b.astype({"trust_fp": np.int64}))
+
     def test_distributed_rounds_equal_driver_rounds(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import pagerank_int
 
