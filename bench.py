@@ -256,6 +256,15 @@ def run_bench() -> dict:
             {"q1": ["fast", "window", "sort"], "q2": ["hash", "join", "merge"]},
         ).count(),
     )
+    # round-3 additions: seed-teleport TrustRank over the pages corpus
+    # and the tiered phrase-detection reduce
+    timed(
+        "graph_trustrank",
+        lambda: lg.trustrank_int(
+            rd.read_parquet(pages_dir, columns=["url", "html"]), n_seeds=10, iters=2
+        ).count(),
+    )
+    timed("text_phrases", lambda: tx.phrase_detect(docs(), threshold=1).count())
 
     result = {
         "metric": "summon_sec",
