@@ -60,6 +60,7 @@ __all__ = [
     "host_edges",
     "host_rank",
     "pagerank_int",
+    "trustrank_int",
     "hits_int",
     "HITS_BASE",
     "rank_priority",
@@ -440,16 +441,14 @@ def trustrank_int(
     tele = (3 * base) // (20 * n_s)
     r0 = base // n_s
 
-    out = None
     if n_nodes <= broadcast_nodes:
         out = _pagerank_broadcast(
-            pages, node_ds, n_nodes, iters, tele, r0, driver_edges, seeds=seeds
+            pages, node_ds, n_nodes, iters, tele, r0, driver_edges, seeds=seeds, out_col="trust_fp"
         )
-    if out is None:
-        out = _pagerank_join(node_ds, outlinks(pages), iters, tele, r0, seeds=seeds)
-    return out.map_batches(
-        lambda df: df.rename(columns={"rank_fp": "trust_fp"}),
-        batch_format="pandas",
+        if out is not None:
+            return out
+    return _pagerank_join(
+        node_ds, outlinks(pages), iters, tele, r0, seeds=seeds, out_col="trust_fp"
     )
 
 
@@ -531,7 +530,7 @@ def _edge_id_stage(hashes: np.ndarray):
     return edge_ids
 
 
-def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES, seeds=None):
+def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES, seeds=None, out_col="rank_fp"):
     # bounded node table -> driver-held sorted uint64 url-hashes (the
     # strings never reach the driver); the materialized int-pair edge
     # table streams through one aggregation per round emitting per-dst
@@ -611,16 +610,16 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
 
     def emit(t: pa.Table, _h_ref=h_ref, _r_ref=r_ref) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"url": pa.array([], pa.string()), "rank_fp": pa.array([], pa.int64())})
+            return pa.table({"url": pa.array([], pa.string()), out_col: pa.array([], pa.int64())})
         h = ray.get(_h_ref)
         r = ray.get(_r_ref)
         idx = np.searchsorted(h, _hash64(t.column("url").to_pandas()))
-        return pa.table({"url": t.column("url"), "rank_fp": pa.array(r[idx])})
+        return pa.table({"url": t.column("url"), out_col: pa.array(r[idx])})
 
     return node_ds.map_batches(emit, batch_format="pyarrow")
 
 
-def _pagerank_join(node_ds, edges, iters, tele, r0, seeds=None):
+def _pagerank_join(node_ds, edges, iters, tele, r0, seeds=None, out_col="rank_fp"):
     """General path: one hash join + one Sum groupby per round.
 
     ``seeds`` (TrustRank): teleport and the initial rank apply only to
@@ -702,7 +701,7 @@ def _pagerank_join(node_ds, edges, iters, tele, r0, seeds=None):
             batch_format="pandas",
         ).materialize()
     return ranks.map_batches(
-        lambda df: df.rename(columns={"r": "rank_fp"}), batch_format="pandas"
+        lambda df: df.rename(columns={"r": out_col}), batch_format="pandas"
     )
 
 
