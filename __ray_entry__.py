@@ -452,6 +452,12 @@ def _q_graph_trustrank(sf_dir: str):
     return lg.trustrank_int(_graph_pages(sf_dir), n_seeds=10, iters=2)
 
 
+def _q_graph_spam_mass(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.spam_mass(_graph_pages(sf_dir), n_seeds=10, iters=2)
+
+
 def _q_graph_host_rank(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -640,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TrustRank: seed-teleport PageRank (trusted = 10 lexicographically
         # smallest urls), int64 fixed point, link-spam demotion signal
         "graph_trustrank": _q_graph_trustrank,
+        # relative spam mass: (rank - trust)/rank from BOTH fixed-point
+        # walks over ONE shared edge pass (clamped at 0; one double div)
+        "graph_spam_mass": _q_graph_spam_mass,
         # site-level weighted PageRank over the host graph (Common-Crawl
         # style host ranks): host_edges bounds the exchange at O(hosts^2),
         # rounds run on the bounded host table
@@ -1465,6 +1474,63 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url
                    LEFT JOIN i1 ON nd.url = i1.url)
             SELECT url, CAST(r AS BIGINT) AS trust_fp FROM r2
+        """,
+        # spam mass (k=2): both unrolled recurrences over the same links
+        # CTE; spam = greatest(rank-trust,0)/greatest(rank,1) as the one
+        # double division the engine computes
+        "graph_spam_mass": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            seeds AS (SELECT url FROM nodes ORDER BY url LIMIT 10),
+            ns AS (SELECT COUNT(*) AS n FROM seeds),
+            n AS (SELECT COUNT(*) AS n FROM nodes),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+            u0 AS (SELECT url, 1000000000000000 // (SELECT n FROM n) AS r FROM nodes),
+            ui0 AS (SELECT l.dst AS url, SUM(u0.r // deg.d) AS s
+                    FROM links l JOIN deg ON l.src = deg.src JOIN u0 ON l.src = u0.url
+                    GROUP BY l.dst),
+            u1 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(ui0.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN ui0 ON nd.url = ui0.url),
+            ui1 AS (SELECT l.dst AS url, SUM(u1.r // deg.d) AS s
+                    FROM links l JOIN deg ON l.src = deg.src JOIN u1 ON l.src = u1.url
+                    GROUP BY l.dst),
+            u2 AS (SELECT nd.url,
+                          (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(ui1.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN ui1 ON nd.url = ui1.url),
+            t0 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN 1000000000000000 // (SELECT n FROM ns) ELSE 0 END AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url),
+            ti0 AS (SELECT l.dst AS url, SUM(t0.r // deg.d) AS s
+                    FROM links l JOIN deg ON l.src = deg.src JOIN t0 ON l.src = t0.url
+                    GROUP BY l.dst),
+            t1 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN (3 * 1000000000000000) // (20 * (SELECT n FROM ns)) ELSE 0 END
+                          + (17 * COALESCE(ti0.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url
+                   LEFT JOIN ti0 ON nd.url = ti0.url),
+            ti1 AS (SELECT l.dst AS url, SUM(t1.r // deg.d) AS s
+                    FROM links l JOIN deg ON l.src = deg.src JOIN t1 ON l.src = t1.url
+                    GROUP BY l.dst),
+            t2 AS (SELECT nd.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN (3 * 1000000000000000) // (20 * (SELECT n FROM ns)) ELSE 0 END
+                          + (17 * COALESCE(ti1.s, 0)) // 20 AS r
+                   FROM nodes nd LEFT JOIN seeds s ON nd.url = s.url
+                   LEFT JOIN ti1 ON nd.url = ti1.url)
+            SELECT u2.url, CAST(u2.r AS BIGINT) AS rank_fp,
+                   CAST(t2.r AS BIGINT) AS trust_fp,
+                   greatest(u2.r - t2.r, 0) / CAST(greatest(u2.r, 1) AS DOUBLE) AS spam
+            FROM u2 JOIN t2 ON u2.url = t2.url
         """,
         # HITS (k=2): same links CTE; per half-step the L1 total becomes
         # one integer scale divisor greatest(T // BASE, 1) — sums commute,

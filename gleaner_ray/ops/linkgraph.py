@@ -61,6 +61,7 @@ __all__ = [
     "host_rank",
     "pagerank_int",
     "trustrank_int",
+    "spam_mass",
     "hits_int",
     "HITS_BASE",
     "rank_priority",
@@ -452,6 +453,119 @@ def trustrank_int(
     )
 
 
+def spam_mass(
+    pages: rd.Dataset,
+    n_seeds: int = 10,
+    iters: int = 2,
+    base: int = PAGERANK_BASE,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
+) -> rd.Dataset:
+    """Relative spam mass (Gyongyi et al. 2004, §5): the fraction of a
+    page's PageRank NOT accounted for by trust flowing from the seed
+    set —
+
+        spam = (rank_fp - trust_fp) / rank_fp        (one double division)
+
+    High spam mass = rank earned from link structure the trusted core
+    never endorses, the canonical link-farm demotion score. Both rank
+    vectors use the same int64 fixed-point kernel, seeds are the same
+    deterministic ``n_seeds`` smallest URLs as ``trustrank_int``.
+
+    Scale shape: ON ONE edge pass — the broadcast path hashes the node
+    set and extracts the int-pair edge table once, runs the uniform and
+    the seeded fixed-point rounds over that same materialized table,
+    and emits (url, rank_fp, trust_fp, spam) in a single streaming
+    resolve; above the broadcast bound it degrades to the two join-path
+    rank datasets joined once on url. Trust can exceed rank on
+    seed-adjacent pages (seed teleport mass base//|S| >> base//N), so
+    spam is clamped at 0 — both engine and oracle."""
+    n_nodes = pages.count()
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "rank_fp": pa.array([], pa.int64()),
+            "trust_fp": pa.array([], pa.int64()),
+            "spam": pa.array([], pa.float64()),
+        }
+    )
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    node_ds = pages.select_columns(["url"])
+    seeds = _min_k_urls(node_ds, min(n_seeds, n_nodes))
+    n_s = len(seeds)
+    tele_u = (3 * base) // (20 * n_nodes)
+    r0_u = base // n_nodes
+    tele_s = (3 * base) // (20 * n_s)
+    r0_s = base // n_s
+
+    if n_nodes <= broadcast_nodes:
+        hashes = _sorted_node_hash_only(node_ds)
+        if hashes is not None:
+            edge_ids = pages.map_batches(
+                _edge_id_stage(hashes), batch_format="pyarrow"
+            ).materialize()
+            pr = _pagerank_rounds(
+                edge_ids, n_nodes, iters, tele_u, np.full(n_nodes, r0_u, dtype=np.int64), driver_edges
+            )
+            tele_vec, init = _seed_vectors(hashes, n_nodes, tele_s, r0_s, seeds)
+            tr = _pagerank_rounds(edge_ids, n_nodes, iters, tele_vec, init, driver_edges)
+            h_ref = ray.put(hashes)
+            pr_ref = ray.put(pr)
+            tr_ref = ray.put(tr)
+
+            def emit(t: pa.Table, _h=h_ref, _p=pr_ref, _t=tr_ref) -> pa.Table:
+                if t.num_rows == 0:
+                    return empty
+                h = ray.get(_h)
+                idx = np.searchsorted(h, _hash64(t.column("url").to_pandas()))
+                p = ray.get(_p)[idx]
+                s = ray.get(_t)[idx]
+                spam = np.maximum(p - s, 0) / np.maximum(p, 1)
+                return pa.table(
+                    {
+                        "url": t.column("url"),
+                        "rank_fp": pa.array(p),
+                        "trust_fp": pa.array(s),
+                        "spam": pa.array(spam),
+                    }
+                )
+
+            return node_ds.map_batches(emit, batch_format="pyarrow")
+
+    # general path: the two join-path rank tables, joined once on url
+    from ..cluster import cluster_cpus
+
+    width = max(8, cluster_cpus(8))
+    pr_ds = _pagerank_join(node_ds, outlinks(pages), iters, tele_u, r0_u).materialize()
+    tr_ds = _pagerank_join(
+        node_ds, outlinks(pages), iters, tele_s, r0_s, seeds=seeds, out_col="trust_fp"
+    )
+    joined = pr_ds.join(
+        tr_ds.map_batches(
+            lambda df: df.rename(columns={"url": "t_url"}), batch_format="pandas"
+        ),
+        join_type="inner",
+        num_partitions=width,
+        on=("url",),
+        right_on=("t_url",),
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["rank_fp"].to_numpy(np.int64)
+        s = df["trust_fp"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "rank_fp": p,
+                "trust_fp": s,
+                "spam": np.maximum(p - s, 0) / np.maximum(p, 1),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
 def _sorted_node_hashes(node_ds, n_nodes):
     """(sorted uint64 hashes, urls aligned to that order) — or None on
     a 64-bit collision between distinct URLs (caller falls back to the
@@ -530,28 +644,13 @@ def _edge_id_stage(hashes: np.ndarray):
     return edge_ids
 
 
-def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES, seeds=None, out_col="rank_fp"):
-    # bounded node table -> driver-held sorted uint64 url-hashes (the
-    # strings never reach the driver); the materialized int-pair edge
-    # table streams through one aggregation per round emitting per-dst
-    # partials — zero shuffles per round.
-    # seeds (TrustRank): teleport mass and the initial rank go ONLY to
-    # the seed nodes — tele/r0 become per-node vectors, zero elsewhere.
-    hashes = _sorted_node_hash_only(node_ds)
-    if hashes is None:
-        return None
-    if seeds is None:
-        tele_term: "np.ndarray | int" = tele
-        init = np.full(n_nodes, r0, dtype=np.int64)
-    else:
-        spos = np.searchsorted(hashes, _hash64(np.asarray(list(seeds), dtype=object)))
-        tele_vec = np.zeros(n_nodes, dtype=np.int64)
-        tele_vec[spos] = tele
-        tele_term = tele_vec
-        init = np.zeros(n_nodes, dtype=np.int64)
-        init[spos] = r0
-    h_ref = ray.put(hashes)
-    edge_ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
+def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DRIVER_EDGES):
+    """Run ``iters`` fixed-point rounds over a materialized int-pair
+    edge table and return the final rank vector. ``tele_term`` is a
+    scalar (uniform teleport) or a per-node int64 vector (seeded
+    teleport); ``init`` the round-0 ranks. Small edge tables pull to
+    the driver (np.add.at rounds); larger ones stream one per-dst
+    partial-sum aggregation per round — zero shuffles either way."""
     n_edges = edge_ids.count()  # metadata of the materialized table
 
     if n_edges <= driver_edges:
@@ -566,43 +665,76 @@ def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_
             incoming = np.zeros(n_nodes, dtype=np.int64)
             np.add.at(incoming, di, contrib[si])
             ranks = tele_term + (17 * incoming) // 20
-    else:
-        deg = np.zeros(n_nodes, dtype=np.int64)
+        return ranks
+
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    _merge_partials(
+        edge_ids.map_batches(
+            lambda df: df.groupby("si", as_index=False).size().rename(columns={"size": "d"}),
+            batch_format="pandas",
+        ),
+        "si",
+        "d",
+        deg,
+    )
+
+    ranks = init
+
+    def round_fn(t: pa.Table, _c_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        contrib = ray.get(_c_ref)  # zero-copy plasma view per task
+        si = t.column("si").to_numpy(zero_copy_only=False)
+        di = t.column("di").to_numpy(zero_copy_only=False)
+        # int64-exact per-dst partial sums (bincount would go through
+        # float64; pandas int64 groupby stays exact)
+        df = pd.DataFrame({"i": di, "c": contrib[si]})
+        g = df.groupby("i", as_index=False)["c"].sum()
+        return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
+
+    for _ in range(iters):
+        contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+        c_ref = ray.put(contrib)
+        incoming = np.zeros(n_nodes, dtype=np.int64)
         _merge_partials(
-            edge_ids.map_batches(
-                lambda df: df.groupby("si", as_index=False).size().rename(columns={"size": "d"}),
-                batch_format="pandas",
-            ),
-            "si",
-            "d",
-            deg,
+            edge_ids.map_batches(round_fn, batch_format="pyarrow", fn_kwargs={"_c_ref": c_ref}),
+            "i",
+            "s",
+            incoming,
         )
+        ranks = tele_term + (17 * incoming) // 20
+    return ranks
 
-        ranks = init
 
-        def round_fn(t: pa.Table, _c_ref) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
-            contrib = ray.get(_c_ref)  # zero-copy plasma view per task
-            si = t.column("si").to_numpy(zero_copy_only=False)
-            di = t.column("di").to_numpy(zero_copy_only=False)
-            # int64-exact per-dst partial sums (bincount would go through
-            # float64; pandas int64 groupby stays exact)
-            df = pd.DataFrame({"i": di, "c": contrib[si]})
-            g = df.groupby("i", as_index=False)["c"].sum()
-            return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
+def _seed_vectors(hashes, n_nodes, tele, r0, seeds):
+    """(tele_term, init) for a seeded (TrustRank) teleport: both become
+    per-node vectors, zero off the seed set."""
+    spos = np.searchsorted(hashes, _hash64(np.asarray(list(seeds), dtype=object)))
+    tele_vec = np.zeros(n_nodes, dtype=np.int64)
+    tele_vec[spos] = tele
+    init = np.zeros(n_nodes, dtype=np.int64)
+    init[spos] = r0
+    return tele_vec, init
 
-        for _ in range(iters):
-            contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
-            c_ref = ray.put(contrib)
-            incoming = np.zeros(n_nodes, dtype=np.int64)
-            _merge_partials(
-                edge_ids.map_batches(round_fn, batch_format="pyarrow", fn_kwargs={"_c_ref": c_ref}),
-                "i",
-                "s",
-                incoming,
-            )
-            ranks = tele_term + (17 * incoming) // 20
+
+def _pagerank_broadcast(pages, node_ds, n_nodes, iters, tele, r0, driver_edges=_DRIVER_EDGES, seeds=None, out_col="rank_fp"):
+    # bounded node table -> driver-held sorted uint64 url-hashes (the
+    # strings never reach the driver); the materialized int-pair edge
+    # table streams through one aggregation per round emitting per-dst
+    # partials — zero shuffles per round.
+    # seeds (TrustRank): teleport mass and the initial rank go ONLY to
+    # the seed nodes — tele/r0 become per-node vectors, zero elsewhere.
+    hashes = _sorted_node_hash_only(node_ds)
+    if hashes is None:
+        return None
+    if seeds is None:
+        tele_term: "np.ndarray | int" = tele
+        init = np.full(n_nodes, r0, dtype=np.int64)
+    else:
+        tele_term, init = _seed_vectors(hashes, n_nodes, tele, r0, seeds)
+    h_ref = ray.put(hashes)
+    edge_ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
+    ranks = _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges)
 
     # distributed emit: ranks broadcast once, each url batch resolves
     # its own rows — output streams, no driver-built node table

@@ -114,6 +114,32 @@ class TestPageRank:
             )
             pd.testing.assert_frame_equal(a, b.astype({"trust_fp": np.int64}))
 
+    def test_spam_mass_bounds_and_path_parity(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import spam_mass
+
+        a = (
+            spam_mass(tiny_graph, n_seeds=2, iters=2)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert ((a["spam"] >= 0) & (a["spam"] <= 1)).all()
+        s = a.set_index("url")
+        # f earns rank only from uniform teleport and zero trust -> its
+        # entire mass is unendorsed (spam exactly 1)
+        assert s.loc["https://h3.org/f", "trust_fp"] == 0
+        assert s.loc["https://h3.org/f", "spam"] == 1.0
+        # the general join path computes the identical table
+        b = (
+            spam_mass(tiny_graph, n_seeds=2, iters=2, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "rank_fp", "trust_fp", "spam"]]
+        )
+        pd.testing.assert_frame_equal(
+            a, b.astype({"rank_fp": np.int64, "trust_fp": np.int64})
+        )
+
     def test_distributed_rounds_equal_driver_rounds(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import pagerank_int
 
