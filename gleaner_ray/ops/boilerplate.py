@@ -42,14 +42,13 @@ partition — ``domain_cap``'s shape with the whole operator local to the
 group. Not needed at any tested scale; the guard raises with this
 pointer instead of silently degrading.
 
-Line identity inside the engine is ``md5(line)[:8]`` as uint64 (the
-repo-wide truncated-digest contract, `state/seen.py`); the oracle joins
-raw line strings, equivalent short of 64-bit collisions (~n^2/2^64).
+Line identity inside the engine is a vectorized 64-bit siphash
+(``pd.util.hash_array`` — one C call per batch; the original per-line
+md5 generator was the op's hottest loop); the oracle joins raw line
+strings, equivalent short of 64-bit collisions (~n^2/2^64).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -58,16 +57,11 @@ __all__ = ["boilerplate_clean"]
 
 _HOST_RE = r"^https://([^/]+)/"
 
+_LINE_HASH_KEY = "boilerplate_line"  # 16 bytes
+
 
 def _hash64(lines) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-            for s in lines
-        ),
-        dtype=np.uint64,
-        count=len(lines),
-    )
+    return pd.util.hash_array(np.asarray(lines, dtype=object), hash_key=_LINE_HASH_KEY)
 
 
 def _decode_split(df: pd.DataFrame) -> pd.DataFrame:
@@ -110,19 +104,18 @@ def boilerplate_clean(
         vc = df["url"].str.extract(_HOST_RE, expand=False).value_counts()
         return pd.DataFrame({"host": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")})
 
-    hostn_rows = (
-        rd.read_parquet(pages_dir, columns=["url"])
-        .map_batches(host_partial, batch_format="pandas")
-        .groupby("host")
-        .aggregate(Sum("n", alias_name="pages"))
-        .take_all()
+    from .fold import fold_reduce as _fold
+
+    host_parts = rd.read_parquet(pages_dir, columns=["url"]).map_batches(
+        host_partial, batch_format="pandas"
     )
-    if len(hostn_rows) > max_broadcast:
+    hostn = _fold(host_parts, ["host"], {"n": "sum"}, max_broadcast)
+    if hostn is None:
         raise ValueError(
-            "host cardinality %d exceeds max_broadcast=%d: switch to the "
-            "host-co-partitioned variant (see module doc seam)" % (len(hostn_rows), max_broadcast)
+            "host cardinality exceeds max_broadcast=%d: switch to the "
+            "host-co-partitioned variant (see module doc seam)" % max_broadcast
         )
-    host_pages = {r["host"]: int(r["pages"]) for r in hostn_rows}
+    host_pages = dict(zip(hostn["host"], hostn["n"].astype("int64")))
 
     # -- frequency pass: exact distinct-url counts per (host, line) -----
     def freq_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -144,12 +137,15 @@ def boilerplate_clean(
         out["n"] = out["n"].astype("int64")
         return out
 
-    freq = (
-        rd.read_parquet(pages_dir, columns=["url", "html"])
-        .map_batches(freq_partial, batch_format="pandas")
-        .groupby(["host", "lh"])
-        .aggregate(Sum("n", alias_name="n_urls"))
+    freq_parts = rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        freq_partial, batch_format="pandas"
     )
+    # dual-path reduce (ops.fold): the distinct (host, line) table folds
+    # on the driver under the cap; the distributed groupby-Sum remains
+    # the wide-corpus fallback
+    from .fold import fold_reduce
+
+    folded = fold_reduce(freq_parts, ["host", "lh"], {"n": "sum"}, max_broadcast)
 
     # integer threshold: n * den >= pages * num  (no float semantics)
     pages_ref = ray.put(host_pages)
@@ -162,7 +158,12 @@ def boilerplate_clean(
         keep = df["n_urls"].to_numpy().astype("int64") * min_den >= tot * min_num
         return df.loc[keep, ["host", "lh"]]
 
-    boiler_rows = freq.map_batches(over_threshold, batch_format="pandas").take_all()
+    if folded is not None:
+        sel = over_threshold(folded.rename(columns={"n": "n_urls"}))
+        boiler_rows = [{"host": h, "lh": lh} for h, lh in zip(sel["host"], sel["lh"])]
+    else:
+        freq = freq_parts.groupby(["host", "lh"]).aggregate(Sum("n", alias_name="n_urls"))
+        boiler_rows = freq.map_batches(over_threshold, batch_format="pandas").take_all()
     if len(boiler_rows) > max_broadcast:
         raise ValueError(
             "boilerplate set %d exceeds max_broadcast=%d: lower min_num/min_den "

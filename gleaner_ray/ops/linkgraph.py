@@ -206,11 +206,16 @@ def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
 
     Scale shape: per-batch distinct directed edges (self-loops dropped)
     fold into unordered (lo, hi) keys carrying fwd/rev presence bits;
-    ONE (lo, hi)-keyed groupby takes Max of each bit — presence bits
-    are idempotent under Max, so duplicate edges across batches cannot
-    overcount — and a row-local filter keeps both-direction pairs. The
-    exchange carries distinct pairs, not edges."""
+    the reduce is Max of each bit — presence bits are idempotent under
+    Max, so duplicate edges across batches cannot overcount. Max
+    commutes, so the reduce is dual-path (``ops.fold.fold_reduce``):
+    the pair table folds on the driver while distinct pairs stay under
+    the cap (measured 22 s -> <1 s vs the hash-shuffle groupby at 154k
+    pairs); beyond it, ONE (lo, hi)-keyed distributed groupby-Max. The
+    exchange carries distinct pairs, not edges, on either path."""
     from ray.data.aggregate import Max
+
+    from .fold import DRIVER_KEYS, fold_reduce
 
     edges = outlinks(pages)
     empty = pd.DataFrame(
@@ -239,6 +244,17 @@ def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
         return g
 
     parts = edges.map_batches(fold, batch_format="pandas")
+    folded = fold_reduce(parts, ["url_a", "url_b"], {"fwd": "max", "rev": "max"}, DRIVER_KEYS)
+    if folded is not None:
+        out = folded.loc[
+            (folded["fwd"] == 1) & (folded["rev"] == 1), ["url_a", "url_b"]
+        ].reset_index(drop=True)
+        if out.empty:
+            return rd.from_arrow(
+                pa.table({"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string())})
+            )
+        return rd.from_pandas(out)
+
     agg = parts.groupby(["url_a", "url_b"]).aggregate(
         Max("fwd", alias_name="fwd"), Max("rev", alias_name="rev")
     )
@@ -257,10 +273,14 @@ def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
 def indegree(pages: rd.Dataset) -> rd.Dataset:
     """(url, in_degree) over link *targets* — unlike out-degree this
     needs an exchange, but the map side pre-combines to one (dst,
-    count) row per distinct target per batch before the groupby-Sum,
-    so the shuffle carries distinct targets, not edges. URLs with no
-    inlinks are absent (same as the SQL GROUP BY)."""
+    count) row per distinct target per batch before the reduce, which
+    carries distinct targets, not edges. The Sum reduce is dual-path
+    (``ops.fold.fold_reduce``): driver fold under the distinct-target
+    cap, distributed groupby-Sum beyond it. URLs with no inlinks are
+    absent (same as the SQL GROUP BY)."""
     from ray.data.aggregate import Sum
+
+    from .fold import DRIVER_KEYS, fold_reduce
 
     edges = outlinks(pages)
 
@@ -271,6 +291,13 @@ def indegree(pages: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame({"url": g["dst"], "in_degree": g["size"].astype("int64")})
 
     parts = edges.map_batches(partial, batch_format="pandas")
+    folded = fold_reduce(parts, ["url"], {"in_degree": "sum"}, DRIVER_KEYS)
+    if folded is not None:
+        if folded.empty:
+            return rd.from_arrow(
+                pa.table({"url": pa.array([], pa.string()), "in_degree": pa.array([], pa.int64())})
+            )
+        return rd.from_pandas(folded.astype({"in_degree": "int64"}))
     return parts.groupby("url").aggregate(Sum("in_degree", alias_name="in_degree"))
 
 
@@ -293,7 +320,24 @@ def host_edges(pages: rd.Dataset) -> rd.Dataset:
 
     from ray.data.aggregate import Sum
 
+    from .fold import fold_reduce
+
     parts = edges.map_batches(partial, batch_format="pandas")
+    # host-pair key space is O(hosts^2) bounded: driver fold first,
+    # distributed groupby-Sum as the fallback
+    folded = fold_reduce(parts, ["src_host", "dst_host"], {"n_links": "sum"})
+    if folded is not None:
+        if folded.empty:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src_host": pa.array([], pa.string()),
+                        "dst_host": pa.array([], pa.string()),
+                        "n_links": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return rd.from_pandas(folded.astype({"n_links": "int64"}))
     return parts.groupby(["src_host", "dst_host"]).aggregate(Sum("n_links", alias_name="n_links"))
 
 

@@ -573,8 +573,45 @@ def mirror_hosts(pages_ds, num_partitions: int | None = None):
         host = pd.Series(t.column("url").to_pylist()).str.extract(_HOST_RE, expand=False)
         return pd.DataFrame({"h": hs, "host": host}).drop_duplicates()
 
+    digest_parts = pages_ds.map_batches(digests, batch_format="pyarrow")
+
+    # dual-path (ops.fold): under the cap the distinct (digest, host)
+    # table folds on the driver and the cross-host intersection is one
+    # local self-merge — no digest shuffle, no join actor pools
+    from gleaner_ray.ops.fold import fold_reduce
+
+    folded = fold_reduce(
+        digest_parts.map_batches(
+            lambda df: df.assign(_n=np.ones(len(df), dtype=np.int8)), batch_format="pandas"
+        ),
+        ["h", "host"],
+        {"_n": "max"},
+    )
+    if folded is not None:
+        m = folded[["h", "host"]].merge(
+            folded[["h", "host"]].rename(columns={"host": "host_b"}), on="h"
+        )
+        m = m[m["host"] < m["host_b"]]
+        out = (
+            m.groupby(["host", "host_b"], as_index=False)
+            .size()
+            .rename(columns={"host": "host_a", "size": "shared"})
+        )
+        out["shared"] = out["shared"].astype("int64")
+        if out.empty:
+            return _rd.from_arrow(
+                _pa.table(
+                    {
+                        "host_a": _pa.array([], _pa.string()),
+                        "host_b": _pa.array([], _pa.string()),
+                        "shared": _pa.array([], _pa.int64()),
+                    }
+                )
+            )
+        return _rd.from_pandas(out[["host_a", "host_b", "shared"]])
+
     distinct = (
-        pages_ds.map_batches(digests, batch_format="pyarrow")
+        digest_parts
         .groupby(["h", "host"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["h", "host"])
@@ -662,10 +699,32 @@ def duplicate_titles(pages_ds):
         g["n_pages"] = g["n_pages"].astype("int64")
         return g[["title", "n_pages", "first_url"]]
 
-    agg = (
-        pages_ds.map_batches(fold, batch_format="pyarrow")
-        .groupby("title")
-        .aggregate(Sum("n_pages", alias_name="n_pages"), Min("first_url", alias_name="first_url"))
+    parts = pages_ds.map_batches(fold, batch_format="pyarrow")
+
+    # dual-path reduce (ops.fold): Sum and Min both commute, so the
+    # distinct-title table folds on the driver under the cap; the
+    # distributed groupby remains the wide-corpus fallback
+    from gleaner_ray.ops.fold import fold_reduce
+
+    import ray.data as _rd
+
+    folded = fold_reduce(parts, ["title"], {"n_pages": "sum", "first_url": "min"})
+    if folded is not None:
+        out = folded[folded["n_pages"] > 1].reset_index(drop=True)
+        if out.empty:
+            return _rd.from_arrow(
+                _pa.table(
+                    {
+                        "title": _pa.array([], _pa.string()),
+                        "n_pages": _pa.array([], _pa.int64()),
+                        "first_url": _pa.array([], _pa.string()),
+                    }
+                )
+            )
+        return _rd.from_pandas(out.astype({"n_pages": "int64"}))
+
+    agg = parts.groupby("title").aggregate(
+        Sum("n_pages", alias_name="n_pages"), Min("first_url", alias_name="first_url")
     )
 
     def keep(t: "_pa.Table") -> "_pa.Table":

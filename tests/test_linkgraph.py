@@ -283,6 +283,52 @@ class TestMirrorHosts:
         assert mirror_hosts(rd.from_items(rows)).count() == 0
 
 
+class TestFoldReduce:
+    def test_fold_reduce_caps(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.fold import fold_reduce
+
+        parts = rd.from_items(
+            [{"k": "a", "n": 1}, {"k": "b", "n": 2}, {"k": "a", "n": 3}]
+        )
+        out = fold_reduce(parts, ["k"], {"n": "sum"})
+        assert dict(zip(out["k"], out["n"])) == {"a": 4, "b": 2}
+        # distinct-key overflow -> None (caller falls back)
+        assert fold_reduce(parts, ["k"], {"n": "sum"}, cap=1) is None
+        # partial-row pull gate fires before anything is fetched
+        assert fold_reduce(parts, ["k"], {"n": "sum"}, cap=10, pull_rows=2) is None
+
+    def test_folded_ops_distributed_fallback_parity(self, tiny_graph, monkeypatch):
+        """Every fold_reduce consumer must produce the identical table on
+        its distributed-groupby fallback (the 100-TB path the fold
+        short-circuits at test scale)."""
+        import gleaner_ray.ops.fold as fold_mod
+        from gleaner_ray.ops.linkgraph import host_edges, indegree, reciprocal_links
+        from gleaner_ray.pipelines.recrawl import duplicate_titles, mirror_hosts
+
+        def run_all():
+            out = {}
+            for name, op in (
+                ("reciprocal", reciprocal_links),
+                ("indegree", indegree),
+                ("host_edges", host_edges),
+                ("mirror_hosts", mirror_hosts),
+                ("duplicate_titles", duplicate_titles),
+            ):
+                df = op(tiny_graph).to_pandas()
+                out[name] = df.sort_values(list(df.columns), ignore_index=True).astype(
+                    {c: "int64" for c in df.columns if df[c].dtype.kind == "i"}
+                )
+            return out
+
+        fast = run_all()
+        monkeypatch.setattr(fold_mod, "fold_reduce", lambda *a, **k: None)
+        slow = run_all()
+        for name in fast:
+            pd.testing.assert_frame_equal(fast[name], slow[name][fast[name].columns]), name
+
+
 class TestDiscovered:
     @pytest.fixture(scope="class")
     def graph_with_external(self, ray_session):
