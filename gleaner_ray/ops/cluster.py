@@ -33,23 +33,26 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-class _Partial:
-    """Per-batch cluster partial sums against broadcast centroids."""
+def _partial_stage(centroids_ref):
+    """Per-batch cluster partial sums against broadcast centroids.
 
-    def __init__(self, centroids_ref):
-        self.centroids = (
+    A plain task function, not an actor class: the only state is the
+    plasma-resident centroid matrix (``ray.get`` in a task is a
+    zero-copy view), so each short training iteration skips the
+    actor-pool spin-up — the ``linkgraph._edge_id_stage`` seam."""
+
+    def fn(batch) -> pd.DataFrame:
+        from .embutil import embedding_matrix
+
+        centroids = (
             ray.get(centroids_ref)
             if isinstance(centroids_ref, ray.ObjectRef)
             else centroids_ref
         )
-
-    def __call__(self, batch) -> pd.DataFrame:
-        from .embutil import embedding_matrix
-
         if batch.num_rows == 0:
             return pd.DataFrame({"cluster": [], "count": [], "vsum": []})
         mat = embedding_matrix(batch.column("embedding"))
-        assign = _assign(mat, self.centroids)
+        assign = _assign(mat, centroids)
         clusters, counts, sums = [], [], []
         for c in np.unique(assign):
             members = mat[assign == c]
@@ -64,36 +67,40 @@ class _Partial:
             }
         )
 
+    return fn
 
-class _Assign:
-    def __init__(self, centroids_ref, id_col: str):
-        self.centroids = (
+
+def _assign_stage(centroids_ref, id_col: str):
+    """(id, cluster) assignment task against broadcast centroids —
+    task-based for the same spin-up reason as ``_partial_stage``."""
+
+    def fn(batch) -> pd.DataFrame:
+        from .embutil import embedding_matrix
+
+        centroids = (
             ray.get(centroids_ref)
             if isinstance(centroids_ref, ray.ObjectRef)
             else centroids_ref
         )
-        self.id_col = id_col
-
-    def __call__(self, batch) -> pd.DataFrame:
-        from .embutil import embedding_matrix
-
         if batch.num_rows == 0:
             return pd.DataFrame(
                 {
-                    self.id_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
                     "cluster": pd.Series(dtype="int64"),
                 }
             )
         mat = embedding_matrix(batch.column("embedding"))
-        assign = _assign(mat, self.centroids)
+        assign = _assign(mat, centroids)
         return pd.DataFrame(
             {
-                self.id_col: batch.column(self.id_col).to_numpy(
+                id_col: batch.column(id_col).to_numpy(
                     zero_copy_only=False
                 ).astype("int64"),
                 "cluster": assign.astype("int64"),
             }
         )
+
+    return fn
 
 
 def kmeans_centroids(
@@ -112,7 +119,12 @@ def kmeans_centroids(
     the nearest centroid (squared euclidean, ties to the lowest cluster
     id) and recomputes centroids as member means in float64; a cluster
     that loses all members keeps its previous centroid.
+
+    The input materializes once (Pregel-checkpoint seam): the seed take
+    and every iteration pass reuse plasma blocks instead of re-running
+    the upstream read.
     """
+    ds = ds.materialize()
     seed = ds.map_batches(
         lambda df: df[df[id_col] < k], batch_format="pandas"
     ).take_all()
@@ -122,10 +134,8 @@ def kmeans_centroids(
     for _ in range(iters):
         ref = ray.put(centroids)
         parts = ds.map_batches(
-            _Partial,
-            fn_constructor_args=(ref,),
+            _partial_stage(ref),
             batch_format="pyarrow",
-            concurrency=concurrency,
         ).to_pandas()  # bounded: <= k rows per input block
         new = centroids.copy()
         for c in range(len(centroids)):
@@ -153,12 +163,7 @@ def kmeans_assign(
     See ``kmeans_centroids`` for the deterministic convention."""
     centroids = kmeans_centroids(ds, k, iters, id_col, vec_col, concurrency)
     ref = ray.put(centroids)
-    return ds.map_batches(
-        _Assign,
-        fn_constructor_args=(ref, id_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    return ds.map_batches(_assign_stage(ref, id_col), batch_format="pyarrow")
 
 
 class _AssignKeepVec:

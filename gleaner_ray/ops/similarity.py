@@ -233,24 +233,28 @@ def knn_quantized(ds, query_ids: list, k: int = 10, concurrency: int = 2) -> pd.
     )
 
 
-class _PQPartial:
+def _pq_partial_stage(books_ref):
     """Per-batch Lloyd partials for every PQ subspace in one pass:
     emits (sub, cluster, count, float64-sum bytes) rows against the
-    broadcast per-subspace codebooks."""
+    broadcast per-subspace codebooks.
 
-    def __init__(self, books_ref):
-        self.books = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+    A plain task function, not an actor class: the only state is the
+    plasma-resident codebook list and ``ray.get`` inside a task is a
+    zero-copy view, so tasks skip the per-execution actor-pool spin-up
+    that dominated each (short) training iteration — the same seam
+    ``linkgraph._edge_id_stage`` documents."""
 
-    def __call__(self, batch) -> pd.DataFrame:
+    def fn(batch) -> pd.DataFrame:
         from .cluster import _assign
         from .embutil import embedding_matrix
 
+        books = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
         if batch.num_rows == 0:
             return pd.DataFrame({"sub": [], "cluster": [], "count": [], "vsum": []})
         mat = embedding_matrix(batch.column("embedding"))
         subs, clusters, counts, sums = [], [], [], []
-        span = mat.shape[1] // len(self.books)
-        for s, book in enumerate(self.books):
+        span = mat.shape[1] // len(books)
+        for s, book in enumerate(books):
             sub = mat[:, s * span : (s + 1) * span]
             assign = _assign(sub, book)
             for c in np.unique(assign):
@@ -268,6 +272,8 @@ class _PQPartial:
             }
         )
 
+    return fn
+
 
 def pq_codebooks(
     ds,
@@ -284,7 +290,13 @@ def pq_codebooks(
     combine, no shuffle). Deterministic convention shared with the
     ``cluster_kmeans`` oracle: init = the rows with ``id_col < k_sub``,
     squared-euclid assignment with ties to the lowest cluster id,
-    empty clusters keep their previous centroid."""
+    empty clusters keep their previous centroid.
+
+    The input materializes once up front (Pregel-checkpoint seam, same
+    as the pagerank edge table): the seed take plus one streaming pass
+    per iteration then reuse plasma blocks instead of re-running the
+    read — at sf0.01 this halved sim_knn_pq wall time."""
+    ds = ds.materialize()
     seed = ds.map_batches(
         lambda df: df[df[id_col] < k_sub], batch_format="pandas"
     ).take_all()
@@ -296,10 +308,8 @@ def pq_codebooks(
     for _ in range(iters):
         ref = ray.put(books)
         parts = ds.map_batches(
-            _PQPartial,
-            fn_constructor_args=(ref,),
+            _pq_partial_stage(ref),
             batch_format="pyarrow",
-            concurrency=concurrency,
         ).to_pandas()  # bounded: <= m * k_sub rows per input block
         new_books = [b.copy() for b in books]
         for s in range(m):
@@ -337,6 +347,7 @@ def pq_knn(ds, query_ids: list, k: int = 10, m: int = 2, k_sub: int = 4, iters: 
 
     import pyarrow as pa
 
+    ds = ds.materialize()  # reused by codebook training, query pick, ADC scan
     books = pq_codebooks(ds, m=m, k_sub=k_sub, iters=iters, concurrency=concurrency)
     qid_arr = np.sort(np.asarray(list(query_ids), dtype=np.int64))
 
@@ -360,35 +371,33 @@ def pq_knn(ds, query_ids: list, k: int = 10, m: int = 2, k_sub: int = 4, iters: 
     )
     state_ref = ray.put({"books": books, "luts": luts, "qids": qids})
 
-    class ADCScan:
-        def __init__(self):
-            st = ray.get(state_ref)
-            self.books, self.luts, self.qids = st["books"], st["luts"], st["qids"]
+    def adc_scan(t) -> pd.DataFrame:
+        # task fn, not an actor: state is one plasma ref (zero-copy get)
+        st = ray.get(state_ref)
+        books_b, luts, qids = st["books"], st["luts"], st["qids"]
+        if t.num_rows == 0:
+            return pd.DataFrame({"qid": [], "vec_id": [], "adist": []})
+        mat = embedding_matrix(t.column("embedding"))
+        codes = [
+            _assign(mat[:, s * span : (s + 1) * span], books_b[s]) for s in range(m)
+        ]
+        # (n_queries, batch): sum of LUT entries per subspace
+        adist = np.zeros((len(qids), t.num_rows), dtype=np.float64)
+        for s in range(m):
+            adist += luts[:, s, :][:, codes[s]]
+        vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k, t.num_rows)
+        # local top-k on (adist ASC, vec_id ASC): lexsort per query
+        order = np.lexsort((np.broadcast_to(vec_ids, adist.shape), adist), axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk),
+                "vec_id": vec_ids[order].ravel(),
+                "adist": np.take_along_axis(adist, order, axis=1).ravel(),
+            }
+        )
 
-        def __call__(self, t) -> pd.DataFrame:
-            if t.num_rows == 0:
-                return pd.DataFrame({"qid": [], "vec_id": [], "adist": []})
-            mat = embedding_matrix(t.column("embedding"))
-            codes = [
-                _assign(mat[:, s * span : (s + 1) * span], self.books[s]) for s in range(m)
-            ]
-            # (n_queries, batch): sum of LUT entries per subspace
-            adist = np.zeros((len(self.qids), t.num_rows), dtype=np.float64)
-            for s in range(m):
-                adist += self.luts[:, s, :][:, codes[s]]
-            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            kk = min(k, t.num_rows)
-            # local top-k on (adist ASC, vec_id ASC): lexsort per query
-            order = np.lexsort((np.broadcast_to(vec_ids, adist.shape), adist), axis=1)[:, :kk]
-            return pd.DataFrame(
-                {
-                    "qid": np.repeat(self.qids, kk),
-                    "vec_id": vec_ids[order].ravel(),
-                    "adist": np.take_along_axis(adist, order, axis=1).ravel(),
-                }
-            )
-
-    partials = ds.map_batches(ADCScan, batch_format="pyarrow", concurrency=concurrency)
+    partials = ds.map_batches(adc_scan, batch_format="pyarrow")
     best: dict = {}
     for row in partials.take_all():
         heap = best.setdefault(row["qid"], [])
