@@ -765,6 +765,8 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
     adjacent merge sites still all match."""
     from ray.data.aggregate import Sum
 
+    from gleaner_ray.ops.fold import fold_reduce
+
     def word_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = [(t or "").lower().split() for t in df["text"]]
         from itertools import chain
@@ -772,11 +774,16 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
         vc = pd.Series(list(chain.from_iterable(toks)), dtype="object").value_counts()
         return pd.DataFrame({"word": vc.index.to_numpy(), "cnt": vc.to_numpy(dtype="int64")})
 
-    words = (
-        ds.map_batches(word_partial, batch_format="pandas", concurrency=concurrency)
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
+    word_parts = ds.map_batches(word_partial, batch_format="pandas", concurrency=concurrency)
+    # dual-path reduce (ops.fold): the distinct-word vocabulary folds on
+    # the driver under the cap; distributed groupby-Sum beyond it
+    words_df = fold_reduce(word_parts, ["word"], {"cnt": "sum"})
+    if words_df is not None:
+        import ray.data as _rd
+
+        words = _rd.from_pandas(words_df.astype({"cnt": "int64"})) if len(words_df) else _rd.from_items([])
+    else:
+        words = word_parts.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
 
     def pad(df: pd.DataFrame) -> pd.DataFrame:
         # '  '.join over a str iterates codepoints -> initial char symbols
@@ -811,13 +818,21 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
 
     hist = []
     for r in range(merges):
-        partial_tops = (
-            cur.map_batches(pair_partial, batch_format="pandas", concurrency=concurrency)
-            .groupby("pair")
-            .aggregate(Sum("c", alias_name="c"))
-            .map_batches(local_top1, batch_format="pandas")
-            .take_all()
-        )
+        pair_parts = cur.map_batches(pair_partial, batch_format="pandas", concurrency=concurrency)
+        # per-round reduce is dual-path too: the pair table is bounded
+        # by the symbol-pair vocabulary
+        folded = fold_reduce(pair_parts, ["pair"], {"c": "sum"})
+        if folded is not None:
+            if not len(folded):
+                break
+            partial_tops = folded.sort_values(["c", "pair"], ascending=[False, True]).head(1).to_dict("records")
+        else:
+            partial_tops = (
+                pair_parts.groupby("pair")
+                .aggregate(Sum("c", alias_name="c"))
+                .map_batches(local_top1, batch_format="pandas")
+                .take_all()
+            )
         if not partial_tops:
             break
         best = min(partial_tops, key=lambda row: (-row["c"], row["pair"]))
