@@ -762,9 +762,13 @@ def url_templates(pages_ds, trap_threshold: int = 1000):
     ``ops/sampling.domain_cap``'s per-domain quota).
 
     Scale shape: template extraction is row-local C-regex passes; the
-    only exchange is the (host, template)-keyed Sum of per-batch
-    partial counts — template-vocabulary-sized, never per-URL."""
+    reduce carries template-vocabulary-sized partials, never per-URL
+    rows, and is dual-path (``ops.fold.fold_reduce``): driver fold
+    under the distinct-template cap, (host, template)-keyed distributed
+    groupby-Sum beyond it."""
     from ray.data.aggregate import Sum
+
+    from gleaner_ray.ops.fold import fold_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["url"]
@@ -778,11 +782,7 @@ def url_templates(pages_ds, trap_threshold: int = 1000):
         )
         return g
 
-    agg = (
-        pages_ds.map_batches(partial, batch_format="pandas")
-        .groupby(["host", "template"])
-        .aggregate(Sum("n", alias_name="n_urls"))
-    )
+    parts = pages_ds.map_batches(partial, batch_format="pandas")
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -790,4 +790,24 @@ def url_templates(pages_ds, trap_threshold: int = 1000):
         df["trap"] = df["n_urls"] >= trap_threshold
         return df
 
+    folded = fold_reduce(parts, ["host", "template"], {"n": "sum"})
+    if folded is not None:
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        out = flag(folded.rename(columns={"n": "n_urls"}))
+        if out.empty:
+            return _rd.from_arrow(
+                _pa.table(
+                    {
+                        "host": _pa.array([], _pa.string()),
+                        "template": _pa.array([], _pa.string()),
+                        "n_urls": _pa.array([], _pa.int64()),
+                        "trap": _pa.array([], _pa.bool_()),
+                    }
+                )
+            )
+        return _rd.from_pandas(out)
+
+    agg = parts.groupby(["host", "template"]).aggregate(Sum("n", alias_name="n_urls"))
     return agg.map_batches(flag, batch_format="pandas")

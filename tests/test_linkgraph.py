@@ -305,7 +305,7 @@ class TestFoldReduce:
         short-circuits at test scale)."""
         import gleaner_ray.ops.fold as fold_mod
         from gleaner_ray.ops.linkgraph import host_edges, indegree, reciprocal_links
-        from gleaner_ray.pipelines.recrawl import duplicate_titles, mirror_hosts
+        from gleaner_ray.pipelines.recrawl import duplicate_titles, mirror_hosts, url_templates
 
         def run_all():
             out = {}
@@ -315,6 +315,7 @@ class TestFoldReduce:
                 ("host_edges", host_edges),
                 ("mirror_hosts", mirror_hosts),
                 ("duplicate_titles", duplicate_titles),
+                ("url_templates", url_templates),
             ):
                 df = op(tiny_graph).to_pandas()
                 out[name] = df.sort_values(list(df.columns), ignore_index=True).astype(
