@@ -60,7 +60,33 @@ def fold_reduce(
     df = parts.to_pandas()
     if not len(df):
         return pd.DataFrame(columns=cols)
-    out = df[cols].groupby(keys, as_index=False, sort=False).agg(agg)
+    out = _compact(df[cols], keys, agg)
     if len(out) > cap:
         return None  # key space too wide for the driver
     return out
+
+
+def _compact(df: pd.DataFrame, keys: list[str], agg: dict[str, str]) -> pd.DataFrame:
+    """One vectorized reduce of ``df`` by ``keys``.
+
+    Numeric columns go through the C-path groupby. min/max over
+    OBJECT (string) columns would be a per-group Python reduction
+    inside pandas (measured 27 s at 560k groups); those compute as a
+    stable sort by keys + value followed by ``drop_duplicates(keys)``
+    — first row per key IS the group min (max: value descending)."""
+    num_agg = {c: f for c, f in agg.items() if df[c].dtype.kind in "biufcM"}
+    out = (
+        df.groupby(keys, as_index=False, sort=False).agg(num_agg) if num_agg else None
+    )
+    for c, f in agg.items():
+        if c in num_agg:
+            continue
+        if f not in ("min", "max"):
+            raise ValueError(f"object-dtype fold supports min/max only, got {f!r} for {c!r}")
+        sub = (
+            df[keys + [c]]
+            .sort_values(keys + [c], ascending=[True] * len(keys) + [f == "min"], kind="stable")
+            .drop_duplicates(keys, keep="first")
+        )
+        out = sub if out is None else out.merge(sub, on=keys)
+    return out[list(keys) + list(agg)].reset_index(drop=True)
