@@ -941,6 +941,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_source_mix": lambda sf: smp.source_mix_balance(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"])
         ),
+        # temperature-flattened source mixing (alpha=1/2, XLM-R style):
+        # keep_prob_s = sqrt(n_min/n_s) via the exact-integer witness
+        # u^2 * n_s < 2^80 * n_min (40-bit md5 uniform, no float/libm)
+        "samp_temperature": lambda sf: smp.temperature_mix(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+        ),
         # RefinedWeb-style per-domain budget cap: md5-ordered running
         # char total per source, kept while <= cap; metadata-only read,
         # ONE domain co-partition exchange
@@ -2715,6 +2721,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                             AS UBIGINT) AS DOUBLE) / 4294967296.0 < r.rate
             ORDER BY d.doc_id
+        """,
+        # temperature mixing oracle: the same exact-integer inequality in
+        # HUGEINT (u^2 * n_s < 2^80 * n_min); u is the first 10 md5 hex
+        # chars of the stringified doc_id
+        "samp_temperature": r"""
+            WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+            mn AS (SELECT MIN(n) AS m FROM cnt),
+            d AS (SELECT doc_id, source,
+                         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                                   AS UBIGINT) AS HUGEINT) AS u
+                  FROM documents)
+            SELECT d.doc_id, d.source,
+                   (d.u * d.u * cnt.n
+                    < CAST(1208925819614629174706176 AS HUGEINT) * (SELECT m FROM mn)) AS keep
+            FROM d JOIN cnt USING (source)
         """,
         # per-source TV distance from the corpus unigram distribution:
         # integer numerators over the common denominator ns*n (absent

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "dsir_weights",
     "df_rarity",
     "domain_cap",
+    "temperature_mix",
     "uniform_sample_n",
     "hash_split",
     "pack_sequences",
@@ -418,6 +420,76 @@ def source_mix_balance(
             r = df[group_col].map(self.rates).fillna(0.0).astype("float64")
             mask = (u < r).to_numpy()
             return df.loc[mask, [key, group_col]]
+
+    return ds.map_batches(Keep, batch_format="pandas", concurrency=2)
+
+
+def temperature_mix(ds, group_col: str = "source", key: str = "doc_id"):
+    """Temperature-flattened source mixing at exponent alpha = 1/2
+    (temperature T = 2 — the standard multilingual-LM flattening step,
+    XLM-R / mT5 style): target share q_s ~ p_s^(1/2), achieved by
+    Bernoulli thinning with keep_prob_s = sqrt(n_min / n_s), so kept
+    counts are ~ sqrt(n_min * n_s) and no source upsamples.
+
+    EXACT integer decision (no float, no libm): with the 40-bit uniform
+    ``u = uint40(md5(str(key))[:10])``, keep a row iff
+
+        u * u * n_s  <  2^80 * n_min
+
+    which is u/2^40 < sqrt(n_min/n_s) exactly. The engine evaluates the
+    equivalent per-source threshold u <= isqrt((2^80*n_min - 1) // n_s)
+    (integer square root on the driver, one per source) so the per-row
+    compare stays vectorized int64; the oracle evaluates the product
+    form in HUGEINT — bit-identical keep sets by construction. Other
+    exponents need the float-threshold path (``source_mix_balance``'s
+    shape); alpha=1/2 is the one with an exact integer witness.
+
+    Two streaming passes, zero shuffles: (1) per-batch (source, count)
+    partials fold into an n_sources-row table; (2) the tiny threshold
+    map broadcasts into a filter stage. Returns (key, group_col, keep)
+    for every row."""
+    import math
+
+    import ray
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    totals = parts.groupby(group_col, as_index=False)["n"].sum()
+    if not len(totals):
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {key: pd.Series(dtype="int64"), group_col: pd.Series(dtype=str), "keep": pd.Series(dtype=bool)}
+            ),
+            batch_format="pandas",
+        )
+    n_min = int(totals["n"].min())
+    a = (1 << 80) * n_min
+    thresholds = {
+        s: math.isqrt((a - 1) // int(n)) for s, n in zip(totals[group_col], totals["n"])
+    }
+    thr_ref = ray.put(thresholds)
+
+    class Keep:
+        def __init__(self):
+            self.thr = ray.get(thr_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            u = (
+                df[key]
+                .map(lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:10], 16))
+                .to_numpy(dtype="int64")
+            )
+            t = df[group_col].map(self.thr).fillna(-1).astype("int64").to_numpy()
+            return pd.DataFrame(
+                {
+                    key: np.asarray(df[key], dtype=np.int64),
+                    group_col: df[group_col].to_numpy(),
+                    "keep": u <= t,
+                }
+            )
 
     return ds.map_batches(Keep, batch_format="pandas", concurrency=2)
 

@@ -509,6 +509,30 @@ class TestNearDup:
 
 
 class TestSampling:
+    def test_temperature_mix_exact_witness(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import temperature_mix
+
+        rows = [{"doc_id": i, "source": "big" if i < 400 else "small"} for i in range(500)]
+        out = (
+            temperature_mix(rd.from_items(rows))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # smallest source keeps everything (keep_prob = sqrt(100/100) = 1)
+        assert out.loc[out["source"] == "small", "keep"].all()
+        # every decision equals the raw integer inequality u^2 * n_s < 2^80 * n_min
+        n = {"big": 400, "small": 100}
+        for r in out.itertuples():
+            u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:10], 16)
+            assert r.keep == (u * u * n[r.source] < (1 << 80) * 100), r
+        # thinning tracks sqrt(n_min/n_s) = 0.5 for the big source
+        kept_big = int(out.loc[out["source"] == "big", "keep"].sum())
+        assert 150 <= kept_big <= 250
+
     def test_source_mix_balance_planted(self, ray_session):
         import hashlib
 
