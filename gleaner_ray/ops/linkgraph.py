@@ -195,6 +195,30 @@ def anchor_texts(pages: rd.Dataset) -> rd.Dataset:
         )
 
     parts = pages.map_batches(pairs, batch_format="pyarrow")
+    # dual-path reduce (ops.fold): under the cap the distinct
+    # (target, text) table folds on the driver and profiles assemble in
+    # one sorted groupby (the map_groups fallback pays one Python call
+    # per URL — correct, but only worth it past the anchor-vocabulary
+    # cap)
+    from .fold import fold_reduce
+
+    folded = fold_reduce(parts, ["url", "txt"], {"n": "sum"})
+    if folded is not None:
+        if folded.empty:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "n_anchors": pa.array([], pa.int64()),
+                        "texts": pa.array([], pa.string()),
+                    }
+                )
+            )
+        f = folded.sort_values(["url", "txt"], kind="stable", ignore_index=True)
+        out = f.groupby("url", as_index=False, sort=False).agg(
+            n_anchors=("n", "sum"), texts=("txt", "|".join)
+        )
+        return rd.from_pandas(out.astype({"n_anchors": "int64"}))
     return parts.groupby("url").map_groups(profile, batch_format="pandas")
 
 

@@ -304,7 +304,7 @@ class TestFoldReduce:
         its distributed-groupby fallback (the 100-TB path the fold
         short-circuits at test scale)."""
         import gleaner_ray.ops.fold as fold_mod
-        from gleaner_ray.ops.linkgraph import host_edges, indegree, reciprocal_links
+        from gleaner_ray.ops.linkgraph import anchor_texts, host_edges, indegree, reciprocal_links
         from gleaner_ray.pipelines.recrawl import duplicate_titles, mirror_hosts, url_templates
 
         def run_all():
@@ -313,6 +313,7 @@ class TestFoldReduce:
                 ("reciprocal", reciprocal_links),
                 ("indegree", indegree),
                 ("host_edges", host_edges),
+                ("anchor_texts", anchor_texts),
                 ("mirror_hosts", mirror_hosts),
                 ("duplicate_titles", duplicate_titles),
                 ("url_templates", url_templates),
