@@ -104,17 +104,27 @@ def boilerplate_clean(
         vc = df["url"].str.extract(_HOST_RE, expand=False).value_counts()
         return pd.DataFrame({"host": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")})
 
-    from .fold import fold_reduce as _fold
+    from .fold import fold_or_reduce
 
     host_parts = rd.read_parquet(pages_dir, columns=["url"]).map_batches(
         host_partial, batch_format="pandas"
     )
-    hostn = _fold(host_parts, ["host"], {"n": "sum"}, max_broadcast)
+    hostn, host_parts = fold_or_reduce(host_parts, ["host"], {"n": "sum"}, max_broadcast)
     if hostn is None:
-        raise ValueError(
-            "host cardinality exceeds max_broadcast=%d: switch to the "
-            "host-co-partitioned variant (see module doc seam)" % max_broadcast
+        # fold overflow only bounds PARTIAL rows, not true cardinality:
+        # reduce distributed (over the materialized partials), THEN
+        # apply the real distinct-host guard
+        hostn = (
+            host_parts.groupby("host")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
         )
+        if len(hostn) > max_broadcast:
+            raise ValueError(
+                "host cardinality %d exceeds max_broadcast=%d: switch to the "
+                "host-co-partitioned variant (see module doc seam)"
+                % (len(hostn), max_broadcast)
+            )
     host_pages = dict(zip(hostn["host"], hostn["n"].astype("int64")))
 
     # -- frequency pass: exact distinct-url counts per (host, line) -----
@@ -143,9 +153,9 @@ def boilerplate_clean(
     # dual-path reduce (ops.fold): the distinct (host, line) table folds
     # on the driver under the cap; the distributed groupby-Sum remains
     # the wide-corpus fallback
-    from .fold import fold_reduce
+    from .fold import fold_or_reduce as _for
 
-    folded = fold_reduce(freq_parts, ["host", "lh"], {"n": "sum"}, max_broadcast)
+    folded, freq_parts = _for(freq_parts, ["host", "lh"], {"n": "sum"}, max_broadcast)
 
     # integer threshold: n * den >= pages * num  (no float semantics)
     pages_ref = ray.put(host_pages)

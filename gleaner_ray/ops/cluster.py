@@ -161,6 +161,10 @@ def kmeans_assign(
     """Full-corpus Lloyd k-means; returns a Dataset of (id, cluster).
 
     See ``kmeans_centroids`` for the deterministic convention."""
+    # materialize HERE so the assignment pass scans the same plasma
+    # blocks the training iterations used (centroids' internal
+    # materialize of an already-materialized dataset is a no-op)
+    ds = ds.materialize()
     centroids = kmeans_centroids(ds, k, iters, id_col, vec_col, concurrency)
     ref = ray.put(centroids)
     return ds.map_batches(_assign_stage(ref, id_col), batch_format="pyarrow")

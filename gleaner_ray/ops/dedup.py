@@ -110,14 +110,19 @@ def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partition
     internal/summoner/acquire/jsonutils.go:384-388).
 
     Dual path: the reference side's DISTINCT digest set folds to the
-    driver while it stays under ``broadcast_cap`` keys (broadcast once
-    via ``ray.put``; each corpus batch probes a sorted digest array with
-    one vectorized searchsorted — the corpus never shuffles); beyond the
-    cap both sides reduce to digest tables and exchange in ONE
+    driver while it stays under ``broadcast_cap`` keys — as RAW 16-byte
+    md5 digests in a fixed-width numpy 'S16' array (16 B/key: 80 MB at
+    the 5M cap, vs ~640 MB as UCS-4 hex strings; memcmp searchsorted;
+    trailing-null stripping cannot alias two equal-length digests) —
+    broadcast once via ``ray.put``, each corpus batch probing with one
+    vectorized searchsorted (the corpus never shuffles). Beyond the cap
+    both sides reduce to digest tables and exchange in ONE
     hash-partitioned left_outer join (bounded by distinct digests plus
     doc ids, never text payloads).
 
     Returns (doc_id, h, is_new) for every corpus document."""
+    import hashlib as _hl
+
     import ray as _ray
     import ray.data  # noqa: F401
 
@@ -132,19 +137,23 @@ def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partition
         return d.map_batches(add_hash, batch_format="pandas")
 
     def ref_distinct_local(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"h": batch["h"].drop_duplicates(ignore_index=True)})
+        # raw 16-byte digests for the broadcast set (hex only in output)
+        raw = [
+            _hl.md5((t or "").encode("utf-8")).digest() for t in batch["text"]
+        ]
+        return pd.DataFrame({"hb": pd.Series(raw, dtype=object).drop_duplicates(ignore_index=True)})
 
-    ref_digests = digests(ref_ds).map_batches(ref_distinct_local, batch_format="pandas")
+    ref_digests = ref_ds.map_batches(ref_distinct_local, batch_format="pandas")
 
     # driver fold of the reference digest set under the cap (exact:
     # distinct-set union commutes)
     seen: list = []
     total = 0
-    folded: np.ndarray | None = np.zeros(0, dtype="U32")
+    folded: np.ndarray | None = np.zeros(0, dtype="S16")
     for b in ref_digests.iter_batches(batch_format="pandas"):
         if not len(b):
             continue
-        seen.append(b["h"].to_numpy(dtype="U32"))
+        seen.append(np.asarray(list(b["hb"]), dtype="S16"))
         total += len(b)
         if total > broadcast_cap:
             u = np.unique(np.concatenate(seen))
@@ -161,8 +170,9 @@ def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partition
 
         def probe(batch: pd.DataFrame) -> pd.DataFrame:
             arr = _ray.get(ref_ref)
-            h = np.array([_md5(t or "") for t in batch["text"]], dtype="U32")
-            if len(arr):
+            raw = [_hl.md5((t or "").encode("utf-8")).digest() for t in batch["text"]]
+            h = np.asarray(raw, dtype="S16") if raw else np.zeros(0, dtype="S16")
+            if len(arr) and len(h):
                 idx = np.searchsorted(arr, h)
                 dup = (idx < len(arr)) & (arr[np.minimum(idx, len(arr) - 1)] == h)
             else:
@@ -170,7 +180,7 @@ def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partition
             return pd.DataFrame(
                 {
                     "doc_id": np.asarray(batch["doc_id"], dtype=np.int64),
-                    "h": h,
+                    "h": [d.hex() for d in raw],
                     "is_new": ~dup,
                 }
             )
@@ -180,8 +190,13 @@ def cross_corpus_dedup(ds, ref_ds, broadcast_cap: int = 5_000_000, num_partition
     # scale fallback: digest-table left_outer join, one exchange bounded
     # by distinct digests (the marker column flags matched rows)
     width = num_partitions or max(8, cluster_cpus(8))
+
+    def ref_hex_local(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": batch["hb"].map(bytes.hex).drop_duplicates(ignore_index=True)})
+
     ref_marked = (
-        ref_digests.groupby("h")
+        ref_digests.map_batches(ref_hex_local, batch_format="pandas")
+        .groupby("h")
         .count()
         .map_batches(
             lambda df: pd.DataFrame({"ref_h": df["h"], "seen": np.ones(len(df), dtype=np.int8)}),

@@ -23,11 +23,52 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["fold_reduce", "DRIVER_KEYS"]
+__all__ = ["fold_or_reduce", "fold_reduce", "DRIVER_KEYS"]
 
 # default distinct-key cap: ~5M keys x few int64 columns ~ a few hundred
 # MB of driver heap, the same budget text._DRIVER_GRAMS uses
 DRIVER_KEYS = 5_000_000
+
+
+def fold_or_reduce(
+    parts_ds,
+    keys: list[str],
+    agg: dict[str, str],
+    cap: int = DRIVER_KEYS,
+    pull_rows: int | None = None,
+):
+    """Fold per-batch pre-combined partial tables on the driver.
+
+    ``agg`` maps value column -> pandas agg name ("sum" / "max" /
+    "min"); each must be associative and commutative so folding batch
+    partials equals the distributed reduce.
+
+    The partials materialize once, the TOTAL partial-row count gates the
+    pull (metadata after materialization — no driver fetch when the
+    table is too wide), and under the gate all blocks gather in one
+    parallel ``to_pandas`` + a single vectorized groupby — measured ~4x
+    faster than incremental ``iter_batches`` folding, whose
+    block-by-block round-trips dominate at this size.
+
+    Returns ``(folded, parts)``: ``folded`` is the merged DataFrame, or
+    None when partial rows exceed ``pull_rows`` (default 4 x cap) or
+    distinct keys exceed ``cap``; ``parts`` is the MATERIALIZED partials
+    dataset — the caller's distributed-groupby fallback must consume it
+    (not the original lazy dataset) so the overflow path reuses the
+    plasma blocks instead of re-running the upstream read + map pass.
+    Driver memory is bounded by ``pull_rows``."""
+    cols = list(keys) + list(agg)
+    pull = pull_rows if pull_rows is not None else 4 * cap
+    parts = parts_ds.materialize()
+    if parts.count() > pull:
+        return None, parts  # partial table too wide to pull
+    df = parts.to_pandas()
+    if not len(df):
+        return pd.DataFrame(columns=cols), parts
+    out = _compact(df[cols], keys, agg)
+    if len(out) > cap:
+        return None, parts  # key space too wide for the driver
+    return out, parts
 
 
 def fold_reduce(
@@ -37,33 +78,9 @@ def fold_reduce(
     cap: int = DRIVER_KEYS,
     pull_rows: int | None = None,
 ) -> pd.DataFrame | None:
-    """Fold per-batch pre-combined partial tables on the driver.
-
-    ``agg`` maps value column -> pandas agg name ("sum" / "max" /
-    "min"); each must be associative and commutative so folding batch
-    partials equals the distributed reduce.
-
-    The partials materialize once, the TOTAL partial-row count gates the
-    pull (metadata-only — nothing is fetched when the table is too
-    wide), and under the gate all blocks gather in one parallel
-    ``to_pandas`` + a single vectorized groupby — measured ~4x faster
-    than incremental ``iter_batches`` folding, whose block-by-block
-    round-trips dominate at this size. Returns the merged table, or
-    None when partial rows exceed ``pull_rows`` (default 4 x cap) or
-    distinct keys exceed ``cap`` — the caller falls back to the
-    distributed groupby. Driver memory is bounded by ``pull_rows``."""
-    cols = list(keys) + list(agg)
-    pull = pull_rows if pull_rows is not None else 4 * cap
-    parts = parts_ds.materialize()
-    if parts.count() > pull:
-        return None  # partial table too wide to pull
-    df = parts.to_pandas()
-    if not len(df):
-        return pd.DataFrame(columns=cols)
-    out = _compact(df[cols], keys, agg)
-    if len(out) > cap:
-        return None  # key space too wide for the driver
-    return out
+    """DataFrame-or-None view of ``fold_or_reduce`` for callers that
+    have no distributed fallback (or build their own)."""
+    return fold_or_reduce(parts_ds, keys, agg, cap, pull_rows)[0]
 
 
 def _compact(df: pd.DataFrame, keys: list[str], agg: dict[str, str]) -> pd.DataFrame:

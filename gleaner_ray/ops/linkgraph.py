@@ -200,9 +200,9 @@ def anchor_texts(pages: rd.Dataset) -> rd.Dataset:
     # one sorted groupby (the map_groups fallback pays one Python call
     # per URL — correct, but only worth it past the anchor-vocabulary
     # cap)
-    from .fold import fold_reduce
+    from .fold import fold_or_reduce
 
-    folded = fold_reduce(parts, ["url", "txt"], {"n": "sum"})
+    folded, parts = fold_or_reduce(parts, ["url", "txt"], {"n": "sum"})
     if folded is not None:
         if folded.empty:
             return rd.from_arrow(
@@ -239,7 +239,7 @@ def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
     exchange carries distinct pairs, not edges, on either path."""
     from ray.data.aggregate import Max
 
-    from .fold import DRIVER_KEYS, fold_reduce
+    from .fold import DRIVER_KEYS, fold_or_reduce
 
     edges = outlinks(pages)
     empty = pd.DataFrame(
@@ -267,8 +267,12 @@ def reciprocal_links(pages: rd.Dataset) -> rd.Dataset:
         )
         return g
 
-    parts = edges.map_batches(fold, batch_format="pandas")
-    folded = fold_reduce(parts, ["url_a", "url_b"], {"fwd": "max", "rev": "max"}, DRIVER_KEYS)
+    folded, parts = fold_or_reduce(
+        edges.map_batches(fold, batch_format="pandas"),
+        ["url_a", "url_b"],
+        {"fwd": "max", "rev": "max"},
+        DRIVER_KEYS,
+    )
     if folded is not None:
         out = folded.loc[
             (folded["fwd"] == 1) & (folded["rev"] == 1), ["url_a", "url_b"]
@@ -304,7 +308,7 @@ def indegree(pages: rd.Dataset) -> rd.Dataset:
     absent (same as the SQL GROUP BY)."""
     from ray.data.aggregate import Sum
 
-    from .fold import DRIVER_KEYS, fold_reduce
+    from .fold import DRIVER_KEYS, fold_or_reduce
 
     edges = outlinks(pages)
 
@@ -314,8 +318,9 @@ def indegree(pages: rd.Dataset) -> rd.Dataset:
         g = df.groupby("dst", as_index=False).size()
         return pd.DataFrame({"url": g["dst"], "in_degree": g["size"].astype("int64")})
 
-    parts = edges.map_batches(partial, batch_format="pandas")
-    folded = fold_reduce(parts, ["url"], {"in_degree": "sum"}, DRIVER_KEYS)
+    folded, parts = fold_or_reduce(
+        edges.map_batches(partial, batch_format="pandas"), ["url"], {"in_degree": "sum"}, DRIVER_KEYS
+    )
     if folded is not None:
         if folded.empty:
             return rd.from_arrow(
@@ -344,12 +349,16 @@ def host_edges(pages: rd.Dataset) -> rd.Dataset:
 
     from ray.data.aggregate import Sum
 
-    from .fold import fold_reduce
+    from .fold import fold_or_reduce
 
-    parts = edges.map_batches(partial, batch_format="pandas")
     # host-pair key space is O(hosts^2) bounded: driver fold first,
-    # distributed groupby-Sum as the fallback
-    folded = fold_reduce(parts, ["src_host", "dst_host"], {"n_links": "sum"})
+    # distributed groupby-Sum as the fallback (over the SAME
+    # materialized partials)
+    folded, parts = fold_or_reduce(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        {"n_links": "sum"},
+    )
     if folded is not None:
         if folded.empty:
             return rd.from_arrow(
@@ -573,11 +582,12 @@ def spam_mass(
             edge_ids = pages.map_batches(
                 _edge_id_stage(hashes), batch_format="pyarrow"
             ).materialize()
-            pr = _pagerank_rounds(
-                edge_ids, n_nodes, iters, tele_u, np.full(n_nodes, r0_u, dtype=np.int64), driver_edges
-            )
+            # one shared prep: edge ids pull / degree table merge once
+            # for BOTH walks
+            run = _prepare_rounds(edge_ids, n_nodes, driver_edges)
+            pr = run(tele_u, np.full(n_nodes, r0_u, dtype=np.int64), iters)
             tele_vec, init = _seed_vectors(hashes, n_nodes, tele_s, r0_s, seeds)
-            tr = _pagerank_rounds(edge_ids, n_nodes, iters, tele_vec, init, driver_edges)
+            tr = run(tele_vec, init, iters)
             h_ref = ray.put(hashes)
             pr_ref = ray.put(pr)
             tr_ref = ray.put(tr)
@@ -605,9 +615,12 @@ def spam_mass(
     from ..cluster import cluster_cpus
 
     width = max(8, cluster_cpus(8))
-    pr_ds = _pagerank_join(node_ds, outlinks(pages), iters, tele_u, r0_u).materialize()
+    # extract links ONCE: both walks' internal semi-join/degree stages
+    # reuse the materialized edge blocks
+    edges = outlinks(pages).materialize()
+    pr_ds = _pagerank_join(node_ds, edges, iters, tele_u, r0_u).materialize()
     tr_ds = _pagerank_join(
-        node_ds, outlinks(pages), iters, tele_s, r0_s, seeds=seeds, out_col="trust_fp"
+        node_ds, edges, iters, tele_s, r0_s, seeds=seeds, out_col="trust_fp"
     )
     joined = pr_ds.join(
         tr_ds.map_batches(
@@ -712,12 +725,14 @@ def _edge_id_stage(hashes: np.ndarray):
     return edge_ids
 
 
-def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DRIVER_EDGES):
-    """Run ``iters`` fixed-point rounds over a materialized int-pair
-    edge table and return the final rank vector. ``tele_term`` is a
-    scalar (uniform teleport) or a per-node int64 vector (seeded
-    teleport); ``init`` the round-0 ranks. Small edge tables pull to
-    the driver (np.add.at rounds); larger ones stream one per-dst
+def _prepare_rounds(edge_ids, n_nodes, driver_edges=_DRIVER_EDGES):
+    """One-time setup for fixed-point walks over a materialized int-pair
+    edge table; returns ``run(tele_term, init, iters) -> ranks`` so
+    callers computing SEVERAL walks over the same graph (``spam_mass``:
+    uniform + seeded) pull the edge ids / merge the degree table once.
+    ``tele_term`` is a scalar (uniform teleport) or a per-node int64
+    vector (seeded); ``init`` the round-0 ranks. Small edge tables pull
+    to the driver (np.add.at rounds); larger ones stream one per-dst
     partial-sum aggregation per round — zero shuffles either way."""
     n_edges = edge_ids.count()  # metadata of the materialized table
 
@@ -727,13 +742,17 @@ def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DR
         si = idp["si"].to_numpy(np.int64)
         di = idp["di"].to_numpy(np.int64)
         deg = np.bincount(si, minlength=n_nodes).astype(np.int64)
-        ranks = init
-        for _ in range(iters):
-            contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
-            incoming = np.zeros(n_nodes, dtype=np.int64)
-            np.add.at(incoming, di, contrib[si])
-            ranks = tele_term + (17 * incoming) // 20
-        return ranks
+
+        def run(tele_term, init, iters):
+            ranks = init
+            for _ in range(iters):
+                contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+                incoming = np.zeros(n_nodes, dtype=np.int64)
+                np.add.at(incoming, di, contrib[si])
+                ranks = tele_term + (17 * incoming) // 20
+            return ranks
+
+        return run
 
     deg = np.zeros(n_nodes, dtype=np.int64)
     _merge_partials(
@@ -745,8 +764,6 @@ def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DR
         "d",
         deg,
     )
-
-    ranks = init
 
     def round_fn(t: pa.Table, _c_ref) -> pa.Table:
         if t.num_rows == 0:
@@ -760,18 +777,26 @@ def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DR
         g = df.groupby("i", as_index=False)["c"].sum()
         return pa.table({"i": pa.array(g["i"].to_numpy(np.int64)), "s": pa.array(g["c"].to_numpy(np.int64))})
 
-    for _ in range(iters):
-        contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
-        c_ref = ray.put(contrib)
-        incoming = np.zeros(n_nodes, dtype=np.int64)
-        _merge_partials(
-            edge_ids.map_batches(round_fn, batch_format="pyarrow", fn_kwargs={"_c_ref": c_ref}),
-            "i",
-            "s",
-            incoming,
-        )
-        ranks = tele_term + (17 * incoming) // 20
-    return ranks
+    def run(tele_term, init, iters):
+        ranks = init
+        for _ in range(iters):
+            contrib = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+            c_ref = ray.put(contrib)
+            incoming = np.zeros(n_nodes, dtype=np.int64)
+            _merge_partials(
+                edge_ids.map_batches(round_fn, batch_format="pyarrow", fn_kwargs={"_c_ref": c_ref}),
+                "i",
+                "s",
+                incoming,
+            )
+            ranks = tele_term + (17 * incoming) // 20
+        return ranks
+
+    return run
+
+
+def _pagerank_rounds(edge_ids, n_nodes, iters, tele_term, init, driver_edges=_DRIVER_EDGES):
+    return _prepare_rounds(edge_ids, n_nodes, driver_edges)(tele_term, init, iters)
 
 
 def _seed_vectors(hashes, n_nodes, tele, r0, seeds):

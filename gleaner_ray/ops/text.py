@@ -659,36 +659,6 @@ class _NgramPartial:
 _DRIVER_GRAMS = 5_000_000
 
 
-def _fold_counts(ds_partials, cap: int, key: str = "ngram", val: str = "cnt"):
-    """Stream bounded per-batch (key, count) partial tables to the driver
-    and fold them exactly (counts commute, so the fold equals the
-    distributed groupby-Sum): batches concatenate into a buffer that is
-    compacted with a vectorized pandas groupby-sum whenever it tops
-    ``cap`` rows. Returns the merged table, or None the moment the
-    *distinct*-key count itself exceeds ``cap`` — the caller then falls
-    back to the distributed reduce. Driver memory is bounded by
-    ~2 x cap rows at all times."""
-    frames: list = []
-    buffered = 0
-
-    def compact(fr):
-        return pd.concat(fr, ignore_index=True).groupby(key, as_index=False, sort=False)[val].sum()
-
-    for b in ds_partials.iter_batches(batch_format="pandas"):
-        if not len(b):
-            continue
-        frames.append(b[[key, val]])
-        buffered += len(b)
-        if buffered > cap:
-            c = compact(frames)
-            if len(c) > cap:
-                return None  # vocabulary too wide for the driver
-            frames, buffered = [c], len(c)
-    if not frames:
-        return pd.DataFrame({key: pd.Series(dtype="object"), val: pd.Series(dtype="int64")})
-    return compact(frames)
-
-
 def ngram_top_k(
     ds,
     n: int = 2,
@@ -700,28 +670,30 @@ def ngram_top_k(
     contamination statistics for training-data pipelines).
 
     Shape: per-batch partial counts (one small table per batch, NOT the
-    exploded grams) -> reduce -> top-k. The reduce is dual-path: partial
-    batches stream to the driver and fold into one table while the
-    running distinct-gram count stays <= ``driver_grams`` (counts
-    commute, so the fold is exact); on overflow the partials re-run
-    through the distributed ``groupby(ngram)`` Sum. Ties break
+    exploded grams) -> reduce -> top-k. The reduce is dual-path
+    (``ops.fold.fold_or_reduce``): the partial table folds on the
+    driver while the distinct-gram count stays <= ``driver_grams``
+    (counts commute, so the fold is exact); on overflow the
+    MATERIALIZED partials reduce through the distributed
+    ``groupby(ngram)`` Sum — no re-read of the corpus. Ties break
     deterministically on (count DESC, ngram ASC) — the same ORDER BY
     the SQL oracle uses."""
     from ray.data.aggregate import Sum
 
-    def make_partials():
-        return ds.map_batches(
-            _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
-        )
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    partials = ds.map_batches(
+        _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
+    )
 
     empty = pd.DataFrame({"ngram": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
 
-    merged = _fold_counts(make_partials(), driver_grams)
+    merged, partials = fold_or_reduce(partials, ["ngram"], {"cnt": "sum"}, driver_grams)
     if merged is not None:
         if merged.empty:
             return empty
     else:
-        totals = make_partials().groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+        totals = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
 
         def topk(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
@@ -765,7 +737,7 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
     adjacent merge sites still all match."""
     from ray.data.aggregate import Sum
 
-    from gleaner_ray.ops.fold import fold_reduce
+    from gleaner_ray.ops.fold import fold_or_reduce
 
     def word_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = [(t or "").lower().split() for t in df["text"]]
@@ -776,8 +748,9 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
 
     word_parts = ds.map_batches(word_partial, batch_format="pandas", concurrency=concurrency)
     # dual-path reduce (ops.fold): the distinct-word vocabulary folds on
-    # the driver under the cap; distributed groupby-Sum beyond it
-    words_df = fold_reduce(word_parts, ["word"], {"cnt": "sum"})
+    # the driver under the cap; distributed groupby-Sum (over the same
+    # materialized partials) beyond it
+    words_df, word_parts = fold_or_reduce(word_parts, ["word"], {"cnt": "sum"})
     if words_df is not None:
         import ray.data as _rd
 
@@ -821,7 +794,7 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
         pair_parts = cur.map_batches(pair_partial, batch_format="pandas", concurrency=concurrency)
         # per-round reduce is dual-path too: the pair table is bounded
         # by the symbol-pair vocabulary
-        folded = fold_reduce(pair_parts, ["pair"], {"c": "sum"})
+        folded, pair_parts = fold_or_reduce(pair_parts, ["pair"], {"c": "sum"})
         if folded is not None:
             if not len(folded):
                 break
@@ -913,11 +886,13 @@ def phrase_detect(
             _NgramPartial, fn_constructor_kwargs={"n": n}, batch_format="pandas", concurrency=concurrency
         )
 
-    uni_df = _fold_counts(partials(1), driver_vocab)
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    uni_df, uni_parts = fold_or_reduce(partials(1), ["ngram"], {"cnt": "sum"}, driver_vocab)
     if uni_df is not None:
         n_total = int(uni_df["cnt"].sum())
         lookup = uni_df.set_index("ngram")["cnt"]
-        bi_df = _fold_counts(partials(2), driver_vocab)
+        bi_df, bi_parts = fold_or_reduce(partials(2), ["ngram"], {"cnt": "sum"}, driver_vocab)
         if bi_df is not None:
             # tier 1: everything bounded — exact driver arithmetic
             bi_df = bi_df[bi_df["cnt"] >= min_count]
@@ -944,7 +919,7 @@ def phrase_detect(
         # broadcast-vocab score (no join shuffle)
         vocab_ref = ray.put(lookup)
         return (
-            partials(2)
+            bi_parts  # the fold's materialized partials: no corpus re-read
             .groupby("ngram")
             .aggregate(Sum("cnt", alias_name="c_ab"))
             .map_batches(_split_bigram_stage(min_count), batch_format="pandas")
@@ -965,7 +940,7 @@ def phrase_detect(
     # distributed two-join path
     width = num_partitions or max(8, cluster_cpus(8) // 4)
     uni = (
-        partials(1).groupby("ngram").aggregate(Sum("cnt", alias_name="c")).materialize()
+        uni_parts.groupby("ngram").aggregate(Sum("cnt", alias_name="c")).materialize()
     )  # consumed twice: scalar N + the vocabulary joins
     n_total = int(uni.sum("c") or 0)
     bi = (

@@ -578,9 +578,9 @@ def mirror_hosts(pages_ds, num_partitions: int | None = None):
     # dual-path (ops.fold): under the cap the distinct (digest, host)
     # table folds on the driver and the cross-host intersection is one
     # local self-merge — no digest shuffle, no join actor pools
-    from gleaner_ray.ops.fold import fold_reduce
+    from gleaner_ray.ops.fold import fold_or_reduce
 
-    folded = fold_reduce(
+    folded, digest_parts = fold_or_reduce(
         digest_parts.map_batches(
             lambda df: df.assign(_n=np.ones(len(df), dtype=np.int8)), batch_format="pandas"
         ),
@@ -611,9 +611,9 @@ def mirror_hosts(pages_ds, num_partitions: int | None = None):
         return _rd.from_pandas(out[["host_a", "host_b", "shared"]])
 
     distinct = (
-        digest_parts
+        digest_parts.select_columns(["h", "host"])
         .groupby(["h", "host"])
-        .aggregate(Count(alias_name="_n"))
+        .aggregate(Count(alias_name="_cnt"))
         .select_columns(["h", "host"])
     )
     right = distinct.map_batches(
@@ -704,11 +704,11 @@ def duplicate_titles(pages_ds):
     # dual-path reduce (ops.fold): Sum and Min both commute, so the
     # distinct-title table folds on the driver under the cap; the
     # distributed groupby remains the wide-corpus fallback
-    from gleaner_ray.ops.fold import fold_reduce
+    from gleaner_ray.ops.fold import fold_or_reduce
 
     import ray.data as _rd
 
-    folded = fold_reduce(parts, ["title"], {"n_pages": "sum", "first_url": "min"})
+    folded, parts = fold_or_reduce(parts, ["title"], {"n_pages": "sum", "first_url": "min"})
     if folded is not None:
         out = folded[folded["n_pages"] > 1].reset_index(drop=True)
         if out.empty:
@@ -768,7 +768,7 @@ def url_templates(pages_ds, trap_threshold: int = 1000):
     groupby-Sum beyond it."""
     from ray.data.aggregate import Sum
 
-    from gleaner_ray.ops.fold import fold_reduce
+    from gleaner_ray.ops.fold import fold_or_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["url"]
@@ -790,7 +790,7 @@ def url_templates(pages_ds, trap_threshold: int = 1000):
         df["trap"] = df["n_urls"] >= trap_threshold
         return df
 
-    folded = fold_reduce(parts, ["host", "template"], {"n": "sum"})
+    folded, parts = fold_or_reduce(parts, ["host", "template"], {"n": "sum"})
     if folded is not None:
         import pyarrow as _pa
         import ray.data as _rd
