@@ -298,6 +298,16 @@ class TestFoldReduce:
         assert fold_reduce(parts, ["k"], {"n": "sum"}, cap=1) is None
         # partial-row pull gate fires before anything is fetched
         assert fold_reduce(parts, ["k"], {"n": "sum"}, cap=10, pull_rows=2) is None
+        # the two-value API hands back MATERIALIZED partials on overflow
+        # so the caller's distributed fallback reuses the plasma blocks
+        from ray.data.dataset import MaterializedDataset
+
+        from gleaner_ray.ops.fold import fold_or_reduce
+
+        folded, mat = fold_or_reduce(parts, ["k"], {"n": "sum"}, cap=1)
+        assert folded is None and isinstance(mat, MaterializedDataset)
+        agg = mat.groupby("k").sum("n").to_pandas()
+        assert dict(zip(agg["k"], agg["sum(n)"])) == {"a": 4, "b": 2}
 
     def test_folded_ops_distributed_fallback_parity(self, tiny_graph, monkeypatch):
         """Every fold_reduce consumer must produce the identical table on
