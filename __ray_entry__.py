@@ -464,6 +464,102 @@ def _q_graph_host_rank(sf_dir: str):
     return lg.host_rank(_graph_pages(sf_dir), iters=2)
 
 
+_WARC_CACHE: dict[tuple, str] = {}
+
+
+def _warc_dir(sf_dir: str, kind: str) -> str:
+    """Write the sf's pages corpus out as WARC/WET part files once per
+    process; return the part directory (the distributed sink runs on
+    the Ray cluster, one part per input block)."""
+    key = (sf_dir, kind)
+    if key in _WARC_CACHE:
+        return _WARC_CACHE[key]
+    import shutil
+
+    import ray.data as rd
+
+    from gleaner_ray.sources.warc import write_warc_dataset
+
+    corpus = synth.generate_corpus(sf_dir)
+    cols = ["url", "warc_ts", "html" if kind == "warc" else "text"]
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=cols)
+    out = os.path.join("/tmp/gleaner_ray_warc", os.path.basename(os.path.normpath(sf_dir)), kind)
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc_dataset(pages, out, kind=kind)
+    _WARC_CACHE[key] = out
+    return out
+
+
+def _q_crawl_warc_roundtrip(sf_dir: str):
+    """ISO 28500 WARC sink + source round trip: pages -> response
+    records (per-record gzip members, Common-Crawl layout) -> part
+    files -> distributed read-back -> per-url byte profile.  The md5
+    over the recovered html proves the HTTP-block framing and
+    Content-Length payload slicing are lossless (reference analogue:
+    the summoner's raw-fetch data plane, acquire/resources.go)."""
+    import hashlib as _hl
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from gleaner_ray.sources.warc import read_warc_dataset
+
+    ds = read_warc_dataset(_warc_dir(sf_dir, "warc"), kind="warc")
+
+    def prof(t: _pa.Table) -> pd.DataFrame:
+        html = t.column("html").to_pylist()
+        ts = t.column("warc_ts").cast(_pa.int64()).to_pylist()
+        return pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "ts_ms": pd.Series(ts, dtype="int64"),
+                "n_bytes": pd.Series([len(h) for h in html], dtype="int64"),
+                "html_md5": [_hl.md5(h).hexdigest() for h in html],
+            }
+        )
+
+    return ds.map_batches(prof, batch_format="pyarrow")
+
+
+def _q_crawl_wet_roundtrip(sf_dir: str):
+    """WET (conversion-record) sink + source round trip over the text
+    plane — the Common-Crawl extracted-text layout LLM corpora ingest."""
+    import hashlib as _hl
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from gleaner_ray.sources.warc import read_warc_dataset
+
+    ds = read_warc_dataset(_warc_dir(sf_dir, "wet"), kind="wet")
+
+    def prof(t: _pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pylist()
+        ts = t.column("warc_ts").cast(_pa.int64()).to_pylist()
+        return pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "ts_ms": pd.Series(ts, dtype="int64"),
+                "n_chars": pd.Series([len(x) for x in texts], dtype="int64"),
+                "text_md5": [_hl.md5(x.encode()).hexdigest() for x in texts],
+            }
+        )
+
+    return ds.map_batches(prof, batch_format="pyarrow")
+
+
+def _q_graph_triangles(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_triangles(_graph_pages(sf_dir))
+
+
+def _q_crawl_host_budget(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_budget(_graph_pages(sf_dir), total_budget=1_000_000, iters=2)
+
+
 def _q_crawl_url_templates(sf_dir: str):
     from gleaner_ray.pipelines.recrawl import url_templates
 
@@ -653,6 +749,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # style host ranks): host_edges bounds the exchange at O(hosts^2),
         # rounds run on the bounded host table
         "graph_host_rank": _q_graph_host_rank,
+        # per-host triangle participation over the undirected distinct
+        # host graph (link-farm/mirror-ring density): driver wedge
+        # closure under the edge cap, two-Dataset.join seam above it
+        "graph_triangles": _q_graph_triangles,
+        # ISO 28500 WARC response-record sink+source round trip (html
+        # plane) and WET conversion-record round trip (text plane):
+        # per-record-gzip Common-Crawl layout, spec framing, no shuffle
+        "crawl_warc_roundtrip": _q_crawl_warc_roundtrip,
+        "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
+        # global fetch budget -> per-host quotas: largest-remainder
+        # apportionment over host_rank mass, exact big-int arithmetic
+        # on the bounded host table (volume twin of ST3's pacing)
+        "crawl_host_budget": _q_crawl_host_budget,
         # rank -> crawl priority tier (integer thresholds vs uniform mass):
         # the link-structure twin of crawl_priority_update
         "graph_rank_priority": _q_graph_rank_priority,
@@ -830,6 +939,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # explode/unnest: one row per token with position (flat_map
         # building block), fully vectorized expansion
         "text_explode_tokens": lambda sf: tx.explode_tokens(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
+        # sentence segmentation explode: shared [^.!?]+[.!?]? grammar,
+        # vectorized findall + repeat, zero shuffle
+        "text_sentences": lambda sf: tx.sentence_split(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         ),
         # type-token ratio: exact int64 counts, one IEEE division
@@ -1602,6 +1716,82 @@ def oracle_sql() -> dict[str, str]:
                    FROM crawled c LEFT JOIN i1 ON c.h = i1.h)
             SELECT h AS host, CAST(r AS BIGINT) AS rank_fp FROM r2
         """,
+        # round-trip identities: the recovered WARC/WET stream must
+        # carry exactly the pages table's bytes (md5 per url)
+        "crawl_warc_roundtrip": f"""
+            SELECT url,
+                   epoch_ms(warc_ts) AS ts_ms,
+                   octet_length(html) AS n_bytes,
+                   md5(decode(html)) AS html_md5
+            FROM {pages}
+        """,
+        "crawl_wet_roundtrip": f"""
+            SELECT url,
+                   epoch_ms(warc_ts) AS ts_ms,
+                   length(text) AS n_chars,
+                   md5(text) AS text_md5
+            FROM {pages}
+        """,
+        # undirected distinct host pairs -> ordered wedge (x<y<z) closure;
+        # every host in the edge set appears, triangle-free hosts at 0
+        "graph_triangles": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            hp AS (
+              SELECT DISTINCT split_part(src, '/', 3) AS sh, split_part(dst, '/', 3) AS dh
+              FROM links WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)),
+            und AS (SELECT DISTINCT least(sh, dh) AS a, greatest(sh, dh) AS b FROM hp),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1 JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            m AS (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+            hosts AS (SELECT a AS host FROM und UNION SELECT b FROM und)
+            SELECT hosts.host, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+            FROM hosts LEFT JOIN (SELECT host, COUNT(*) AS n FROM m GROUP BY host) cnt USING (host)
+            ORDER BY host
+        """,
+        # host_rank (same k=2 int64 recurrence) -> Hamilton largest-
+        # remainder apportionment of a 10^6 fetch budget; HUGEINT keeps
+        # B*rank exact, remainder ties break host-ascending
+        "crawl_host_budget": f"""
+            WITH l0 AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            he AS (SELECT split_part(src, '/', 3) AS sh, split_part(dst, '/', 3) AS dh,
+                          COUNT(*) AS w
+                   FROM l0 GROUP BY 1, 2),
+            crawled AS (SELECT DISTINCT split_part(url, '/', 3) AS h FROM {pages}),
+            e AS (SELECT sh, dh, w FROM he WHERE dh IN (SELECT h FROM crawled)),
+            n AS (SELECT COUNT(*) AS n FROM crawled),
+            ws AS (SELECT sh, SUM(w) AS wt FROM e GROUP BY sh),
+            r0 AS (SELECT h, 1000000000000000 // (SELECT n FROM n) AS r FROM crawled),
+            i0 AS (SELECT e.dh AS h, SUM((r0.r // ws.wt) * e.w) AS s
+                   FROM e JOIN ws ON e.sh = ws.sh JOIN r0 ON r0.h = e.sh GROUP BY e.dh),
+            r1 AS (SELECT c.h, (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i0.s, 0)) // 20 AS r
+                   FROM crawled c LEFT JOIN i0 ON c.h = i0.h),
+            i1 AS (SELECT e.dh AS h, SUM((r1.r // ws.wt) * e.w) AS s
+                   FROM e JOIN ws ON e.sh = ws.sh JOIN r1 ON r1.h = e.sh GROUP BY e.dh),
+            r2 AS (SELECT c.h, (3 * 1000000000000000) // (20 * (SELECT n FROM n))
+                          + (17 * COALESCE(i1.s, 0)) // 20 AS r
+                   FROM crawled c LEFT JOIN i1 ON c.h = i1.h),
+            tot AS (SELECT SUM(CAST(r AS HUGEINT)) AS t FROM r2),
+            parts AS (SELECT h AS host,
+                             (CAST(1000000 AS HUGEINT) * CAST(r AS HUGEINT)) // (SELECT t FROM tot) AS base,
+                             (CAST(1000000 AS HUGEINT) * CAST(r AS HUGEINT)) % (SELECT t FROM tot) AS rem
+                      FROM r2),
+            lo AS (SELECT 1000000 - SUM(base) AS k FROM parts),
+            rk AS (SELECT host, base,
+                          row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+                   FROM parts)
+            SELECT host,
+                   CAST(base + CASE WHEN rn <= (SELECT k FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS budget
+            FROM rk ORDER BY host
+        """,
         # same k=2 recurrence + integer tier thresholds vs uniform mass
         "graph_rank_priority": f"""
             WITH nodes AS (SELECT url FROM {pages}),
@@ -2109,6 +2299,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
                    unnest(w) AS token
             FROM toks
+        """,
+        "text_sentences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]?') AS l
+              FROM documents)
+            SELECT doc_id,
+                   CAST(unnest(range(len(l))) AS BIGINT) AS sent_idx,
+                   unnest(l) AS sentence
+            FROM t
         """,
         "text_lexical_diversity": r"""
             WITH toks AS (

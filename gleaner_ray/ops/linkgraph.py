@@ -59,6 +59,8 @@ __all__ = [
     "indegree",
     "host_edges",
     "host_rank",
+    "host_budget",
+    "host_triangles",
     "pagerank_int",
     "trustrank_int",
     "spam_mass",
@@ -1433,3 +1435,190 @@ def _seed_depth_join(node_ds, edges, n_seeds, iters):
             depths.union(prop).groupby("url").aggregate(Min("depth", alias_name="depth"))
         ).materialize()
     return depths
+
+
+# undirected distinct host-edge tables at or below this row count fold
+# to the driver (16 B/edge packed -> <=800 MB) where wedge closure is
+# one vectorized merge + searchsorted probe; above it the same closure
+# runs as two Dataset.joins at cluster width (the documented seam)
+_DRIVER_TRI_EDGES = 50_000_000
+
+
+def host_triangles(pages: rd.Dataset, driver_edges: int = _DRIVER_TRI_EDGES) -> pd.DataFrame:
+    """Per-host triangle participation over the undirected distinct
+    host graph — the classic link-spam / mirror-cluster density signal
+    (spam farms and mirror rings are triangle-dense; legitimate
+    topical hubs are star-shaped and triangle-sparse).  The reference
+    never looks across hosts (summoner treats each source in
+    isolation); a 10^10-URL frontier planner needs exactly this
+    cross-host structure to down-weight cliques.
+
+    Definition: project the page link multigraph to hosts
+    (``host_edges``), drop self-loops, canonicalize each edge to the
+    unordered distinct pair (a, b) with a < b.  Every triangle
+    x < y < z counts once and contributes 1 to each member host.
+    Output: one row per host present in the undirected edge set,
+    ``(host, n_triangles)``, host-sorted.
+
+    Scale shape: ``host_edges`` has already combined the O(edges)
+    anchor stream down to O(hosts^2)-bounded weighted rows, so the
+    canonicalize + distinct here exchanges only narrow (a, b) keys.
+    Under ``driver_edges`` the distinct pair table folds to the driver:
+    wedge enumeration is ONE vectorized self-merge on the middle
+    vertex and closure is a searchsorted membership probe over packed
+    uint64 edge keys — no Python loop over edges or wedges.  Above the
+    cap, the same plan runs distributed (self-join on b == a at
+    cluster width, then a left_semi closure join on (a, c)); both
+    paths share the counting kernel and are pinned equal by
+    ``tests/test_linkgraph.py``.
+    """
+    und = _undirected_host_pairs(pages)
+    total = und.count()
+    if total <= driver_edges:
+        df = und.to_pandas()
+        return _triangles_driver(df)
+    return _triangles_join(und)
+
+
+def _undirected_host_pairs(pages: rd.Dataset) -> rd.Dataset:
+    """Distinct undirected host pairs (a < b) from the host multigraph."""
+    edges = host_edges(pages)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str)})
+        s = df["src_host"].astype(str)
+        d = df["dst_host"].astype(str)
+        keep = s != d  # self-loops close no triangle
+        s, d = s[keep], d[keep]
+        a = s.where(s < d, d)
+        b = d.where(s < d, s)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates(ignore_index=True)
+
+    from ray.data.aggregate import Count
+
+    pairs = edges.map_batches(canon, batch_format="pandas")
+    # key-only distinct: the exchange carries (a, b) pairs, no payload
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+
+
+def _pack_keys(ai: np.ndarray, bi: np.ndarray, n: int) -> np.ndarray:
+    return ai.astype(np.uint64) * np.uint64(n) + bi.astype(np.uint64)
+
+
+def _triangles_driver(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized wedge-closure triangle count on the bounded pair table."""
+    hosts = np.unique(np.concatenate([df["a"].to_numpy(dtype=object), df["b"].to_numpy(dtype=object)])) if len(df) else np.array([], dtype=object)
+    n = len(hosts)
+    out_zero = pd.DataFrame({"host": pd.Series(hosts, dtype=object), "n_triangles": np.zeros(n, dtype=np.int64)})
+    if n < 3 or len(df) < 3:
+        return out_zero
+    idx = pd.Index(hosts)
+    ai = idx.get_indexer(df["a"]).astype(np.int64)
+    bi = idx.get_indexer(df["b"]).astype(np.int64)
+    keys = np.sort(_pack_keys(ai, bi, n))
+    e = pd.DataFrame({"ai": ai, "bi": bi})
+    # wedge (x < y < z): edge (x, y) chained with edge (y, z)
+    w = e.merge(e.rename(columns={"ai": "bi", "bi": "ci"}), on="bi")
+    probe = _pack_keys(w["ai"].to_numpy(np.int64), w["ci"].to_numpy(np.int64), n)
+    pos = np.searchsorted(keys, probe)
+    pos[pos >= len(keys)] = len(keys) - 1
+    closed = keys[pos] == probe
+    tri = w[closed]
+    counts = np.zeros(n, dtype=np.int64)
+    members = np.concatenate([tri["ai"].to_numpy(np.int64), tri["bi"].to_numpy(np.int64), tri["ci"].to_numpy(np.int64)])
+    np.add.at(counts, members, 1)
+    return pd.DataFrame({"host": pd.Series(hosts, dtype=object), "n_triangles": counts})
+
+
+def _triangles_join(und: rd.Dataset) -> pd.DataFrame:
+    """Distributed wedge closure: self-join on the middle vertex, then a
+    left_semi membership join on the closing (a, c) pair."""
+    from gleaner_ray.cluster import cluster_cpus
+    from ray.data.aggregate import Sum
+
+    width = max(8, cluster_cpus(8))
+
+    def _as_wedge_left(t: pa.Table) -> pa.Table:
+        return pa.table({"wa": t.column("a"), "wb": t.column("b")})
+
+    def _as_wedge_right(t: pa.Table) -> pa.Table:
+        return pa.table({"rb": t.column("a"), "rc": t.column("b")})
+
+    left = und.map_batches(_as_wedge_left, batch_format="pyarrow")
+    right = und.map_batches(_as_wedge_right, batch_format="pyarrow")
+    wedges = left.join(
+        right, join_type="inner", num_partitions=width, on=("wb",), right_on=("rb",)
+    )
+    closed = wedges.join(
+        und,
+        join_type="left_semi",
+        num_partitions=width,
+        on=("wa", "rc"),
+        right_on=("a", "b"),
+    )
+
+    def members(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"host": pd.Series(dtype=str), "n_triangles": pd.Series(dtype="int64")})
+        hosts = pa.concat_arrays(
+            [t.column("wa").combine_chunks(), t.column("wb").combine_chunks(), t.column("rc").combine_chunks()]
+        ).to_pandas()
+        g = hosts.value_counts()
+        return pd.DataFrame({"host": g.index.astype(object), "n_triangles": g.to_numpy(np.int64)})
+
+    from .fold import fold_or_reduce
+
+    parts = closed.map_batches(members, batch_format="pyarrow")
+    folded, mat = fold_or_reduce(parts, ["host"], {"n_triangles": "sum"})
+    if folded is None:
+        folded = mat.groupby("host").aggregate(Sum("n_triangles", alias_name="n_triangles")).to_pandas()
+    # hosts whose edges close no triangle still appear, with 0
+    all_hosts = pd.Series(
+        np.unique(np.concatenate([np.asarray(und.unique("a"), dtype=object), np.asarray(und.unique("b"), dtype=object)])),
+        dtype=object,
+    )
+    out = pd.DataFrame({"host": all_hosts}).merge(folded, on="host", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype(np.int64)
+    return out.sort_values("host", ignore_index=True)
+
+
+def host_budget(pages: rd.Dataset, total_budget: int = 1_000_000, iters: int = 2) -> pd.DataFrame:
+    """Per-host crawl-budget apportionment: divide a global fetch
+    budget over hosts proportionally to their ``host_rank`` mass using
+    the largest-remainder method (exact integer arithmetic, so the
+    allocation is order-independent and sums to the budget exactly).
+    This is the planning step between link analysis and the politeness
+    scheduler: ST3's per-host queues consume these quotas
+    (acquire.go:71-73 enforces pace; this op decides volume).
+
+    base_i  = (B * rank_i) // total_rank
+    leftover = B - sum(base) extra units go to the hosts with the
+    largest remainders ``(B * rank_i) % total_rank``, host-ascending on
+    ties — the classic Hamilton apportionment, bit-exact in SQL.
+
+    Scale shape: runs on ``host_rank``'s bounded host table (driver
+    vector math over <=10^8 rows; the same documented seam as
+    host_rank itself) — zero additional cluster passes.
+    """
+    hr = host_rank(pages, iters=iters)
+    n = len(hr)
+    if n == 0 or total_budget <= 0:
+        return pd.DataFrame({"host": pd.Series(dtype=object), "budget": pd.Series(dtype="int64")})
+    hr = hr.sort_values("host", ignore_index=True)
+    rank = hr["rank_fp"].to_numpy(np.int64)
+    total = int(rank.sum())
+    if total <= 0:
+        base = np.zeros(n, dtype=np.int64)
+        rem = np.zeros(n, dtype=np.int64)
+    else:
+        prod = rank.astype(object) * int(total_budget)  # exact big-int, no overflow
+        base = np.array([int(p) // total for p in prod], dtype=np.int64)
+        rem = np.array([int(p) % total for p in prod], dtype=np.int64)
+    leftover = int(total_budget) - int(base.sum())
+    # largest remainder first, host-ascending tiebreak: hosts are already
+    # host-sorted, so a stable argsort on -rem gives exactly that order
+    order = np.argsort(-rem, kind="stable")
+    bonus = np.zeros(n, dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return pd.DataFrame({"host": hr["host"], "budget": base + bonus})

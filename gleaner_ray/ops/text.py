@@ -50,6 +50,7 @@ __all__ = [
     "corpus_report",
     "html_visible_text",
     "blocklist_filter",
+    "sentence_split",
 ]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -349,6 +350,53 @@ def chunk_windows(ds, size: int = 64, stride: int = 32):
                 "chunk_id": pd.Series(out_cid, dtype="int64"),
                 "chunk_text": pd.Series(out_text, dtype="object"),
                 "n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# sentence grammar shared with the SQL oracle: a run of non-terminator
+# characters plus at most one trailing terminator.  Runs of bare
+# terminators ("...") match in neither engine (the leading [^.!?]+
+# needs a character), so both skip them identically.
+_SENT_RE = re.compile(r"[^.!?]+[.!?]?")
+
+
+def sentence_split(ds):
+    """Sentence segmentation explode: one (doc_id, sent_idx, sentence)
+    row per sentence — the unit-of-work feed for sentence-level
+    decontamination / dedup / pack stages (CCNet splits paragraphs,
+    benchmark decontamination splits sentences).
+
+    Grammar is the shared regex ``[^.!?]+[.!?]?`` so the DuckDB oracle
+    (``regexp_extract_all`` + aligned ``unnest(range(len(l)))``)
+    matches byte-for-byte; no trimming, no casefolding — downstream
+    normalizers own that.  Pure flat-map: the findall + repeat explode
+    is vectorized per batch, a document never crosses batches, zero
+    shuffle."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        parts = texts.str.findall(_SENT_RE)
+        n = parts.str.len().to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "sent_idx": pd.Series(dtype="int64"),
+                    "sentence": pd.Series(dtype="object"),
+                }
+            )
+        doc = np.repeat(batch["doc_id"].to_numpy(), n)
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n if k])
+        flat = list(itertools.chain.from_iterable(parts))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "sent_idx": pd.Series(idx, dtype="int64"),
+                "sentence": pd.Series(flat, dtype="object"),
             }
         )
 

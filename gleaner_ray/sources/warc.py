@@ -1,0 +1,246 @@
+"""WARC / WET source + sink: the on-disk format of the Common-Crawl
+data plane the pages table models (BASELINE input_hint).
+
+The reference harvests sitemap-listed pages over HTTP; a 100-TB crawl
+engine ingests and emits the ISO 28500 WARC interchange format instead
+— response records for the raw fetch (html bytes) and WET-style
+conversion records for the extracted text.  This module implements
+both directions from the public spec (WARC/1.0, ISO 28500; WET layout
+as published by Common Crawl), with NO external warc library:
+
+- ``serialize_warc`` / ``serialize_wet`` — one batch -> one WARC file's
+  bytes (optionally per-record gzip members, the Common-Crawl layout:
+  a gzip stream per record so readers can seek record boundaries).
+- ``parse_warc`` — bytes -> records, spec-correct framing: headers up
+  to CRLFCRLF, then exactly ``Content-Length`` payload bytes, then the
+  CRLFCRLF record separator (never a marker scan over the payload, so
+  payloads containing ``WARC/1.0`` parse fine).
+- ``write_warc_dataset`` — distributed sink: each input batch
+  serializes to one ``.warc``/``.warc.gz`` part named by the batch's
+  content hash (deterministic, resumable: a re-run overwrites the same
+  part names, partial runs leave valid files).
+- ``read_warc_dataset`` — distributed source: ``read_binary_files``
+  over the part files -> ``flat`` parse per file -> the pages schema
+  (url, warc_ts, html) or (url, warc_ts, text) for WET.
+
+Determinism: WARC-Record-IDs are urn:uuid values derived from
+md5(url), WARC-Date carries milliseconds (WARC/1.1 §5.4 subsecond
+form), gzip members use mtime=0 — same input bytes -> same file bytes,
+so the sink is hash-stable across runs and engines.
+
+Scale shape: both directions are embarrassingly parallel map stages —
+a record never crosses batch boundaries, no shuffle anywhere; file
+sizing follows the input block size (CC convention ~1 GiB/file is a
+``batch_size`` choice, not a code change).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "serialize_warc",
+    "serialize_wet",
+    "parse_warc",
+    "write_warc_dataset",
+    "read_warc_dataset",
+]
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def _warc_date(ts_ms: int) -> str:
+    """Epoch ms -> WARC-Date with millisecond precision (WARC/1.1 §5.4)."""
+    import datetime as _dt
+
+    t = _dt.datetime.fromtimestamp(ts_ms / 1000.0, tz=_dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%S.") + "%03dZ" % (ts_ms % 1000)
+
+
+def _parse_warc_date(s: str) -> int:
+    """WARC-Date (with or without subseconds) -> epoch ms."""
+    import datetime as _dt
+
+    s = s.strip()
+    if "." in s:
+        base, frac = s[:-1].split(".", 1)
+        ms = int((frac + "000")[:3])
+    else:
+        base, ms = s[:-1], 0
+    t = _dt.datetime.strptime(base, "%Y-%m-%dT%H:%M:%S").replace(tzinfo=_dt.timezone.utc)
+    return int(t.timestamp()) * 1000 + ms
+
+
+def _record_id(url: str) -> str:
+    # deterministic urn:uuid from md5(url): version/variant nibbles set
+    # so the id is a syntactically valid RFC 4122 UUID
+    h = bytearray(hashlib.md5(url.encode()).digest())
+    h[6] = (h[6] & 0x0F) | 0x30
+    h[8] = (h[8] & 0x3F) | 0x80
+    x = h.hex()
+    return "urn:uuid:%s-%s-%s-%s-%s" % (x[:8], x[8:12], x[12:16], x[16:20], x[20:])
+
+
+def _record(rec_type: str, url: str, ts_ms: int, content_type: str, payload: bytes) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: %s\r\n"
+        "WARC-Target-URI: %s\r\n"
+        "WARC-Date: %s\r\n"
+        "WARC-Record-ID: <%s>\r\n"
+        "Content-Type: %s\r\n"
+        "Content-Length: %d\r\n" % (rec_type, url, _warc_date(ts_ms), _record_id(url), content_type, len(payload))
+    ).encode()
+    return head + _CRLF + payload + _SEP
+
+
+def _http_block(html: bytes) -> bytes:
+    head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: %d" % len(html)).encode()
+    return head + _SEP + html
+
+
+def serialize_warc(urls, ts_ms, htmls, compress: bool = True) -> bytes:
+    """One WARC file: a response record (HTTP block + html bytes) per
+    page; ``compress=True`` emits one gzip member per record (the
+    Common-Crawl seekable layout), mtime=0 for byte determinism."""
+    out = io.BytesIO()
+    for url, ts, html in zip(urls, ts_ms, htmls):
+        rec = _record("response", url, int(ts), "application/http; msgtype=response", _http_block(bytes(html)))
+        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    return out.getvalue()
+
+
+def serialize_wet(urls, ts_ms, texts, compress: bool = True) -> bytes:
+    """One WET file: a conversion record (text/plain payload) per page."""
+    out = io.BytesIO()
+    for url, ts, text in zip(urls, ts_ms, texts):
+        rec = _record("conversion", url, int(ts), "text/plain", (text or "").encode())
+        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    return out.getvalue()
+
+
+def _split_http(payload: bytes) -> bytes:
+    """Strip the HTTP response header block from a response payload."""
+    i = payload.find(_SEP)
+    return payload[i + 4 :] if i >= 0 else payload
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Parse one WARC file's bytes (plain or multi-member gzip) into
+    records: ``{url, warc_ts_ms, type, payload}``.  Framing follows the
+    spec: headers to CRLFCRLF, exactly Content-Length payload bytes,
+    then the record separator — payload bytes are never scanned."""
+    if blob[:2] == b"\x1f\x8b":
+        buf = io.BytesIO()
+        with gzip.open(io.BytesIO(blob)) as g:  # reads across members
+            buf.write(g.read())
+        blob = buf.getvalue()
+    records = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob[pos : pos + 5] != b"WARC/":
+            break  # trailing garbage / padding: stop at first non-record
+        hdr_end = blob.find(_SEP, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        body = blob[hdr_end + 4 : hdr_end + 4 + clen]
+        rec_type = headers.get("warc-type", "")
+        payload = _split_http(body) if rec_type == "response" else body
+        records.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts_ms": _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z")),
+                "type": rec_type,
+                "payload": payload,
+            }
+        )
+        pos = hdr_end + 4 + clen + 4  # skip record separator
+    return records
+
+
+def write_warc_dataset(
+    pages,
+    out_dir: str,
+    kind: str = "warc",
+    compress: bool = True,
+    ts_col: str = "warc_ts",
+) -> list[dict]:
+    """Distributed WARC/WET sink: one part file per input batch, named
+    ``<kind>-<md5-of-first-url>-<n>.warc[.gz]`` — deterministic for a
+    deterministic block layout, and self-describing enough that a
+    resumed run simply overwrites its own parts.  Returns the manifest
+    (path, n_records, n_bytes) rows."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload_col = "html" if kind == "warc" else "text"
+
+    def sink(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"path": pd.Series(dtype=str), "n_records": pd.Series(dtype="int64"), "n_bytes": pd.Series(dtype="int64")})
+        urls = t.column("url").to_pylist()
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts_ms = pa.compute.cast(ts, pa.timestamp("ms")).cast(pa.int64()).to_pylist()
+        else:
+            ts_ms = ts.to_pylist()
+        payload = t.column(payload_col).to_pylist()
+        blob = (
+            serialize_warc(urls, ts_ms, payload, compress=compress)
+            if kind == "warc"
+            else serialize_wet(urls, ts_ms, payload, compress=compress)
+        )
+        name = "%s-%s-%d.%s" % (kind, hashlib.md5(urls[0].encode()).hexdigest()[:12], len(urls), "warc.gz" if compress else "warc")
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({"path": [path], "n_records": [len(urls)], "n_bytes": [len(blob)]})
+
+    out = pages.map_batches(sink, batch_format="pyarrow")
+    return out.to_pandas().to_dict("records")  # manifest: one row per part
+
+
+def read_warc_dataset(path: str, kind: str = "warc"):
+    """Distributed WARC/WET source: binary-file read (one file per
+    block) -> per-file parse -> pages-schema rows.  WARC yields
+    (url, warc_ts, html); WET yields (url, warc_ts, text)."""
+    import ray.data as rd
+
+    want = "response" if kind == "warc" else "conversion"
+    payload_col = "html" if kind == "warc" else "text"
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[int] = []
+        payloads: list[bytes] = []
+        for blob in t.column("bytes"):
+            for rec in parse_warc(blob.as_py()):
+                if rec["type"] != want:
+                    continue
+                urls.append(rec["url"])
+                ts.append(rec["warc_ts_ms"])
+                payloads.append(rec["payload"])
+        cols: dict = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.asarray(ts, dtype=np.int64)).cast(pa.timestamp("ms")),
+        }
+        cols[payload_col] = (
+            pa.array(payloads, pa.binary())
+            if kind == "warc"
+            else pa.array([p.decode() for p in payloads], pa.string())
+        )
+        return pa.table(cols)
+
+    return rd.read_binary_files(path).map_batches(parse, batch_format="pyarrow")

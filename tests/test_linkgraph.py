@@ -460,3 +460,90 @@ class TestAnchorsAndPairs:
         assert t.loc["https://h2.org/x/{n}", "n_urls"] == 1
         assert not t.loc["https://h1.org/about", "trap"]
         assert set(df.host) == {"h1.org", "h2.org"}
+
+
+class TestTriangles:
+    @pytest.fixture(scope="class")
+    def triangle_graph(self, ray_session):
+        """K4 on h1..h4 (4 triangles, 3 per host) + pendant h5-h1 +
+        isolated-pair h6-h7; directions and duplicates must not matter."""
+        import ray.data as rd
+
+        rows = [
+            _page("https://h1.org/a", ["https://h2.org/x", "https://h3.org/x", "https://h4.org/x", "https://h5.org/x"]),
+            _page("https://h2.org/b", ["https://h3.org/x", "https://h4.org/x", "https://h1.org/y"]),  # h2->h1 reverse dup of h1->h2
+            _page("https://h3.org/c", ["https://h4.org/x"]),
+            _page("https://h6.org/d", ["https://h7.org/x"]),
+            _page("https://h5.org/e", []),
+        ]
+        return rd.from_items(rows)
+
+    def test_k4_counts(self, triangle_graph):
+        from gleaner_ray.ops.linkgraph import host_triangles
+
+        df = host_triangles(triangle_graph).set_index("host")["n_triangles"]
+        assert df["h1.org"] == 3 and df["h2.org"] == 3
+        assert df["h3.org"] == 3 and df["h4.org"] == 3
+        # pendant and isolated-pair hosts appear with zero triangles
+        assert df["h5.org"] == 0 and df["h6.org"] == 0 and df["h7.org"] == 0
+        assert list(df.index) == sorted(df.index)
+
+    def test_driver_equals_join_path(self, triangle_graph):
+        from gleaner_ray.ops import linkgraph as lg
+
+        a = lg.host_triangles(triangle_graph)
+        b = lg._triangles_join(lg._undirected_host_pairs(triangle_graph))
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    def test_empty_and_no_triangles(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import host_triangles
+
+        chain = rd.from_items(
+            [_page("https://a.org/1", ["https://b.org/x"]), _page("https://b.org/1", ["https://c.org/x"])]
+        )
+        df = host_triangles(chain)
+        assert set(df["host"]) == {"a.org", "b.org", "c.org"}
+        assert (df["n_triangles"] == 0).all()
+
+
+class TestHostBudget:
+    def test_sums_exactly_and_deterministic(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import host_budget
+
+        df = host_budget(tiny_graph, total_budget=1000, iters=2)
+        assert int(df["budget"].sum()) == 1000
+        assert list(df["host"]) == sorted(df["host"])
+        df2 = host_budget(tiny_graph, total_budget=1000, iters=2)
+        pd.testing.assert_frame_equal(df, df2)
+
+    def test_largest_remainder_tiebreak(self):
+        # 3 equal ranks, budget 10 -> base 3 each, 1 leftover to the
+        # host-ascending first among equal remainders
+        from gleaner_ray.ops import linkgraph as lg
+
+        hr = pd.DataFrame({"host": ["b.org", "a.org", "c.org"], "rank_fp": [5, 5, 5]})
+        orig = lg.host_rank
+        try:
+            lg.host_rank = lambda pages, iters=2: hr
+            df = lg.host_budget(None, total_budget=10)
+        finally:
+            lg.host_rank = orig
+        got = dict(zip(df["host"], df["budget"]))
+        assert got == {"a.org": 4, "b.org": 3, "c.org": 3}
+        assert int(df["budget"].sum()) == 10
+
+    def test_zero_budget_and_overflow_safety(self):
+        from gleaner_ray.ops import linkgraph as lg
+
+        hr = pd.DataFrame({"host": ["a", "b"], "rank_fp": [10**15, 10**15]})
+        orig = lg.host_rank
+        try:
+            lg.host_rank = lambda pages, iters=2: hr
+            # B * rank ~ 1e21 > int64: exact big-int path must not wrap
+            df = lg.host_budget(None, total_budget=10**6)
+        finally:
+            lg.host_rank = orig
+        assert int(df["budget"].sum()) == 10**6
+        assert set(df["budget"]) == {500_000}

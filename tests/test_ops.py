@@ -2090,3 +2090,26 @@ class TestLmPerplexity:
         df = pd.DataFrame({"doc_id": [0], "text": ["zzz_unseen"]})
         out = lm_perplexity(rd.from_pandas(df)).to_pandas()
         assert np.isfinite(out["ppl"].iloc[0]) and out["ppl"].iloc[0] > 0
+
+
+class TestSentenceSplit:
+    def test_grammar_and_indices(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import sentence_split
+
+        docs = rd.from_items(
+            [
+                {"doc_id": 1, "text": "One. Two! Three? trailing"},
+                {"doc_id": 2, "text": "..."},  # bare terminator run: no sentences
+                {"doc_id": 3, "text": ""},
+                {"doc_id": 4, "text": None},
+                {"doc_id": 5, "text": "a...b"},
+            ]
+        )
+        df = sentence_split(docs).to_pandas().sort_values(["doc_id", "sent_idx"], ignore_index=True)
+        d1 = df[df.doc_id == 1]["sentence"].tolist()
+        assert d1 == ["One.", " Two!", " Three?", " trailing"]
+        assert df[df.doc_id == 2].empty and df[df.doc_id == 3].empty and df[df.doc_id == 4].empty
+        assert df[df.doc_id == 5]["sentence"].tolist() == ["a.", "b"]
+        assert df[df.doc_id == 1]["sent_idx"].tolist() == [0, 1, 2, 3]

@@ -144,6 +144,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_token_stats",
         "text_histogram",
         "text_explode_tokens",
+        "text_sentences",
         "text_lexical_diversity",
         "text_inverted_index",
         "text_quality",
@@ -230,6 +231,7 @@ def test_oracle_checked_small(contract, name):
         "graph_pagerank",
         "graph_hits",
         "graph_host_rank",
+        "graph_triangles",
         "graph_rank_priority",
         "graph_discovered",
         "graph_components",
@@ -241,6 +243,9 @@ def test_oracle_checked_small(contract, name):
         "crawl_type_profile",
         "crawl_boilerplate",
         "crawl_visible_text",
+        "crawl_warc_roundtrip",
+        "crawl_wet_roundtrip",
+        "crawl_host_budget",
     ],
 )
 def test_oracle_checked_crawl(contract, name):

@@ -1,0 +1,113 @@
+"""WARC/WET source + sink: spec framing, byte determinism, gzip member
+layout, and the distributed write -> read round trip."""
+
+import glob
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from gleaner_ray.sources.warc import parse_warc, serialize_warc, serialize_wet
+
+URLS = ["https://h1.org/a", "https://h2.org/b?x=1", "https://h3.org/c"]
+TS = [1700000000123, 1700000001999, 1700000002000]
+HTMLS = [b"<html>WARC/1.0\r\n\r\ntricky</html>", b"<html>two</html>", b""]
+
+
+class TestFraming:
+    def test_roundtrip_plain_and_gzip(self):
+        for compress in (False, True):
+            blob = serialize_warc(URLS, TS, HTMLS, compress=compress)
+            recs = parse_warc(blob)
+            assert [r["url"] for r in recs] == URLS
+            assert [r["warc_ts_ms"] for r in recs] == TS
+            # payloads containing record markers / CRLFCRLF survive:
+            # framing is Content-Length, never a marker scan
+            assert [r["payload"] for r in recs] == HTMLS
+
+    def test_deterministic_bytes(self):
+        a = serialize_warc(URLS, TS, HTMLS)
+        b = serialize_warc(URLS, TS, HTMLS)
+        assert a == b
+
+    def test_gzip_member_per_record(self):
+        blob = serialize_warc(URLS, TS, HTMLS, compress=True)
+        # Common-Crawl layout: one gzip member per record -> N magic headers
+        assert blob.count(b"\x1f\x8b\x08") >= len(URLS)
+        # and each member decompresses to exactly one record
+        first = gzip.decompress(blob[: blob.index(b"\x1f\x8b\x08", 1)])
+        assert first.startswith(b"WARC/1.0\r\n") and first.count(b"WARC-Target-URI") == 1
+
+    def test_wet_conversion_records(self):
+        texts = ["text one", "unicode ü", ""]
+        recs = parse_warc(serialize_wet(URLS, TS, texts))
+        assert all(r["type"] == "conversion" for r in recs)
+        assert [r["payload"].decode() for r in recs] == texts
+
+    def test_date_subsecond_roundtrip(self):
+        from gleaner_ray.sources.warc import _parse_warc_date, _warc_date
+
+        for ms in (0, 1, 999, 1700000000123):
+            assert _parse_warc_date(_warc_date(ms)) == ms
+        assert _parse_warc_date("2023-11-14T22:13:20Z") == 1700000000000
+
+    def test_record_id_valid_uuid(self):
+        import uuid
+
+        from gleaner_ray.sources.warc import _record_id
+
+        rid = _record_id("https://h1.org/a")
+        assert rid.startswith("urn:uuid:")
+        u = uuid.UUID(rid[len("urn:uuid:") :])
+        assert u.version == 3  # md5-derived
+
+
+class TestDataset:
+    def test_write_read_roundtrip(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.sources.warc import read_warc_dataset, write_warc_dataset
+
+        t = pa.table(
+            {
+                "url": URLS,
+                "warc_ts": pa.array(TS, pa.int64()).cast(pa.timestamp("ms")),
+                "html": pa.array(HTMLS, pa.binary()),
+                "text": ["one", "two", ""],
+            }
+        )
+        out = str(tmp_path / "warc")
+        manifest = write_warc_dataset(rd.from_arrow(t), out, kind="warc")
+        assert sum(m["n_records"] for m in manifest) == 3
+        assert all(os.path.exists(m["path"]) for m in manifest)
+        back = read_warc_dataset(out, kind="warc").to_pandas().sort_values("url", ignore_index=True)
+        assert list(back["url"]) == URLS
+        assert [bytes(h) for h in back["html"]] == HTMLS
+        got_ms = (back["warc_ts"].astype("int64") // {"ms": 1, "ns": 10**6}[back["warc_ts"].dt.unit]).tolist()
+        assert got_ms == TS
+
+        wet_out = str(tmp_path / "wet")
+        write_warc_dataset(rd.from_arrow(t), wet_out, kind="wet")
+        wback = read_warc_dataset(wet_out, kind="wet").to_pandas().sort_values("url", ignore_index=True)
+        assert list(wback["text"]) == ["one", "two", ""]
+
+    def test_sink_part_names_deterministic(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.sources.warc import write_warc_dataset
+
+        t = pa.table(
+            {
+                "url": URLS,
+                "warc_ts": pa.array(TS, pa.int64()).cast(pa.timestamp("ms")),
+                "html": pa.array(HTMLS, pa.binary()),
+            }
+        )
+        out = str(tmp_path / "w1")
+        m1 = write_warc_dataset(rd.from_arrow(t), out, kind="warc")
+        m2 = write_warc_dataset(rd.from_arrow(t), out, kind="warc")  # resume: overwrite same parts
+        assert sorted(m["path"] for m in m1) == sorted(m["path"] for m in m2)
+        assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == len(m1)
