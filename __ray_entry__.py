@@ -481,7 +481,7 @@ def _warc_dir(sf_dir: str, kind: str) -> str:
     from gleaner_ray.sources.warc import write_warc_dataset
 
     corpus = synth.generate_corpus(sf_dir)
-    cols = ["url", "warc_ts", "html" if kind == "warc" else "text"]
+    cols = ["url", "warc_ts", "text" if kind == "wet" else "html"]
     pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=cols)
     out = os.path.join("/tmp/gleaner_ray_warc", os.path.basename(os.path.normpath(sf_dir)), kind)
     shutil.rmtree(out, ignore_errors=True)
@@ -542,6 +542,35 @@ def _q_crawl_wet_roundtrip(sf_dir: str):
                 "ts_ms": pd.Series(ts, dtype="int64"),
                 "n_chars": pd.Series([len(x) for x in texts], dtype="int64"),
                 "text_md5": [_hl.md5(x.encode()).hexdigest() for x in texts],
+            }
+        )
+
+    return ds.map_batches(prof, batch_format="pyarrow")
+
+
+def _q_crawl_wat_roundtrip(sf_dir: str):
+    """WAT (metadata-record) sink + source round trip — the third leg
+    of the Common-Crawl WARC/WAT/WET triplet: per-page title /
+    link-graph metadata extracted at write time, recovered from the
+    JSON payloads by the distributed reader and checked against SQL
+    extraction straight off the html plane."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from gleaner_ray.sources.warc import read_warc_dataset
+
+    ds = read_warc_dataset(_warc_dir(sf_dir, "wat"), kind="wat")
+
+    def prof(t: _pa.Table) -> pd.DataFrame:
+        links = t.column("links").to_pylist()
+        ts = t.column("warc_ts").cast(_pa.int64()).to_pylist()
+        return pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "ts_ms": pd.Series(ts, dtype="int64"),
+                "title": t.column("title").to_pylist(),
+                "n_links": t.column("n_links").to_pandas().astype("int64"),
+                "first_link": [(l[0] if l else "") for l in links],
             }
         )
 
@@ -758,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-record-gzip Common-Crawl layout, spec framing, no shuffle
         "crawl_warc_roundtrip": _q_crawl_warc_roundtrip,
         "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
+        "crawl_wat_roundtrip": _q_crawl_wat_roundtrip,
         # global fetch budget -> per-host quotas: largest-remainder
         # apportionment over host_rank mass, exact big-int arithmetic
         # on the bounded host table (volume twin of ST3's pacing)
@@ -1730,6 +1760,16 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(warc_ts) AS ts_ms,
                    length(text) AS n_chars,
                    md5(text) AS text_md5
+            FROM {pages}
+        """,
+        # WAT metadata recovered from the JSON payloads must equal SQL
+        # extraction straight off the html plane (same grammar)
+        "crawl_wat_roundtrip": f"""
+            SELECT url,
+                   epoch_ms(warc_ts) AS ts_ms,
+                   regexp_extract(decode(html), '<title>([^<]*)</title>', 1) AS title,
+                   CAST(len(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS BIGINT) AS n_links,
+                   coalesce(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)[1], '') AS first_link
             FROM {pages}
         """,
         # undirected distinct host pairs -> ordered wedge (x<y<z) closure;

@@ -242,6 +242,22 @@ def run_bench() -> dict:
             rd.read_parquet(pages_dir, columns=["url", "html"])
         ).count(),
     )
+    # ISO 28500 WARC sink + source throughput over the full pages
+    # corpus (the Common-Crawl interchange plane): distributed
+    # serialize (one gzip-member part per block) then distributed parse
+    import shutil as _sh
+
+    from gleaner_ray.sources import warc as warc_src
+
+    warc_out = "/tmp/gleaner_ray_bench_warc"
+    _sh.rmtree(warc_out, ignore_errors=True)
+    timed(
+        "warc_write",
+        lambda: warc_src.write_warc_dataset(
+            rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"]), warc_out, kind="warc"
+        ),
+    )
+    timed("warc_read", lambda: warc_src.read_warc_dataset(warc_out, kind="warc").count())
     timed(
         "training_data_prep",
         lambda: tx.training_data_prep(

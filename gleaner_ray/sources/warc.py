@@ -39,7 +39,9 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -48,6 +50,7 @@ import pyarrow as pa
 __all__ = [
     "serialize_warc",
     "serialize_wet",
+    "serialize_wat",
     "parse_warc",
     "write_warc_dataset",
     "read_warc_dataset",
@@ -127,6 +130,33 @@ def serialize_wet(urls, ts_ms, texts, compress: bool = True) -> bytes:
     return out.getvalue()
 
 
+# metadata extraction grammar shared with the SQL oracle (and with
+# ops/linkgraph.HREF_RE / recrawl's title regex): anchors and <title>
+_WAT_HREF_RE = re.compile(rb'<a href="([^"]+)"')
+_WAT_TITLE_RE = re.compile(rb"<title>([^<]*)</title>")
+
+
+def serialize_wat(urls, ts_ms, htmls, compress: bool = True) -> bytes:
+    """One WAT file: a metadata record per page — the Common-Crawl
+    metadata plane.  The JSON payload carries the link-graph /
+    title signals a planner reads without touching the html plane:
+    ``{"url", "title", "n_links", "links"}`` (compact separators,
+    fixed key order, ascii-escaped — byte-deterministic)."""
+    out = io.BytesIO()
+    for url, ts, html in zip(urls, ts_ms, htmls):
+        html = bytes(html)
+        m = _WAT_TITLE_RE.search(html)
+        title = m.group(1).decode("utf-8", "replace") if m else ""
+        links = [x.decode("utf-8", "replace") for x in _WAT_HREF_RE.findall(html)]
+        meta = json.dumps(
+            {"url": url, "title": title, "n_links": len(links), "links": links},
+            separators=(",", ":"),
+        ).encode()
+        rec = _record("metadata", url, int(ts), "application/json", meta)
+        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    return out.getvalue()
+
+
 def _split_http(payload: bytes) -> bytes:
     """Strip the HTTP response header block from a response payload."""
     i = payload.find(_SEP)
@@ -185,7 +215,8 @@ def write_warc_dataset(
     resumed run simply overwrites its own parts.  Returns the manifest
     (path, n_records, n_bytes) rows."""
     os.makedirs(out_dir, exist_ok=True)
-    payload_col = "html" if kind == "warc" else "text"
+    payload_col = "text" if kind == "wet" else "html"  # wat derives from html
+    serializer = {"warc": serialize_warc, "wet": serialize_wet, "wat": serialize_wat}[kind]
 
     def sink(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
@@ -197,11 +228,7 @@ def write_warc_dataset(
         else:
             ts_ms = ts.to_pylist()
         payload = t.column(payload_col).to_pylist()
-        blob = (
-            serialize_warc(urls, ts_ms, payload, compress=compress)
-            if kind == "warc"
-            else serialize_wet(urls, ts_ms, payload, compress=compress)
-        )
+        blob = serializer(urls, ts_ms, payload, compress=compress)
         name = "%s-%s-%d.%s" % (kind, hashlib.md5(urls[0].encode()).hexdigest()[:12], len(urls), "warc.gz" if compress else "warc")
         path = os.path.join(out_dir, name)
         with open(path, "wb") as f:
@@ -213,13 +240,13 @@ def write_warc_dataset(
 
 
 def read_warc_dataset(path: str, kind: str = "warc"):
-    """Distributed WARC/WET source: binary-file read (one file per
+    """Distributed WARC/WET/WAT source: binary-file read (one file per
     block) -> per-file parse -> pages-schema rows.  WARC yields
-    (url, warc_ts, html); WET yields (url, warc_ts, text)."""
+    (url, warc_ts, html); WET yields (url, warc_ts, text); WAT yields
+    (url, warc_ts, title, n_links, links)."""
     import ray.data as rd
 
-    want = "response" if kind == "warc" else "conversion"
-    payload_col = "html" if kind == "warc" else "text"
+    want = {"warc": "response", "wet": "conversion", "wat": "metadata"}[kind]
 
     def parse(t: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -236,11 +263,15 @@ def read_warc_dataset(path: str, kind: str = "warc"):
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(np.asarray(ts, dtype=np.int64)).cast(pa.timestamp("ms")),
         }
-        cols[payload_col] = (
-            pa.array(payloads, pa.binary())
-            if kind == "warc"
-            else pa.array([p.decode() for p in payloads], pa.string())
-        )
+        if kind == "warc":
+            cols["html"] = pa.array(payloads, pa.binary())
+        elif kind == "wet":
+            cols["text"] = pa.array([p.decode() for p in payloads], pa.string())
+        else:
+            metas = [json.loads(p) for p in payloads]
+            cols["title"] = pa.array([m["title"] for m in metas], pa.string())
+            cols["n_links"] = pa.array([m["n_links"] for m in metas], pa.int64())
+            cols["links"] = pa.array([m["links"] for m in metas], pa.list_(pa.string()))
         return pa.table(cols)
 
     return rd.read_binary_files(path).map_batches(parse, batch_format="pyarrow")

@@ -245,6 +245,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_visible_text",
         "crawl_warc_roundtrip",
         "crawl_wet_roundtrip",
+        "crawl_wat_roundtrip",
         "crawl_host_budget",
     ],
 )

@@ -111,3 +111,45 @@ class TestDataset:
         m2 = write_warc_dataset(rd.from_arrow(t), out, kind="warc")  # resume: overwrite same parts
         assert sorted(m["path"] for m in m1) == sorted(m["path"] for m in m2)
         assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == len(m1)
+
+
+class TestWat:
+    def test_wat_metadata_roundtrip(self):
+        from gleaner_ray.sources.warc import serialize_wat
+
+        htmls = [
+            b'<html><title>Page A</title><a href="https://x.org/1">x</a><a href="https://y.org/2">y</a></html>',
+            b"<html>no title no links</html>",
+        ]
+        recs = parse_warc(serialize_wat(URLS[:2], TS[:2], htmls))
+        import json
+
+        metas = [json.loads(r["payload"]) for r in recs]
+        assert all(r["type"] == "metadata" for r in recs)
+        assert metas[0]["title"] == "Page A"
+        assert metas[0]["links"] == ["https://x.org/1", "https://y.org/2"]
+        assert metas[0]["n_links"] == 2
+        assert metas[1] == {"url": URLS[1], "title": "", "n_links": 0, "links": []}
+
+    def test_wat_dataset_roundtrip(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.sources.warc import read_warc_dataset, write_warc_dataset
+
+        t = pa.table(
+            {
+                "url": URLS[:2],
+                "warc_ts": pa.array(TS[:2], pa.int64()).cast(pa.timestamp("ms")),
+                "html": pa.array(
+                    [b'<html><title>T</title><a href="https://z.org/">z</a></html>', b"<html></html>"],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = str(tmp_path / "wat")
+        write_warc_dataset(rd.from_arrow(t), out, kind="wat")
+        back = read_warc_dataset(out, kind="wat").to_pandas().sort_values("url", ignore_index=True)
+        assert back["title"].tolist() == ["T", ""]
+        assert back["n_links"].tolist() == [1, 0]
+        assert list(back["links"][0]) == ["https://z.org/"]
