@@ -577,6 +577,39 @@ def _q_crawl_wat_roundtrip(sf_dir: str):
     return ds.map_batches(prof, batch_format="pyarrow")
 
 
+def _q_pipe_warc_extract(sf_dir: str):
+    """The reference's extraction plane run straight off Common-Crawl
+    WARC input: distributed WARC read -> byte-level
+    ``script[type=application/ld+json]`` scan (same grammar as the
+    fused summon stage, extract.py) -> per-url jsonld identity.  A
+    user with real CC WARC files runs the miller without a Parquet
+    conversion step."""
+    import hashlib as _hl
+
+    import pyarrow as _pa
+
+    from gleaner_ray.extract import extract_script_jsonld_bytes
+    from gleaner_ray.sources.warc import read_warc_dataset
+
+    ds = read_warc_dataset(_warc_dir(sf_dir, "warc"), kind="warc")
+
+    def ext(t: _pa.Table) -> pd.DataFrame:
+        html = t.column("html")
+        cands = []
+        for i in range(t.num_rows):
+            c = extract_script_jsonld_bytes(memoryview(html[i].as_buffer()))
+            cands.append(c[0] if c else "")
+        return pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "jsonld_md5": [_hl.md5(x.encode()).hexdigest() for x in cands],
+                "has_jsonld": [bool(x) for x in cands],
+            }
+        )
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
 def _q_graph_triangles(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -788,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_roundtrip": _q_crawl_warc_roundtrip,
         "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
         "crawl_wat_roundtrip": _q_crawl_wat_roundtrip,
+        # the miller straight off WARC input: distributed WARC read ->
+        # byte-level ld+json scan -> per-url jsonld identity
+        "pipe_warc_extract": _q_pipe_warc_extract,
         # global fetch budget -> per-host quotas: largest-remainder
         # apportionment over host_rank mass, exact big-int arithmetic
         # on the bounded host table (volume twin of ST3's pacing)
@@ -952,6 +988,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts over the distinct-word table + broadcast replace-merge
         # per round; the corpus shuffles once (word counts), never again
         "text_bpe_train": lambda sf: tx.bpe_train(docs(sf), merges=3),
+        # tokenization at scale: the trained merge table (tiny, closure-
+        # shipped) applied as a vectorized replace chain — zero shuffle
+        "text_bpe_encode": lambda sf: tx.bpe_encode(docs(sf), tx.bpe_train(docs(sf), merges=3)),
         # char-distribution entropy (low-entropy spam filter): one
         # np.unique over the batch's concatenated codepoints
         "text_char_entropy": lambda sf: tx.add_text_ops(docs(sf), "entropy"),
@@ -1771,6 +1810,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS BIGINT) AS n_links,
                    coalesce(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)[1], '') AS first_link
             FROM {pages}
+        """,
+        # single-script corpus: greedy SQL extract == first-candidate
+        # byte scan (multi-script pages would need the scanner's
+        # non-greedy close — pinned by the extract.py unit grammar)
+        "pipe_warc_extract": f"""
+            WITH x AS (
+              SELECT url,
+                     regexp_extract(decode(html),
+                         '<script type="application/ld\\+json">(.*)</script>', 1) AS j
+              FROM {pages})
+            SELECT url, md5(j) AS jsonld_md5, j <> '' AS has_jsonld FROM x
         """,
         # undirected distinct host pairs -> ordered wedge (x<y<z) closure;
         # every host in the edge set appears, triangle-free hosts at 0
@@ -2625,6 +2675,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS BIGINT), pair, replace(pair, ' ', ''), CAST(c AS BIGINT) FROM b2
             UNION ALL
             SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(c AS BIGINT) FROM b3
+        """,
+        # trained merges (same b1/b2/b3 derivation as text_bpe_train)
+        # applied to per-doc padded symbol strings: words joined by the
+        # 4-space boundary so the 2-space merge patterns cannot span
+        "text_bpe_encode": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                            x -> x <> '')) AS word
+              FROM documents),
+            wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+            w0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS s, cnt FROM wc),
+            p1 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w0),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc1 AS (SELECT pair, SUM(cnt) AS c FROM p1 GROUP BY pair),
+            b1 AS (SELECT pair, c FROM pc1 ORDER BY c DESC, pair LIMIT 1),
+            w1 AS (SELECT replace(s, ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+                                     ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s, cnt FROM w0),
+            p2 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w1),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc2 AS (SELECT pair, SUM(cnt) AS c FROM p2 GROUP BY pair),
+            b2 AS (SELECT pair, c FROM pc2 ORDER BY c DESC, pair LIMIT 1),
+            w2 AS (SELECT replace(s, ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+                                     ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s, cnt FROM w1),
+            p3 AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, cnt FROM (
+                     SELECT list_filter(str_split(s, '  '), x -> x <> '') AS sym, cnt FROM w2),
+                   unnest(range(1, len(sym))) AS t(i)),
+            pc3 AS (SELECT pair, SUM(cnt) AS c FROM p3 GROUP BY pair),
+            b3 AS (SELECT pair, c FROM pc3 ORDER BY c DESC, pair LIMIT 1),
+            d0 AS (
+              SELECT doc_id,
+                     '  ' || array_to_string(
+                        list_transform(
+                          list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                      x -> x <> ''),
+                          w -> array_to_string(regexp_extract_all(w, '.'), '  ')),
+                        '    ') || '  ' AS s
+              FROM documents),
+            d1 AS (SELECT doc_id, replace(s, ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+                                             ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s FROM d0),
+            d2 AS (SELECT doc_id, replace(s, ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+                                             ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s FROM d1),
+            d3 AS (SELECT doc_id, replace(s, ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+                                             ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS s FROM d2),
+            syms AS (SELECT doc_id, list_filter(str_split(s, ' '), x -> x <> '') AS sym FROM d3)
+            SELECT doc_id,
+                   CAST(len(sym) AS BIGINT) AS n_tokens,
+                   array_to_string(sym, ' ') AS encoded
+            FROM syms
         """,
         # word2phrase: same tokenization + bigram windows as the ngram
         # oracle; the phrase decision is one exact-integer comparison

@@ -42,6 +42,7 @@ __all__ = [
     "ngram_top_k",
     "phrase_detect",
     "bpe_train",
+    "bpe_encode",
     "pii_redact",
     "length_quantile_filter",
     "source_gate",
@@ -869,6 +870,46 @@ def bpe_train(ds, merges: int = 3, concurrency: int = 2) -> pd.DataFrame:
         cur = cur.map_batches(apply_merge, batch_format="pandas").materialize()
     out = pd.DataFrame(hist, columns=["round", "pair", "merged", "cnt"])
     return out.astype({"round": "int64", "cnt": "int64"}) if len(out) else out
+
+
+def bpe_encode(ds, merges: pd.DataFrame):
+    """Apply a trained BPE merge table (``bpe_train`` output, round
+    order) to the corpus — the tokenization-at-scale step between
+    tokenizer training and sequence packing.  Returns one row per
+    document: ``(doc_id, n_tokens, encoded)`` with ``encoded`` the
+    space-joined symbol sequence.
+
+    Same oracle-parity device as training: documents become
+    double-space-padded char-symbol strings (words joined by the
+    4-space boundary, so a 2-space merge pattern can never span
+    words), and each merge is ONE vectorized left-to-right
+    non-overlapping ``str.replace`` — Python and DuckDB ``replace``
+    agree exactly.
+
+    Scale shape: the merge table is tokenizer-sized (tiny) and ships
+    by closure; encoding is a per-batch vectorized replace chain —
+    row-local, zero shuffle, zero state."""
+    reps = [
+        (" " + p.replace(" ", "  ") + " ", " " + p.replace(" ", "") + " ")
+        for p in (merges["pair"] if len(merges) else [])
+    ]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").str.lower()
+        toks = texts.str.split()
+        padded = toks.map(lambda ws: "  " + "    ".join("  ".join(w) for w in ws) + "  ")
+        for old, new in reps:
+            padded = padded.str.replace(old, new, regex=False)
+        syms = padded.str.split()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": syms.str.len().astype("int64"),
+                "encoded": syms.str.join(" "),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def _split_bigram_stage(min_count: int):

@@ -154,6 +154,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_gopher",
         "text_phrases",
         "text_bpe_train",
+        "text_bpe_encode",
         "text_ngram_topk",
         "text_blocklist",
         "text_pii_redact",
@@ -247,6 +248,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_wet_roundtrip",
         "crawl_wat_roundtrip",
         "crawl_host_budget",
+        "pipe_warc_extract",
     ],
 )
 def test_oracle_checked_crawl(contract, name):
