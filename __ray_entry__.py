@@ -1219,6 +1219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep-first, cleaned corpus rebuilt fully map-side (the winners
         # table — bounded by duplicate volume — broadcasts once)
         "dedup_span_clean": lambda sf: dd.span_dedup_clean(docs(sf)),
+        # Lee et al. 2022 duplicated-substring signal: OVERLAPPING
+        # stride-1 windows (any-offset catches), one Min/Count
+        # arbitration shuffle, dup set broadcast, map-side stats
+        "dedup_substring": lambda sf: dd.substring_dedup(docs(sf), width=10),
         # corpus-level fuzzy dedup: near-dup pairs (recall-1 minhash-LSH
         # + exact verify) -> connected components -> keep-first flags
         "dedup_fuzzy_keep": lambda sf: dd.fuzzy_dedup_keep(
@@ -3166,6 +3170,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 10-token window dedup + reassembly; rank = doc_id*2^20 +
         # chunk_idx matches the engine's packed int64 arbitration key
+        # overlapping stride-1 windows; occurrence duplicated unless it
+        # is the global (doc*2^20 + i) minimum for its window string
+        "dedup_substring": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     CAST(unnest(range(GREATEST(len(w) - 9, 0))) AS BIGINT) AS i,
+                     unnest(list_transform(range(GREATEST(len(w) - 9, 0)),
+                            i -> array_to_string(list_slice(w, i+1, i+10), ' '))) AS win
+              FROM toks),
+            g AS (SELECT win, MIN(doc_id * 1048576 + i) AS r, COUNT(*) AS n
+                  FROM wins GROUP BY win),
+            j AS (SELECT wins.doc_id,
+                         CASE WHEN g.n > 1 AND (wins.doc_id * 1048576 + wins.i) <> g.r
+                              THEN 1 ELSE 0 END AS is_dup
+                  FROM wins JOIN g ON wins.win = g.win)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_windows,
+                   CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_frac
+            FROM j GROUP BY doc_id
+        """,
         "dedup_span_clean": r"""
             WITH toks AS (
               SELECT doc_id,

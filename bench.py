@@ -146,6 +146,13 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     def timed(name, fn):
+        # drop dataset refs from the previous query before timing: a
+        # leaked materialized Dataset pins its plasma blocks, and the
+        # accumulated fill inflates late-list queries (measured:
+        # trustrank 41s late in the list vs 11s standalone)
+        import gc
+
+        gc.collect()
         t = time.time()
         fn()
         queries[name] = round(time.time() - t, 3)

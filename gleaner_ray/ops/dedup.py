@@ -37,6 +37,7 @@ import pandas as pd
 
 __all__ = [
     "exact_dedup",
+    "substring_dedup",
     "minhash_signatures",
     "minhash_lsh",
     "simhash_dedup",
@@ -2031,3 +2032,106 @@ def fuzzy_dedup_keep_best(
     return ds.map_batches(
         lambda df: pd.DataFrame({key: df[key].astype("int64")}), batch_format="pandas"
     ).map_batches(assign, batch_format="pandas")
+
+
+def substring_dedup(
+    ds,
+    width: int = 10,
+    key: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+):
+    """Exact duplicated-substring detection, Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    semantics at token granularity: every OVERLAPPING ``width``-token
+    window (stride 1 — unlike ``span_dedup_clean``'s aligned chunks, a
+    duplicated passage is caught at ANY offset) is hashed, and an
+    occurrence is duplicated unless it is the globally-first
+    ``(doc_id, position)`` for its window.  Output: one row per
+    document with >= 1 full window — ``(doc_id, n_windows,
+    n_dup_windows, dup_frac)`` — the per-document signal the corpus
+    cleaner thresholds on.
+
+    Scale shape: the explode ships narrow (md5, packed-rank) rows and
+    arbitration is ONE ``groupby(h).aggregate(Min, Count)``; only
+    window hashes seen more than once survive (bounded by the
+    duplicate volume), broadcast once via ``ray.put``, and the stats
+    pass is map-side — documents never shuffle.  The paper's suffix
+    array finds matches of ANY length >= width in one structure; the
+    rolling-window form trades that for shuffle-free distribution
+    (a match of length L >= width appears as L-width+1 duplicated
+    windows, so dup_frac is a monotone proxy).  Windows are hashed as
+    joined strings for oracle parity; the production kernel would
+    Rabin-Karp over per-token hashes (documented seam).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+
+    def windows_of(texts: pd.Series) -> list[list[str]]:
+        out = []
+        for t in texts.fillna(""):
+            w = t.split()
+            out.append([" ".join(w[i : i + width]) for i in range(len(w) - width + 1)])
+        return out
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        wins = windows_of(df[text_col])
+        n = np.fromiter((len(w) for w in wins), dtype=np.int64, count=len(wins))
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame({"h": pd.Series(dtype="object"), "rank": pd.Series(dtype="int64")})
+        doc = np.repeat(df[key].to_numpy(dtype=np.int64), n)
+        starts = np.repeat(np.cumsum(n) - n, n)
+        idx = np.arange(total, dtype=np.int64) - starts
+        return pd.DataFrame(
+            {"h": [_md5(c) for w in wins for c in w], "rank": (doc << _CHUNK_IDX_BITS) | idx}
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("rank", alias_name="min_rank"), Count(alias_name="n"))
+    )
+    dups = agg.map_batches(
+        lambda df: df.loc[df["n"] > 1, ["h", "min_rank"]], batch_format="pandas"
+    ).materialize()
+    if dups.count() > broadcast_limit:  # pragma: no cover - corpus-scale leg
+        raise NotImplementedError(
+            "dup-window table above broadcast_limit: wire the stats pass "
+            "as a hash join of the exploded (h, rank) stream against the "
+            "winners table (chunk_dedup's join leg) instead of a broadcast"
+        )
+    wdf = dups.to_pandas()
+    win_map = dict(zip(wdf["h"], wdf["min_rank"].astype("int64"))) if len(wdf) else {}
+    ref = _ray.put(win_map)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        winners = _ray.get(ref)
+        docs = df[key].to_numpy(dtype=np.int64)
+        ids, n_wins, n_dups = [], [], []
+        for d, wins in zip(docs, windows_of(df[text_col])):
+            if not wins:
+                continue
+            base = int(d) << _CHUNK_IDX_BITS
+            nd = 0
+            for i, c in enumerate(wins):
+                r = winners.get(_md5(c))
+                if r is not None and r != base | i:
+                    nd += 1
+            ids.append(int(d))
+            n_wins.append(len(wins))
+            n_dups.append(nd)
+        return pd.DataFrame(
+            {
+                key: pd.Series(ids, dtype="int64"),
+                "n_windows": pd.Series(n_wins, dtype="int64"),
+                "n_dup_windows": pd.Series(n_dups, dtype="int64"),
+                "dup_frac": np.asarray(n_dups, dtype=np.float64)
+                / np.maximum(np.asarray(n_wins, dtype=np.float64), 1.0),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")

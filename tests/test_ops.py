@@ -2113,3 +2113,41 @@ class TestSentenceSplit:
         assert df[df.doc_id == 2].empty and df[df.doc_id == 3].empty and df[df.doc_id == 4].empty
         assert df[df.doc_id == 5]["sentence"].tolist() == ["a.", "b"]
         assert df[df.doc_id == 1]["sent_idx"].tolist() == [0, 1, 2, 3]
+
+
+class TestSubstringDedup:
+    def test_any_offset_detection(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import substring_dedup
+
+        passage = "p q r s t u v w x y"  # exactly one 10-token window
+        docs = rd.from_items(
+            [
+                {"doc_id": 1, "text": "a b c " + passage + " d e"},  # offset 3: aligned chunking misses it
+                {"doc_id": 2, "text": passage},
+                {"doc_id": 3, "text": "entirely fresh tokens one two three four five six seven"},
+                {"doc_id": 4, "text": "too short"},  # < width: no windows, absent from output
+            ]
+        )
+        df = (
+            substring_dedup(docs, width=10)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            .set_index("doc_id")
+        )
+        assert 4 not in df.index
+        # doc 1 holds the global first occurrence (rank 1<<20|3 < 2<<20|0
+        # is FALSE: doc 1 packs to 1048579, doc 2 to 2097152 -> doc 1 wins)
+        assert df.loc[1, "n_dup_windows"] == 0
+        assert df.loc[2, "n_dup_windows"] == 1 and df.loc[2, "n_windows"] == 1
+        assert df.loc[2, "dup_frac"] == 1.0
+        assert df.loc[3, "n_dup_windows"] == 0
+
+    def test_width_validation(self, ray_session):
+        import pytest as _pytest
+
+        from gleaner_ray.ops.dedup import substring_dedup
+
+        with _pytest.raises(ValueError):
+            substring_dedup(None, width=0)

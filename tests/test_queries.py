@@ -163,6 +163,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_decontaminate_fuzzy",
         "rel_heavy_hitters",
         "dedup_span_clean",
+        "dedup_substring",
         "pipe_corpus_prep",
         "samp_hash_split",
         "samp_stratified",
