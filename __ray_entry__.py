@@ -1119,6 +1119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens folded algebraically, exact-integer numerators, one
         # final division (bit-identical to the SQL oracle)
         "samp_source_tv": lambda sf: smp.source_tv_distance(docs(sf)),
+        # mixture/epoch budgeting: one fold pass for per-source token
+        # counts, Hamilton split of the token budget by weight, epoch
+        # factor per source — driver arithmetic on the bounded table
+        "samp_epoch_plan": lambda sf: smp.epoch_plan(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"]), budget=1_000_000
+        ),
         # deterministic source-mixture balancing: downsample each source
         # to the smallest source's char budget via the md5 coin
         "samp_source_mix": lambda sf: smp.source_mix_balance(
@@ -3053,6 +3059,36 @@ def oracle_sql() -> dict[str, str]:
         # keep iff u < min_total/total_source: u is an exact 32-bit
         # float64, the rate a single int64/int64 DOUBLE division — the
         # identical IEEE expression the engine evaluates
+        # Hamilton apportionment of the token budget over digit-rule
+        # weights; epochs = target/n as one float64 division
+        "samp_epoch_plan": r"""
+            WITH nt AS (
+              SELECT source,
+                     SUM(len(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                                          x -> x <> ''))) AS n_tokens
+              FROM documents GROUP BY source),
+            wt AS (SELECT source, n_tokens,
+                          1 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5) AS weight
+                   FROM nt),
+            tot AS (SELECT SUM(weight) AS tw FROM wt),
+            parts AS (SELECT source, n_tokens, weight,
+                             (1000000 * weight) // (SELECT tw FROM tot) AS base,
+                             (1000000 * weight) % (SELECT tw FROM tot) AS rem
+                      FROM wt),
+            lo AS (SELECT 1000000 - SUM(base) AS k FROM parts),
+            rk AS (SELECT source, n_tokens, weight, base,
+                          row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+                   FROM parts),
+            fin AS (SELECT source, n_tokens, weight,
+                           base + CASE WHEN rn <= (SELECT k FROM lo) THEN 1 ELSE 0 END AS target
+                    FROM rk)
+            SELECT source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(weight AS BIGINT) AS weight,
+                   CAST(target AS BIGINT) AS target_tokens,
+                   CAST(target AS DOUBLE) / GREATEST(n_tokens, 1) AS epochs
+            FROM fin ORDER BY source
+        """,
         "samp_source_mix": r"""
             WITH tot AS (SELECT source, SUM(n_chars) AS total
                          FROM documents GROUP BY source),

@@ -36,6 +36,7 @@ __all__ = [
     "temperature_mix",
     "uniform_sample_n",
     "hash_split",
+    "epoch_plan",
     "pack_sequences",
     "pack_counts",
     "split_threshold_hex",
@@ -814,4 +815,84 @@ def domain_cap(
         ds.map_batches(add_pid, batch_format="pandas")
         .groupby("pid")
         .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def epoch_plan(ds, budget: int = 1_000_000, weights: dict | None = None):
+    """Mixture/epoch budgeting (the LLaMA-style sampling table): given
+    per-source mixture weights and a global token budget, compute each
+    source's token target and its epoch factor (how many passes over
+    the source the target implies — >1 means oversampling/repeats,
+    <1 means subsampling).
+
+    target_s = Hamilton largest-remainder share of ``budget`` by weight
+    (exact integers, sums to the budget bit-for-bit; remainder ties
+    break source-ascending); epochs_s = target_s / n_tokens_s as one
+    float64 division.
+
+    ``weights`` defaults to the board's deterministic stand-in
+    ``1 + (trailing_digits(source) % 5)`` so the plan is reproducible
+    from the data alone; production passes the curated mixture table.
+
+    Scale shape: ONE streaming pass folds per-source token counts into
+    the bounded source table (``fold_reduce`` dual path); the
+    apportionment is driver arithmetic over that table — the corpus is
+    never shuffled.  Output: (source, n_tokens, weight, target_tokens,
+    epochs), source-sorted.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from .fold import fold_or_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.split().str.len().astype("int64")
+        return (
+            pd.DataFrame({"source": df["source"], "n_tokens": n})
+            .groupby("source", as_index=False)["n_tokens"]
+            .sum()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    folded, mat = fold_or_reduce(parts, ["source"], {"n_tokens": "sum"})
+    if folded is None:  # pragma: no cover - >5M sources
+        folded = mat.groupby("source").aggregate(Sum("n_tokens", alias_name="n_tokens")).to_pandas()
+    tab = folded.sort_values("source", ignore_index=True)
+    n = len(tab)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype="int64"),
+                "weight": pd.Series(dtype="int64"),
+                "target_tokens": pd.Series(dtype="int64"),
+                "epochs": pd.Series(dtype="float64"),
+            }
+        )
+    if weights is None:
+        def _w(s: str) -> int:
+            m = _re.search(r"([0-9]+)$", s)
+            return 1 + (int(m.group(1)) % 5 if m else 0)
+
+        w = np.array([_w(s) for s in tab["source"]], dtype=np.int64)
+    else:
+        w = np.array([int(weights[s]) for s in tab["source"]], dtype=np.int64)
+    total_w = int(w.sum())
+    base = (int(budget) * w) // total_w
+    rem = (int(budget) * w) % total_w
+    leftover = int(budget) - int(base.sum())
+    order = np.argsort(-rem, kind="stable")  # ties: source asc (pre-sorted)
+    bonus = np.zeros(n, dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    target = base + bonus
+    nt = tab["n_tokens"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "source": tab["source"],
+            "n_tokens": nt,
+            "weight": w,
+            "target_tokens": target,
+            "epochs": target.astype(np.float64) / np.maximum(nt, 1).astype(np.float64),
+        }
     )

@@ -185,7 +185,9 @@ def parse_warc(blob: bytes) -> list[dict]:
         headers: dict[str, str] = {}
         for line in blob[pos:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
+            # spec (ISO 28500 §4): optional-whitespace = SP/HTAB only —
+            # a bare .strip() would eat \x0c etc. out of field values
+            headers[k.strip(" \t").lower()] = v.strip(" \t")
         clen = int(headers.get("content-length", "0"))
         body = blob[hdr_end + 4 : hdr_end + 4 + clen]
         rec_type = headers.get("warc-type", "")

@@ -2151,3 +2151,28 @@ class TestSubstringDedup:
 
         with _pytest.raises(ValueError):
             substring_dedup(None, width=0)
+
+
+class TestEpochPlan:
+    def test_budget_sums_exactly(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import epoch_plan
+
+        docs = rd.from_items(
+            [
+                {"source": "a1", "text": "one two three"},
+                {"source": "a1", "text": "four five"},
+                {"source": "b2", "text": "x y z w"},
+                {"source": "c3", "text": ""},
+            ]
+        )
+        df = epoch_plan(docs, budget=101, weights={"a1": 3, "b2": 1, "c3": 1})
+        assert int(df["target_tokens"].sum()) == 101
+        got = dict(zip(df["source"], df["target_tokens"]))
+        # base: a1 = 303//5 = 60, b2 = c3 = 101//5 = 20; leftover 1 goes
+        # to the largest remainder (a1: 303%5=3 > 101%5=1)
+        assert got == {"a1": 61, "b2": 20, "c3": 20}
+        e = dict(zip(df["source"], df["epochs"]))
+        assert e["a1"] == 61 / 5 and e["b2"] == 20 / 4
+        assert e["c3"] == 20.0  # zero-token source: epochs vs max(n,1)

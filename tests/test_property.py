@@ -235,3 +235,31 @@ class TestCanonicalUrlProperties:
             parts = q.split("&")
             assert parts == sorted(parts)
             assert not any(p.lower().startswith("utm_") for p in parts)
+
+
+# WARC framing: Content-Length slicing must survive adversarial payloads
+# (embedded record markers, CRLFCRLF runs, NUL bytes, gzip magic) and
+# arbitrary url text without newlines (header field constraint)
+_warc_urls = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=60,
+)
+_warc_payloads = st.binary(max_size=200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(_warc_urls, st.integers(min_value=0, max_value=2**41), _warc_payloads), min_size=1, max_size=5),
+    st.booleans(),
+)
+def test_warc_roundtrip_adversarial(rows, compress):
+    from gleaner_ray.sources.warc import parse_warc, serialize_warc
+
+    urls = [r[0] for r in rows]
+    ts = [r[1] for r in rows]
+    payloads = [r[2] for r in rows]
+    recs = parse_warc(serialize_warc(urls, ts, payloads, compress=compress))
+    assert [r["url"] for r in recs] == urls
+    assert [r["warc_ts_ms"] for r in recs] == ts
+    assert [r["payload"] for r in recs] == payloads

@@ -179,6 +179,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_domain_cap",
         "samp_uniform_n",
         "samp_source_mix",
+        "samp_epoch_plan",
         "samp_dup_weights",
         "pipe_len_quantile_filter",
         "pipe_source_gate",
