@@ -93,6 +93,13 @@ def _record_id(url: str) -> str:
 
 
 def _record(rec_type: str, url: str, ts_ms: int, content_type: str, payload: bytes) -> bytes:
+    # WARC grammar: optional whitespace around a header field value is
+    # not part of the value, so a Target-URI with surrounding space/tab
+    # is unrepresentable. Canonicalize at write time so that
+    # serialize -> parse is idempotent (record id derives from the
+    # stored form). Interior whitespace (never present in a real URI)
+    # survives byte-exactly.
+    url = url.strip(" \t")
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: %s\r\n"

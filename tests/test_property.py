@@ -260,6 +260,8 @@ def test_warc_roundtrip_adversarial(rows, compress):
     ts = [r[1] for r in rows]
     payloads = [r[2] for r in rows]
     recs = parse_warc(serialize_warc(urls, ts, payloads, compress=compress))
-    assert [r["url"] for r in recs] == urls
+    # surrounding OWS in a Target-URI is unrepresentable in the WARC
+    # header grammar; the writer canonicalizes it (sources/warc._record)
+    assert [r["url"] for r in recs] == [u.strip(" \t") for u in urls]
     assert [r["warc_ts_ms"] for r in recs] == ts
     assert [r["payload"] for r in recs] == payloads

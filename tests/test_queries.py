@@ -161,6 +161,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_decontaminate",
         "text_decontaminate_bloom",
         "text_decontaminate_fuzzy",
+        "text_novelty",
+        "dedup_cross_corpus",
+        "samp_temperature",
         "rel_heavy_hitters",
         "dedup_span_clean",
         "dedup_substring",
@@ -234,6 +237,8 @@ def test_oracle_checked_small(contract, name):
         "graph_pagerank",
         "graph_hits",
         "graph_host_rank",
+        "graph_trustrank",
+        "graph_spam_mass",
         "graph_triangles",
         "graph_rank_priority",
         "graph_discovered",
