@@ -957,6 +957,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group MODE, deterministic min-string tie-break; bounded
         # nations x segments final reduce
         "rel_mode": lambda sf: rel.mode_segment_by_nation(sf),
+        # TPC-H Q3 composition: lineitem pre-aggregated per order before
+        # any exchange, orders semi-joined to the segment's custkeys,
+        # bounded join-back, per-block top-k + one merge — one
+        # partitioning key (orderkey) reused across agg and join
+        "rel_q3_shipping": lambda sf: rel.q3_shipping(sf),
+        # correlated-subquery decorrelation (quantity above the order's
+        # own average): one per-key aggregate + join-back, exact
+        # cross-multiplied integer predicate q*cnt > sum
+        "rel_above_avg": lambda sf: rel.above_order_avg_lineitems(sf),
+        # per-group linear regression (regr_slope/regr_intercept
+        # parity): exact int64 moments, identical float finish
+        "rel_regr": lambda sf: rel.regr_value_on_hour(sf),
         # exact heavy hitters (HAVING count*capacity > N parity) via the
         # Misra-Gries sketch-then-verify composition: candidate superset
         # in <= capacity counters (guaranteed capture above N/capacity),
@@ -2366,6 +2378,57 @@ def oracle_sql() -> dict[str, str]:
                    (n * sxy - sx * sy)
                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                        AS corr_cents_hour
+            FROM m
+        """,
+        "rel_q3_shipping": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                         AS revenue_u
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l_orderkey)
+            SELECT r.l_orderkey, r.revenue_u, o.o_orderdate, o.o_orderpriority
+            FROM rev r
+            JOIN orders o ON r.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            ORDER BY r.revenue_u DESC, r.l_orderkey
+            LIMIT 10
+        """,
+        # the natural form is the correlated subquery
+        #   WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem l2
+        #                       WHERE l2.l_orderkey = l.l_orderkey)
+        # — stated here in its decorrelated exact-integer form (q*c > s)
+        # so both engines compare without a float-division boundary
+        "rel_above_avg": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                         SUM(CAST(round(l_quantity) AS BIGINT))
+                             OVER (PARTITION BY l_orderkey) AS s,
+                         COUNT(*) OVER (PARTITION BY l_orderkey) AS c
+                  FROM lineitem)
+            WHERE CAST(round(l_quantity) AS BIGINT) * c > s
+        """,
+        "rel_regr": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                     CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                     CAST(SUM(x * x) AS DOUBLE) AS sxx
+              FROM (SELECT event_type,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                           CAST(floor(value * 100) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                       AS intercept
             FROM m
         """,
         "samp_bernoulli_weighted": r"""

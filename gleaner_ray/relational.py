@@ -97,6 +97,9 @@ __all__ = [
     "time_range_sum_events",
     "skew_join_events_customers",
     "mode_segment_by_nation",
+    "q3_shipping",
+    "above_order_avg_lineitems",
+    "regr_value_on_hour",
 ]
 
 
@@ -1852,3 +1855,191 @@ def percent_rank_events(sf_dir: str):
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def q3_shipping(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 composition — the multi-join + aggregate + top-k
+    pipeline shape: customers of one market segment, their orders
+    placed before the cutoff, revenue of lineitems shipped after it,
+    top-k orders by revenue.
+
+    Scale shape (minimize shuffles): (1) lineitem pre-aggregates to one
+    revenue row per order *inside* map_batches before any exchange, so
+    the only lineitem-side shuffle carries (orderkey, partial) rows;
+    (2) orders filter by date then LEFT SEMI join against the segment's
+    custkeys (keys only cross the wire); (3) the bounded per-order
+    aggregate joins back to the qualified orders; (4) top-k is
+    per-block candidates + ONE bounded merge — no global sort. Revenue
+    is exact integer micro-units (cents x (100 - pct)), so partial sums
+    are order-independent and hash-identical to the SQL oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    cut = pd.Timestamp(cutoff)
+    nparts = _join_partitions(sf_dir, "orders")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = cust.map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == segment, ["c_custkey"]],
+        batch_format="pandas",
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(lambda df: df[df["o_orderdate"] < cut], batch_format="pandas")
+    qualified = orders.join(
+        cust_keys,
+        join_type="left_semi",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        pct = (df["l_discount"] * 100).round().astype("int64")
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue_u": cents * (100 - pct)})
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+
+    joined = rev.join(
+        qualified,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cols = ["l_orderkey", "revenue_u", "o_orderdate", "o_orderpriority"]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_u", "l_orderkey"], ascending=[False, True]).head(k)[cols]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["revenue_u", "l_orderkey"], ascending=[False, True], ignore_index=True)
+            .head(k)
+        )
+
+    return (
+        joined.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pandas")
+    )
+
+
+def above_order_avg_lineitems(sf_dir: str):
+    """Correlated-subquery decorrelation: lineitems whose quantity
+    exceeds the average quantity of their own order —
+    ``WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem l2 WHERE
+    l2.l_orderkey = l.l_orderkey)``.
+
+    The classic decorrelation: ONE per-key aggregate (sum, count) built
+    from map-side partials, then a hash join back to the fact table and
+    a cross-multiplied integer predicate ``q * cnt > sum`` — exact, no
+    division, no float boundary (quantities are integral). The only
+    exchanges are the (orderkey, sum, cnt) aggregate and the join keyed
+    on the same column — the pattern reuses one partitioning key end to
+    end, as a planner's decorrelation rewrite would."""
+    from ray.data.aggregate import Sum
+
+    nparts = _join_partitions(sf_dir, "lineitem")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].round().astype("int64")
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "sum_q": q, "cnt": np.int64(1)})
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("cnt", alias_name="cnt"))
+    )
+
+    joined = li.join(
+        agg.map_batches(lambda df: df.rename(columns={"l_orderkey": "agg_orderkey"}), batch_format="pandas"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("agg_orderkey",),
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].round().astype("int64")
+        keep = q * df["cnt"].astype("int64") > df["sum_q"].astype("int64")
+        out = df.loc[keep, ["l_orderkey", "l_linenumber"]].copy()
+        out["qty"] = q[keep]
+        return out
+
+    return joined.map_batches(pick, batch_format="pandas")
+
+
+def _moments_by_type(sf_dir: str):
+    """Shared exact-int64 moment totals (n, Sx, Sy, Sxy, Sxx, Syy) per
+    event_type over (value cents, hour-of-day) — the partial-aggregate
+    feed for corr / regression finishes."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].dt.hour.to_numpy().astype("int64")
+        y = np.floor(df["value"].to_numpy() * 100.0).astype("int64")
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return t.groupby("event_type", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    )
+
+
+def regr_value_on_hour(sf_dir: str):
+    """Per-group simple linear regression — ``regr_slope(value_cents,
+    hour), regr_intercept(...) GROUP BY event_type`` parity.
+
+    Same exactness device as :func:`corr_value_hour_by_type` (x = hour
+    so the regressor moments match SQL's): every batch reduces to exact
+    int64 moments, the exchange is a 6-column groupby-Sum, and slope /
+    intercept are single float expressions evaluated in the same
+    operation order as the oracle — bit-identical doubles."""
+    totals = _moments_by_type(sf_dir)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("float64")
+        sx = df["sx"].astype("float64")
+        sy = df["sy"].astype("float64")
+        slope = (n * df["sxy"].astype("float64") - sx * sy) / (
+            n * df["sxx"].astype("float64") - sx * sx
+        )
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "slope": slope, "intercept": intercept}
+        )
+
+    return totals.map_batches(finish, batch_format="pandas")

@@ -140,6 +140,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_time_range_sum",
         "rel_join_skew",
         "rel_mode",
+        "rel_q3_shipping",
+        "rel_above_avg",
+        "rel_regr",
         "samp_bernoulli_weighted",
         "text_token_stats",
         "text_histogram",
