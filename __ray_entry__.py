@@ -368,6 +368,18 @@ def _graph_pages(sf_dir: str):
     return rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
 
 
+def _q_crawl_url_filter(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import url_quality_filter
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"])
+    # digit_den=8 puts the digit-fraction boundary inside the corpus's
+    # id-length distribution, so both keep and drop sides are exercised
+    return url_quality_filter(pages, digit_den=8)
+
+
 def _q_graph_outlink_degree(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -488,6 +500,18 @@ def _warc_dir(sf_dir: str, kind: str) -> str:
     write_warc_dataset(pages, out, kind=kind)
     _WARC_CACHE[key] = out
     return out
+
+
+def _q_crawl_cdx(sf_dir: str):
+    """Common-Crawl-style CDX index build over the WARC parts: one row
+    per response record with SURT key, 14-digit timestamp and payload
+    digest.  The seek contract (offset/length delimit the record's own
+    gzip member) is pinned by tests/test_warc.py; the board checks the
+    SQL-reproducible identity columns."""
+    from gleaner_ray.sources.warc import build_cdx
+
+    idx = build_cdx(_warc_dir(sf_dir, "warc"))
+    return idx.select_columns(["surt", "ts14", "url", "digest"])
 
 
 def _q_crawl_warc_roundtrip(sf_dir: str):
@@ -773,6 +797,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # messy spellings planted deterministically on BOTH sides, each
         # engine canonicalizes independently
         "crawl_url_canon": _q_crawl_url_canon,
+        # RefinedWeb-style URL admission gate: blocked host / banned
+        # path / digit-heavy / over-long, first rule wins; row-local
+        # vectorized, runs BEFORE any fetch
+        "crawl_url_filter": _q_crawl_url_filter,
         # per-host crawl profile (pages, bytes, distinct content for
         # mirror detection, crawl-window span) — host-keyed partials +
         # the blob-packed distinct exchange
@@ -819,6 +847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plane) and WET conversion-record round trip (text plane):
         # per-record-gzip Common-Crawl layout, spec framing, no shuffle
         "crawl_warc_roundtrip": _q_crawl_warc_roundtrip,
+        # CDX(J) index over the WARC parts: SURT keys + per-record gzip
+        # member offsets (seekable layout); zero shuffles, one task per
+        # part file
+        "crawl_cdx_index": _q_crawl_cdx,
         "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
         "crawl_wat_roundtrip": _q_crawl_wat_roundtrip,
         # the miller straight off WARC input: distributed WARC read ->
@@ -1166,6 +1198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM, per-doc perplexity; unigram table broadcast once, corpus
         # never shuffled
         "text_lm_perplexity": lambda sf: tx.lm_perplexity(docs(sf)),
+        # hashed-feature linear classifier inference (fasttext-style
+        # quality gate): O(n_buckets) weight table, one streaming pass,
+        # zero shuffles; closed-form weights so SQL can recompute them
+        "text_model_score": lambda sf: tx.hashed_model_scores(docs(sf)),
         # DSIR hashed-ngram importance weighting (target = lang 'en'):
         # fixed-B bucket counts, O(B) log-ratio broadcast, corpus
         # streamed twice and never shuffled
@@ -1176,6 +1212,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic fixed-size uniform slice: n smallest md5(key),
         # local top-n per batch + one bounded merge (no global sort)
         "samp_uniform_n": lambda sf: smp.uniform_sample_n(docs(sf), n=100),
+        # deterministic global training shuffle WITHOUT a global sort:
+        # bounded bucket-count table -> driver prefix sums -> one
+        # bucket-keyed exchange assigns exact md5-order positions
+        "samp_shuffle_pos": lambda sf: smp.shuffle_positions(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+        ),
+        # per-group uniform n (eval-slice cut): per-batch grouped top-n
+        # candidates, ONE bounded merge — no window exchange
+        "samp_group_sample": lambda sf: smp.group_sample_n(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"]), n=20
+        ),
         # soft dedup: every copy kept, per-copy weight 1/|dup cluster|
         "samp_dup_weights": lambda sf: dd.dup_count_weights(docs(sf)),
         # deterministic weighted (length-proportional) Bernoulli sample:
@@ -1496,6 +1543,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # visible text: pinned chain (script -> style -> tags -> the
         # five core entities in order -> \s+ collapse -> trim)
+        "crawl_url_filter": f"""
+            WITH t AS (
+              SELECT url,
+                     split_part(url, '/', 3) AS host,
+                     length(regexp_replace(url, '[^0-9]', '', 'g')) AS digits,
+                     length(url) AS len
+              FROM {pages}),
+            r AS (
+              SELECT url,
+                     CASE WHEN host = 'h3.example.org' THEN 'blocked_host'
+                          WHEN url LIKE '%/dup/%' THEN 'banned_path'
+                          WHEN 8 * digits >= len THEN 'digit_heavy'
+                          WHEN len > 120 THEN 'too_long'
+                          ELSE 'ok' END AS reason
+              FROM t)
+            SELECT url, reason = 'ok' AS keep, reason FROM r
+        """,
         "crawl_visible_text": f"""
             SELECT url,
               trim(regexp_replace(
@@ -1815,6 +1879,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(html) AS n_bytes,
                    md5(decode(html)) AS html_md5
             FROM {pages}
+        """,
+        "crawl_cdx_index": f"""
+            WITH t AS (
+              SELECT lower(url) AS lu, url, warc_ts, html FROM {pages})
+            SELECT array_to_string(
+                       list_reverse(string_split(split_part(lu, '/', 3), '.')), ',')
+                   || ')' || regexp_replace(lu, '^[a-z]+://[^/]*', '') AS surt,
+                   strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+                   url,
+                   md5(decode(html)) AS digest
+            FROM t
         """,
         "crawl_wet_roundtrip": f"""
             SELECT url,
@@ -3045,6 +3120,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # add-one unigram LM perplexity: exp(-avg ln((c+1)/(N+V)));
         # empty docs score 0.0
+        "text_model_score": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            tb AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x', substr(md5(tok),1,8)) AS UBIGINT)
+                          % 4096 AS BIGINT) AS b
+              FROM toks),
+            sc AS (
+              SELECT doc_id, COUNT(*) AS n,
+                     SUM((b * 2654435761) % 4294967296 - 2147483648) AS s
+              FROM tb GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_toks,
+                   CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_u,
+                   COALESCE(sc.s, 0) > 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
         "text_lm_perplexity": r"""
             WITH toks AS (
               SELECT doc_id, list_filter(
@@ -3206,6 +3302,22 @@ def oracle_sql() -> dict[str, str]:
         "samp_uniform_n": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
             FROM documents ORDER BY h, doc_id LIMIT 100
+        """,
+        "samp_shuffle_pos": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                       AS pos
+            FROM documents
+        """,
+        "samp_group_sample": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20
         """,
         "samp_dup_weights": """
             SELECT doc_id,

@@ -44,6 +44,8 @@ __all__ = [
     "source_mix_balance",
     "vocab_overlap",
     "source_tv_distance",
+    "shuffle_positions",
+    "group_sample_n",
 ]
 
 
@@ -896,3 +898,94 @@ def epoch_plan(ds, budget: int = 1_000_000, weights: dict | None = None):
             "epochs": target.astype(np.float64) / np.maximum(nt, 1).astype(np.float64),
         }
     )
+
+
+def shuffle_positions(ds, key: str = "doc_id"):
+    """Deterministic global training shuffle: assigns every row its
+    position in the md5-ordering of the corpus — ``row_number() OVER
+    (ORDER BY md5(str(key)), key)`` — without a global sort.
+
+    Training runs shuffle the corpus once per epoch; doing it as an
+    all-to-all payload sort at 100 TB is the single most expensive step
+    in naive pipelines. Here only positions move: (1) each batch
+    reduces to per-bucket counts (bucket = first md5 byte, 256 rows max
+    per batch — corpus-size-independent); (2) the driver prefix-sums
+    the bounded bucket table into base offsets; (3) ONE bucket-keyed
+    exchange co-locates each bucket, which sorts locally and assigns
+    ``base + arange`` — exact global positions. Readers then stream
+    ``sort by (bucket, h)``-partitioned output in position order, or
+    join positions back to the payload on the key (key-width exchange).
+    Same two-level prefix-sum seam as ``pack_sequences`` /
+    ``global_rank_events``; at 10^12 rows widen to 2-byte buckets so a
+    bucket stays one group task."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]]
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "h": h,
+                "bucket": np.fromiter((int(x[:2], 16) for x in h), dtype="int64", count=len(h)),
+            }
+        )
+
+    hashed = ds.map_batches(with_hash, batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", as_index=False).agg(n=("bucket", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tbl = (
+        hashed.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    base = {int(b): int(v) for b, v in zip(tbl["bucket"], tbl["n"].cumsum() - tbl["n"])}
+    base_ref = ray.put(base)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        df = df.sort_values(["h", key], kind="mergesort", ignore_index=True)
+        pos = bases[int(df["bucket"].iloc[0])] + np.arange(1, len(df) + 1, dtype="int64")
+        return pd.DataFrame({key: df[key], "pos": pos})
+
+    return hashed.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+def group_sample_n(ds, n: int = 20, group: str = "source", key: str = "doc_id"):
+    """Per-group deterministic uniform sample of exactly ``n`` rows —
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(str(key)),
+    key) <= n`` — the per-source slice cut (eval slices, per-domain
+    spot-checks) on the same hash contract as ``uniform_sample_n``.
+
+    Scale shape: per-batch local top-n per group (one vectorized sort +
+    grouped head), then ONE bounded merge over n x groups x blocks
+    candidate rows — no shuffle of the corpus, no window exchange.
+    Bounded-groups assumption: the merge table must fit one task (n x
+    |groups|); for unbounded group domains co-partition by group and
+    take heads per partition instead."""
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group: df[group],
+                key: df[key],
+                "h": [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]],
+            }
+        )
+        out = out.sort_values(["h", key], kind="mergesort")
+        return out.groupby(group, as_index=False, sort=False).head(n)
+
+    partials = ds.map_batches(local_top, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", key], kind="mergesort")
+        out = df.groupby(group, as_index=False, sort=False).head(n)
+        return out[[group, key]].sort_values([group, key], ignore_index=True)
+
+    return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")

@@ -29,6 +29,7 @@ import pandas as pd
 
 __all__ = [
     "bpe_pair_counts",
+    "hashed_model_scores",
     "token_stats",
     "quality_scores",
     "LangId",
@@ -2099,3 +2100,50 @@ def blocklist_filter(ds, blockwords, key: str = "doc_id", text_col: str = "text"
         )
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def hashed_model_scores(ds, key: str = "doc_id", text_col: str = "text", n_buckets: int = 4096):
+    """Linear quality-classifier inference over hashed token features —
+    the fasttext-style scoring shape: ``score(d) = sum_{t in tokens(d)}
+    w[bucket(t)]``, keep iff score > 0.
+
+    The weight table here is a closed-form function of the bucket
+    (``w(b) = (b * 2654435761) mod 2^32 - 2^31``, exact int64) so the
+    SQL oracle can recompute it; a production model swaps in a trained
+    float vector shipped ONCE via ``ray.put`` — the execution shape is
+    identical: O(n_buckets) broadcast regardless of corpus size,
+    one streaming pass, zero shuffles, md5 run once per DISTINCT token
+    per batch, per-doc totals via one bincount segment-sum.
+
+    Output: ``(key, n_toks, score_u, keep)`` per document; empty docs
+    score 0 and are dropped (keep = False)."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [(t or "").lower().split() for t in df[text_col]]
+        lens = np.fromiter((len(x) for x in toks), dtype="int64", count=len(toks))
+        total = int(lens.sum())
+        score_u = np.zeros(len(df), dtype="int64")
+        if total:
+            flat = np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=total)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ub = np.fromiter(
+                (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % n_buckets for u in uniq),
+                dtype="int64",
+                count=len(uniq),
+            )
+            w = (ub * np.int64(2654435761)) % np.int64(2**32) - np.int64(2**31)
+            doc_idx = np.repeat(np.arange(len(df), dtype="int64"), lens)
+            score_u = np.bincount(doc_idx, weights=w[inv].astype("float64"), minlength=len(df))
+            # weights and counts are exact ints well below 2^53, so the
+            # float64 bincount accumulator is exact; cast back
+            score_u = score_u.astype("int64")
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_toks": lens,
+                "score_u": score_u,
+                "keep": score_u > 0,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -54,6 +54,8 @@ __all__ = [
     "parse_warc",
     "write_warc_dataset",
     "read_warc_dataset",
+    "surt",
+    "build_cdx",
 ]
 
 _CRLF = b"\r\n"
@@ -284,3 +286,127 @@ def read_warc_dataset(path: str, kind: str = "warc"):
         return pa.table(cols)
 
     return rd.read_binary_files(path).map_batches(parse, batch_format="pyarrow")
+
+
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform key (the Common-Crawl /
+    IA CDX sort key): lowercase, scheme dropped, host labels reversed
+    and comma-joined, default ports dropped, then ``)`` + path+query.
+    ``https://H1.Example.org/Ref/x?b=1`` -> ``org,example,h1)/ref/x?b=1``."""
+    u = url.strip().lower()
+    i = u.find("://")
+    rest = u[i + 3 :] if i >= 0 else u
+    j = rest.find("/")
+    host, tail = (rest, "/") if j < 0 else (rest[:j], rest[j:])
+    if host.endswith(":80") or host.endswith(":443"):
+        host = host.rsplit(":", 1)[0]
+    frag = tail.find("#")
+    if frag >= 0:
+        tail = tail[:frag]
+    return ",".join(reversed(host.split("."))) + ")" + tail
+
+
+def _member_spans(blob: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of each gzip member in a multi-member file —
+    the seekable-WARC contract CDX offsets point into."""
+    import zlib
+
+    spans = []
+    pos, n = 0, len(blob)
+    mv = memoryview(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(mv[pos:])
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        spans.append((pos, consumed))
+        pos += consumed
+    return spans
+
+
+def _uncompressed_spans(blob: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of each record in a plain WARC file, from the
+    spec framing (Content-Length, never a marker scan)."""
+    spans = []
+    pos, n = 0, len(blob)
+    while pos < n and blob[pos : pos + 5] == b"WARC/":
+        hdr_end = blob.find(_SEP, pos)
+        if hdr_end < 0:
+            break
+        clen = 0
+        for line in blob[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            if k.strip(" \t").lower() == "content-length":
+                clen = int(v.strip(" \t"))
+        end = hdr_end + 4 + clen + 4
+        spans.append((pos, end - pos))
+        pos = end
+    return spans
+
+
+def build_cdx(warc_dir: str):
+    """Distributed CDX(J) index build over a directory of WARC parts —
+    the Common-Crawl lookup sidecar: one row per response record with
+    ``(surt, ts14, url, digest, filename, offset, length)`` where
+    ``offset/length`` delimit the record's own gzip member (the
+    seekable layout: a reader fetches exactly [offset, offset+length)
+    and gunzips one record).
+
+    Scale shape: one task per part file (``read_binary_files``), spans
+    from gzip member boundaries (or spec framing when uncompressed),
+    zero shuffles — the index rows stream out as produced.  A published
+    CDX is globally sorted by (surt, ts14); that final ordering is a
+    rank problem, not a payload sort (``ops/sampling.shuffle_positions``
+    seam), and is left to the publisher.  Digest is md5 of the response
+    payload (the oracle-reproducible stand-in for CC's sha1-b32)."""
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    # The offsets must index the RAW part file (the bytes a range
+    # request returns), but Ray's read_binary_files auto-gunzips ``.gz``
+    # paths by extension with no opt-out (file_based_datasource.py
+    # detects via pa.Codec when compression is None).  So list the parts
+    # (bounded metadata listing) and read each file raw inside its own
+    # task — same one-task-per-file shape, zero shuffles.
+    fsys, root = pafs.FileSystem.from_uri(os.path.abspath(warc_dir))
+    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=True))
+    paths = sorted(i.path for i in infos if i.type == pafs.FileType.File)
+    ds = rd.from_items([{"path": p} for p in paths]).repartition(len(paths))
+
+    def index(t: pa.Table) -> pd.DataFrame:
+        import datetime as _dt
+
+        rows: dict[str, list] = {
+            "surt": [], "ts14": [], "url": [], "digest": [],
+            "filename": [], "offset": [], "length": [],
+        }
+        for path_v in t.column("path"):
+            path = path_v.as_py()
+            with fsys.open_input_stream(path, compression=None) as f:
+                blob = f.read()
+            fname = os.path.basename(path)
+            compressed = blob[:2] == b"\x1f\x8b"
+            spans = _member_spans(blob) if compressed else _uncompressed_spans(blob)
+            for off, ln in spans:
+                chunk = blob[off : off + ln]
+                recs = parse_warc(chunk)
+                if not recs or recs[0]["type"] != "response":
+                    continue
+                r = recs[0]
+                ts14 = _dt.datetime.fromtimestamp(
+                    r["warc_ts_ms"] / 1000.0, tz=_dt.timezone.utc
+                ).strftime("%Y%m%d%H%M%S")
+                rows["surt"].append(surt(r["url"]))
+                rows["ts14"].append(ts14)
+                rows["url"].append(r["url"])
+                rows["digest"].append(hashlib.md5(r["payload"]).hexdigest())
+                rows["filename"].append(fname)
+                rows["offset"].append(off)
+                rows["length"].append(ln)
+        out = pd.DataFrame(rows)
+        out["offset"] = out["offset"].astype("int64")
+        out["length"] = out["length"].astype("int64")
+        return out
+
+    return ds.map_batches(index, batch_format="pyarrow")

@@ -184,6 +184,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_bpe_pairs",
         "samp_domain_cap",
         "samp_uniform_n",
+        "samp_shuffle_pos",
+        "samp_group_sample",
+        "text_model_score",
         "samp_source_mix",
         "samp_epoch_plan",
         "samp_dup_weights",
@@ -251,10 +254,12 @@ def test_oracle_checked_small(contract, name):
         "graph_reciprocal",
         "crawl_title_dups",
         "crawl_url_templates",
+        "crawl_url_filter",
         "crawl_type_profile",
         "crawl_boilerplate",
         "crawl_visible_text",
         "crawl_warc_roundtrip",
+        "crawl_cdx_index",
         "crawl_wet_roundtrip",
         "crawl_wat_roundtrip",
         "crawl_host_budget",

@@ -153,3 +153,61 @@ class TestWat:
         assert back["title"].tolist() == ["T", ""]
         assert back["n_links"].tolist() == [1, 0]
         assert list(back["links"][0]) == ["https://z.org/"]
+
+
+class TestCdx:
+    def test_surt_key(self):
+        from gleaner_ray.sources.warc import surt
+
+        assert surt("https://H1.Example.org/Ref/x?b=1") == "org,example,h1)/ref/x?b=1"
+        assert surt("http://a.b.c:80/p") == "c,b,a)/p"
+        assert surt("https://host.org") == "org,host)/"
+        assert surt("https://host.org/p#frag") == "org,host)/p"
+
+    def test_member_spans_seek_contract(self, tmp_path):
+        # every CDX (offset, length) must delimit a self-contained gzip
+        # member: fetch exactly that byte range, gunzip, get the record
+        import hashlib
+
+        from gleaner_ray.sources.warc import (
+            _member_spans,
+            _uncompressed_spans,
+            parse_warc,
+            serialize_warc,
+        )
+
+        blob = serialize_warc(URLS, TS, HTMLS, compress=True)
+        spans = _member_spans(blob)
+        assert len(spans) == len(URLS)
+        assert spans[0][0] == 0
+        assert sum(ln for _, ln in spans) == len(blob)
+        for (off, ln), url, html in zip(spans, URLS, HTMLS):
+            recs = parse_warc(blob[off : off + ln])
+            assert len(recs) == 1 and recs[0]["url"] == url
+            assert recs[0]["payload"] == html
+
+        plain = serialize_warc(URLS, TS, HTMLS, compress=False)
+        pspans = _uncompressed_spans(plain)
+        assert len(pspans) == len(URLS)
+        assert sum(ln for _, ln in pspans) == len(plain)
+        for (off, ln), url in zip(pspans, URLS):
+            assert parse_warc(plain[off : off + ln])[0]["url"] == url
+
+    def test_build_cdx_dataset(self, ray_session, tmp_path):
+        import hashlib
+
+        from gleaner_ray.sources.warc import build_cdx, parse_warc, serialize_warc
+
+        out = tmp_path / "warc"
+        out.mkdir()
+        (out / "part-0.warc.gz").write_bytes(serialize_warc(URLS, TS, HTMLS, compress=True))
+        idx = build_cdx(str(out)).to_pandas().sort_values("url", ignore_index=True)
+        assert len(idx) == len(URLS)
+        assert set(idx["filename"]) == {"part-0.warc.gz"}
+        for _, row in idx.iterrows():
+            blob = (out / row["filename"]).read_bytes()
+            rec = parse_warc(blob[row["offset"] : row["offset"] + row["length"]])[0]
+            assert rec["url"] == row["url"]
+            assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
+        # ts14 formats the record date in UTC
+        assert idx.loc[idx["url"] == URLS[0], "ts14"].iloc[0] == "20231114221320"
