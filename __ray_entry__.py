@@ -514,6 +514,32 @@ def _q_crawl_cdx(sf_dir: str):
     return idx.select_columns(["surt", "ts14", "url", "digest"])
 
 
+def _q_crawl_cdx_publish(sf_dir: str):
+    """Publish-ordered CDX: every index row gets its exact 1-based rank
+    in (surt, ts14, url) order — the sorted-CDX artifact — via the
+    order-preserving prefix-bucket rank seam (``ops/sampling.rank_by_key``),
+    so the payload is never globally sorted.  Both engines rank by the
+    same composed ``surt || TAB || ts14`` key (TAB sorts below every
+    character that appears in a SURT or a 14-digit timestamp, so the
+    composed ordering equals the two-column ordering)."""
+    import pandas as pd
+
+    from gleaner_ray.ops.sampling import rank_by_key
+    from gleaner_ray.sources.warc import build_cdx
+
+    idx = build_cdx(_warc_dir(sf_dir, "warc"))
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"sortkey": df["surt"] + "\t" + df["ts14"], "url": df["url"]}
+        )
+
+    keyed = idx.map_batches(compose, batch_format="pandas")
+    # prefix_len=16 reaches into the reversed-host labels, so buckets
+    # split by site even when every SURT shares the registrable suffix
+    return rank_by_key(keyed, key="sortkey", tiebreak="url", prefix_len=16)
+
+
 def _q_crawl_warc_roundtrip(sf_dir: str):
     """ISO 28500 WARC sink + source round trip: pages -> response
     records (per-record gzip members, Common-Crawl layout) -> part
@@ -851,6 +877,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # member offsets (seekable layout); zero shuffles, one task per
         # part file
         "crawl_cdx_index": _q_crawl_cdx,
+        # publish-ordered CDX: exact (surt, ts14, url) rank per row via
+        # the order-preserving prefix-bucket seam — no global payload
+        # sort; the rank range IS the write offset of a sorted shard
+        "crawl_cdx_publish": _q_crawl_cdx_publish,
         "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
         "crawl_wat_roundtrip": _q_crawl_wat_roundtrip,
         # the miller straight off WARC input: distributed WARC read ->
@@ -1890,6 +1920,20 @@ def oracle_sql() -> dict[str, str]:
                    url,
                    md5(decode(html)) AS digest
             FROM t
+        """,
+        "crawl_cdx_publish": f"""
+            WITH t AS (
+              SELECT lower(url) AS lu, url, warc_ts FROM {pages}),
+            c AS (
+              SELECT array_to_string(
+                       list_reverse(string_split(split_part(lu, '/', 3), '.')), ',')
+                     || ')' || regexp_replace(lu, '^[a-z]+://[^/]*', '')
+                     || chr(9) || strftime(warc_ts, '%Y%m%d%H%M%S') AS sortkey,
+                     url
+              FROM t)
+            SELECT sortkey, url,
+                   CAST(row_number() OVER (ORDER BY sortkey, url) AS BIGINT) AS pos
+            FROM c
         """,
         "crawl_wet_roundtrip": f"""
             SELECT url,

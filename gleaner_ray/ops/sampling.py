@@ -46,6 +46,7 @@ __all__ = [
     "source_tv_distance",
     "shuffle_positions",
     "group_sample_n",
+    "rank_by_key",
 ]
 
 
@@ -989,3 +990,61 @@ def group_sample_n(ds, n: int = 20, group: str = "source", key: str = "doc_id"):
         return out[[group, key]].sort_values([group, key], ignore_index=True)
 
     return partials.repartition(1).map_batches(merge, batch_size=None, batch_format="pandas")
+
+
+def rank_by_key(ds, key: str, tiebreak: str | None = None, prefix_len: int = 2):
+    """Exact global 1-based rank of every row in ``(key, tiebreak)``
+    order — ``row_number() OVER (ORDER BY key, tiebreak)`` — without a
+    global payload sort.
+
+    The order-preserving sibling of ``shuffle_positions``: buckets are
+    the key's first ``prefix_len`` characters (lexicographic prefix, so
+    bucket order IS key order), counted per batch into a bounded
+    (prefix, n) table; the driver prefix-sums it in sorted-prefix order
+    and ONE prefix-keyed exchange sorts each bucket locally and assigns
+    ``base + arange``. Only (key, tiebreak) columns ever move.
+
+    Skew note: prefix buckets inherit the key distribution (a corpus
+    where every SURT starts ``com,`` piles into one bucket) — raise
+    ``prefix_len`` until the largest bucket fits one group task; the
+    bucket-count pass reports exact sizes, so the split is observable
+    before the exchange runs.  Publishing a sorted artifact (CDX,
+    terasort-style output) then writes each bucket's rows at its rank
+    range — payload never moves through an all-to-all."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = [key] + ([tiebreak] if tiebreak else [])
+    order = cols if tiebreak else [key]
+
+    def with_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["_pfx"] = df[key].astype(str).str[:prefix_len]
+        return out
+
+    keyed = ds.map_batches(with_prefix, batch_format="pandas")
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("_pfx", as_index=False).agg(n=("_pfx", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tbl = (
+        keyed.map_batches(counts, batch_format="pandas")
+        .groupby("_pfx")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("_pfx", ignore_index=True)
+    )
+    base = {p: int(v) for p, v in zip(tbl["_pfx"], tbl["n"].cumsum() - tbl["n"])}
+    base_ref = ray.put(base)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        df = df.sort_values(order, kind="mergesort", ignore_index=True)
+        pos = bases[str(df["_pfx"].iloc[0])] + np.arange(1, len(df) + 1, dtype="int64")
+        out = df[cols].copy()
+        out["pos"] = pos
+        return out
+
+    return keyed.groupby("_pfx").map_groups(rank_bucket, batch_format="pandas")

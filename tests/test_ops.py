@@ -2176,3 +2176,34 @@ class TestEpochPlan:
         e = dict(zip(df["source"], df["epochs"]))
         assert e["a1"] == 61 / 5 and e["b2"] == 20 / 4
         assert e["c3"] == 20.0  # zero-token source: epochs vs max(n,1)
+
+
+class TestRankByKey:
+    def test_matches_rownumber_and_survives_prefix_skew(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import rank_by_key
+
+        # heavy prefix skew: most keys share the 2-char prefix "aa"
+        keys = ["aa%03d" % (i % 7) for i in range(40)] + ["zz", "ab", "aa"]
+        rows = [{"k": k, "id": "r%02d" % i} for i, k in enumerate(keys)]
+        ds = rd.from_items(rows)
+        got = (
+            rank_by_key(ds, key="k", tiebreak="id", prefix_len=2)
+            .to_pandas()
+            .sort_values("pos", ignore_index=True)
+        )
+        want = sorted(rows, key=lambda r: (r["k"], r["id"]))
+        assert got["k"].tolist() == [r["k"] for r in want]
+        assert got["id"].tolist() == [r["id"] for r in want]
+        assert got["pos"].tolist() == list(range(1, len(rows) + 1))
+
+    def test_no_tiebreak_unique_keys(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import rank_by_key
+
+        ds = rd.from_items([{"k": "b"}, {"k": "a"}, {"k": "c"}])
+        got = rank_by_key(ds, key="k").to_pandas().sort_values("pos", ignore_index=True)
+        assert got["k"].tolist() == ["a", "b", "c"]
+        assert got["pos"].tolist() == [1, 2, 3]

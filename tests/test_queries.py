@@ -260,6 +260,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_visible_text",
         "crawl_warc_roundtrip",
         "crawl_cdx_index",
+        "crawl_cdx_publish",
         "crawl_wet_roundtrip",
         "crawl_wat_roundtrip",
         "crawl_host_budget",
