@@ -1232,6 +1232,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality gate): O(n_buckets) weight table, one streaming pass,
         # zero shuffles; closed-form weights so SQL can recompute them
         "text_model_score": lambda sf: tx.hashed_model_scores(docs(sf)),
+        # CCNet head/middle/tail perplexity cut: tercile thresholds from
+        # a bounded md5-deterministic sample, broadcast as scalars, one
+        # streaming label pass — corpus never shuffled
+        "text_ppl_buckets": lambda sf: tx.ppl_buckets(docs(sf)),
         # DSIR hashed-ngram importance weighting (target = lang 'en'):
         # fixed-B bucket counts, O(B) log-ratio broadcast, corpus
         # streamed twice and never shuffled
@@ -3184,6 +3188,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_u,
                    COALESCE(sc.s, 0) > 0 AS keep
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "text_ppl_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+            per AS (
+              SELECT e.doc_id, AVG(ln((cnt.c + 1.0) / (tot.n + tot.v))) AS mlp
+              FROM ex e JOIN cnt ON e.tok = cnt.tok CROSS JOIN tot
+              GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id, COALESCE(exp(-per.mlp), 0.0) AS ppl
+              FROM toks t LEFT JOIN per USING (doc_id)),
+            samp AS (
+              SELECT ppl FROM scored
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
+            ns AS (SELECT COUNT(*) AS n FROM samp),
+            ranked AS (
+              SELECT ppl, row_number() OVER (ORDER BY ppl) AS rn FROM samp),
+            th AS (
+              SELECT
+                (SELECT ppl FROM ranked
+                  WHERE rn = (SELECT (n - 1) // 3 + 1 FROM ns)) AS t1,
+                (SELECT ppl FROM ranked
+                  WHERE rn = (SELECT 2 * (n - 1) // 3 + 1 FROM ns)) AS t2)
+            SELECT s.doc_id, s.ppl,
+                   CASE WHEN s.ppl <= th.t1 THEN 'head'
+                        WHEN s.ppl <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s CROSS JOIN th
         """,
         "text_lm_perplexity": r"""
             WITH toks AS (

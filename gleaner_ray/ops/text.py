@@ -30,6 +30,7 @@ import pandas as pd
 __all__ = [
     "bpe_pair_counts",
     "hashed_model_scores",
+    "ppl_buckets",
     "token_stats",
     "quality_scores",
     "LangId",
@@ -2147,3 +2148,52 @@ def hashed_model_scores(ds, key: str = "doc_id", text_col: str = "text", n_bucke
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def ppl_buckets(ds, sample_n: int = 200, key: str = "doc_id", text_col: str = "text"):
+    """CCNet's head/middle/tail perplexity cut (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus-trained unigram LM
+    (``lm_perplexity``), derive the two tercile thresholds from a
+    bounded deterministic sample, and label each document ``head``
+    (lowest perplexity = most fluent), ``middle`` or ``tail``.
+
+    CCNet computes its cutoffs once on a sample and applies them as
+    broadcast constants — exactly the shape here: the sample is the
+    ``sample_n`` docs with smallest md5(str(key)) (the stable-hash
+    sampling contract of ``uniform_sample_n``, so the SQL oracle draws
+    the identical sample), gathered via per-batch top-n candidates +
+    one bounded merge; the two scalar thresholds then ride the closure
+    into a single streaming label pass. The corpus is never shuffled;
+    driver state is O(sample_n).
+
+    Thresholds: with the sample's ppls ascending, ``t1 = ppl[(n-1)//3]``
+    and ``t2 = ppl[2*(n-1)//3]`` (0-indexed); ``bucket = head`` iff
+    ``ppl <= t1``, ``middle`` iff ``ppl <= t2``, else ``tail``."""
+    # materialized so the sample pass and the label pass share one LM
+    # scoring execution; the scored table is 3 narrow columns (key,
+    # n_tokens, ppl) — object-store-resident with spill, never driver-side
+    scored = lm_perplexity(ds, key=key, text_col=text_col).materialize()
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, "ppl"]].copy()
+        out["h"] = [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]]
+        return out.sort_values(["h", key], kind="mergesort").head(sample_n)
+
+    samp = (
+        scored.map_batches(candidates, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["h", key], kind="mergesort")
+        .head(sample_n)
+    )
+    ppls = np.sort(samp["ppl"].to_numpy(dtype=np.float64))
+    n_s = len(ppls)
+    t1 = float(ppls[(n_s - 1) // 3]) if n_s else 0.0
+    t2 = float(ppls[2 * (n_s - 1) // 3]) if n_s else 0.0
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["ppl"].to_numpy(dtype=np.float64)
+        bucket = np.where(p <= t1, "head", np.where(p <= t2, "middle", "tail"))
+        return pd.DataFrame({key: df[key], "ppl": p, "bucket": bucket})
+
+    return scored.map_batches(label, batch_format="pandas")

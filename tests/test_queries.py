@@ -187,6 +187,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_shuffle_pos",
         "samp_group_sample",
         "text_model_score",
+        "text_ppl_buckets",
         "samp_source_mix",
         "samp_epoch_plan",
         "samp_dup_weights",
