@@ -380,6 +380,16 @@ def _q_crawl_url_filter(sf_dir: str):
     return url_quality_filter(pages, digit_den=8)
 
 
+def _q_crawl_canonical(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import canonical_urls
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    return canonical_urls(pages)
+
+
 def _q_graph_outlink_degree(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -538,6 +548,32 @@ def _q_crawl_cdx_publish(sf_dir: str):
     # prefix_len=16 reaches into the reversed-host labels, so buckets
     # split by site even when every SURT shares the registrable suffix
     return rank_by_key(keyed, key="sortkey", tiebreak="url", prefix_len=16)
+
+
+def _q_crawl_fetch_dedup(sf_dir: str):
+    """Common-Crawl fetch-level storage dedup: response-vs-revisit role
+    per page, first fetch by (warc_ts, url) within each payload-digest
+    group; the only exchange is digest-keyed and payload-free."""
+    import ray.data as rd
+
+    from gleaner_ray.sources.warc import fetch_dedup_roles
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "warc_ts", "html"])
+    return fetch_dedup_roles(pages)
+
+
+def _q_crawl_cross_dedup(sf_dir: str):
+    """Cross-crawl storage dedup: current-half fetches probe the
+    previous-half digest index (broadcast sorted array, zero exchange);
+    a digest hit means the payload is already archived."""
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import cross_crawl_dedup
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "warc_ts", "html"])
+    return cross_crawl_dedup(pages)
 
 
 def _q_crawl_warc_roundtrip(sf_dir: str):
@@ -827,6 +863,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path / digit-heavy / over-long, first rule wins; row-local
         # vectorized, runs BEFORE any fetch
         "crawl_url_filter": _q_crawl_url_filter,
+        # rel=canonical resolution + cluster dedup (v9 corpus plants the
+        # tag on dup masters and mirror pairs): row-local extract, ONE
+        # canonical-keyed two-string-column exchange
+        "crawl_canonical": _q_crawl_canonical,
         # per-host crawl profile (pages, bytes, distinct content for
         # mirror detection, crawl-window span) — host-keyed partials +
         # the blob-packed distinct exchange
@@ -881,6 +921,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the order-preserving prefix-bucket seam — no global payload
         # sort; the rank range IS the write offset of a sorted shard
         "crawl_cdx_publish": _q_crawl_cdx_publish,
+        # response-vs-revisit storage-dedup roles (WARC/1.1 §6.7.2):
+        # first fetch per payload digest stores bytes, repeats store a
+        # pointer; digest-keyed payload-free exchange
+        "crawl_fetch_dedup": _q_crawl_fetch_dedup,
+        # cross-crawl dedup: current fetches probe the PREVIOUS crawl's
+        # digest index (broadcast once, zero exchange) — content moved
+        # between URLs still dedups
+        "crawl_cross_dedup": _q_crawl_cross_dedup,
         "crawl_wet_roundtrip": _q_crawl_wet_roundtrip,
         "crawl_wat_roundtrip": _q_crawl_wat_roundtrip,
         # the miller straight off WARC input: distributed WARC read ->
@@ -1594,6 +1642,21 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT url, reason = 'ok' AS keep, reason FROM r
         """,
+        "crawl_canonical": f"""
+            WITH c AS (
+              SELECT url,
+                     COALESCE(NULLIF(regexp_extract(decode(html),
+                         '<link rel="canonical" href="([^"]+)"', 1), ''), url)
+                         AS canonical
+              FROM {pages}),
+            g AS (
+              SELECT canonical,
+                     COALESCE(MIN(url) FILTER (WHERE url = canonical), MIN(url))
+                         AS keeper
+              FROM c GROUP BY canonical)
+            SELECT c.url, c.canonical, c.url = g.keeper AS keep_canon
+            FROM c JOIN g USING (canonical)
+        """,
         "crawl_visible_text": f"""
             SELECT url,
               trim(regexp_replace(
@@ -1924,6 +1987,33 @@ def oracle_sql() -> dict[str, str]:
                    url,
                    md5(decode(html)) AS digest
             FROM t
+        """,
+        "crawl_fetch_dedup": f"""
+            WITH d AS (
+              SELECT url, warc_ts, md5(decode(html)) AS digest FROM {pages}),
+            r AS (
+              SELECT url, digest,
+                     row_number() OVER (
+                         PARTITION BY digest ORDER BY warc_ts, url) AS rn,
+                     first_value(url) OVER (
+                         PARTITION BY digest ORDER BY warc_ts, url) AS fu
+              FROM d)
+            SELECT url, digest,
+                   CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS rec_type,
+                   CASE WHEN rn = 1 THEN '' ELSE fu END AS refers_url
+            FROM r
+        """,
+        "crawl_cross_dedup": f"""
+            WITH p AS (
+              SELECT url, md5(decode(html)) AS digest,
+                     epoch_ms(warc_ts) AS tms
+              FROM {pages}),
+            b AS (SELECT (MIN(tms) + MAX(tms)) // 2 AS cut FROM p),
+            prev AS (
+              SELECT DISTINCT digest FROM p, b WHERE tms < cut),
+            cur AS (SELECT url, digest FROM p, b WHERE tms >= cut)
+            SELECT c.url, c.digest, (prev.digest IS NOT NULL) AS dedup_prev
+            FROM cur c LEFT JOIN prev USING (digest)
         """,
         "crawl_cdx_publish": f"""
             WITH t AS (

@@ -53,6 +53,8 @@ __all__ = [
     "duplicate_titles",
     "url_templates",
     "url_quality_filter",
+    "canonical_urls",
+    "cross_crawl_dedup",
 ]
 
 _HOST_RE = r"^https://([^/]+)/"
@@ -852,3 +854,123 @@ def url_quality_filter(
         return pd.DataFrame({"url": u, "keep": reason == "ok", "reason": reason})
 
     return pages_ds.map_batches(gate, batch_format="pandas")
+
+
+def canonical_urls(pages_ds):
+    """``rel=canonical`` resolution + canonical-cluster dedup — the
+    crawler-side duplicate collapse the page itself declares (mirrors,
+    per-site master copies; reference analogue: the URL-identity
+    cleanup gleaner does before SHA naming, here at the declared-URL
+    level).  A page with ``<link rel="canonical" href=...>`` joins the
+    cluster of that target; pages without the tag are their own
+    canonical.  Per cluster the keeper is the page whose url IS the
+    canonical target when that page was crawled, else the smallest url
+    (deterministic fallback when the declared target has no page row).
+
+    Output: ``(url, canonical, keep_canon)``.
+
+    Scale shape: the tag extract is one vectorized regex pass over the
+    html batch (row-local); the only exchange is keyed on ``canonical``
+    and carries two string columns — payload never moves.  Cluster
+    sizes are mirror/dup multiplicities (tiny); a pathological site
+    declaring one canonical for millions of pages shows up as one hot
+    group — salt with url-hash and recombine if observed."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["html"].apply(
+            lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+        canon = h.str.extract(r'<link rel="canonical" href="([^"]+)"', expand=False)
+        url = df["url"].astype(str)
+        return pd.DataFrame({"url": url, "canonical": canon.fillna(url)})
+
+    keyed = pages_ds.map_batches(extract, batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        target = df["canonical"].iloc[0]
+        self_rows = df.loc[df["url"] == target, "url"]
+        keeper = self_rows.min() if len(self_rows) else df["url"].min()
+        out = df[["url", "canonical"]].copy()
+        out["keep_canon"] = out["url"] == keeper
+        return out
+
+    return keyed.groupby("canonical").map_groups(pick, batch_format="pandas")
+
+
+def cross_crawl_dedup(pages_ds, cutoff_ms: int | None = None):
+    """Cross-crawl storage dedup — Common Crawl's actual revisit
+    economics: a payload whose digest already exists in a PREVIOUS
+    crawl's index is not re-stored; the new fetch becomes a pointer.
+    Complements ``sources/warc.fetch_dedup_roles`` (within-crawl): here
+    the reference set is the prior snapshot's digest index, so content
+    that MOVED between URLs still dedups.
+
+    The snapshot split is by fetch time: rows before ``cutoff_ms`` are
+    the previous crawl, rows at/after are the current one (default
+    cutoff = midpoint of the corpus's ts range — deterministic from the
+    data, shared with the SQL oracle).
+
+    Output: current-crawl rows ``(url, digest, dedup_prev)``.
+
+    Scale shape: zero exchanges. The previous crawl's digest set is
+    gathered as per-batch distinct partials and broadcast once via
+    ``ray.put`` as a sorted array; the current crawl streams one probe
+    pass (searchsorted).  Broadcast bound: O(distinct prev digests) —
+    beyond driver size swap in the sharded/bloom membership of
+    ``ops/dedup.decontaminate_bloom`` (same probe contract)."""
+    import hashlib as _hl
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def keyed(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        ts = t.column("warc_ts")
+        if _pa.types.is_timestamp(ts.type):
+            tms = _pc.cast(_pc.cast(ts, _pa.timestamp("ms")), _pa.int64())
+        else:
+            tms = _pc.cast(ts, _pa.int64())
+        dig = [_hl.md5(bytes(h)).hexdigest() for h in t.column("html").to_pylist()]
+        return _pa.table({"url": t.column("url"), "tms": tms, "digest": _pa.array(dig)})
+
+    kd = pages_ds.map_batches(keyed, batch_format="pyarrow")
+
+    if cutoff_ms is None:
+        mm = kd.aggregate(Min("tms"), Max("tms"))
+        cutoff_ms = (int(mm["min(tms)"]) + int(mm["max(tms)"])) // 2
+
+    cut = int(cutoff_ms)
+
+    def prev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"digest": df.loc[df["tms"] < cut, "digest"].unique()})
+
+    prev = np.unique(
+        np.concatenate(
+            [
+                b["digest"]
+                for b in kd.map_batches(prev_partial, batch_format="pandas").iter_batches(
+                    batch_format="numpy"
+                )
+                if len(b["digest"])
+            ]
+            or [np.array([], dtype=object)]
+        )
+    )
+    ref = ray.put(prev)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        p = _ray.get(ref)
+        curdf = df[df["tms"] >= cut]
+        d = curdf["digest"].to_numpy(dtype=object)
+        if len(p):
+            pos = np.searchsorted(p, d)
+            hit = (pos < len(p)) & (p[np.minimum(pos, len(p) - 1)] == d)
+        else:
+            hit = np.zeros(len(d), dtype=bool)
+        return pd.DataFrame({"url": curdf["url"], "digest": d, "dedup_prev": hit})
+
+    return kd.map_batches(probe, batch_format="pandas")

@@ -217,16 +217,23 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 8}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 9}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:
                 return out_dir
         except (ValueError, OSError):
             pass
-    os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "sitemaps"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "robots"), exist_ok=True)
+    # clear before writing: a regeneration that emits FEWER part files
+    # than the previous version (different n_pages / layout) must not
+    # leave stale tail parts behind — leftovers duplicate rows (seen as
+    # doubled mirror URLs on the 2x bench corpus, which silently pushed
+    # pagerank off its broadcast path via the url-uniqueness check)
+    import shutil as _sh
+
+    for sub in ("pages", "sitemaps", "robots"):
+        _sh.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        os.makedirs(os.path.join(out_dir, sub))
 
     doc_texts = docs.column("text").to_pylist()
     n_docs = len(doc_texts)
@@ -273,6 +280,16 @@ def generate_corpus(
         html, text = _page_html(cls, payload, name, desc)
         if cls != "jsonext":  # raw-JSON bodies carry no markup
             html = html.replace(b"</body>", _nav_links(i, n_pages) + b"</body>", 1)
+        if cls == "dup":
+            # rel=canonical planting (v9): every dup page declares the
+            # per-source master as canonical — the keep/drop signal for
+            # canonical-URL resolution. The href depends only on the
+            # host, so dup pages within a source stay byte-identical.
+            html = html.replace(
+                b"</title>",
+                ('</title><link rel="canonical" href="https://%s/ref/dup/master">' % host).encode(),
+                1,
+            )
         urls.append(url)
         tss.append(base_ts + i * 1000)
         htmls.append(html)
@@ -293,7 +310,13 @@ def generate_corpus(
     for j in range(n_mirror):
         name = "Mirror %d" % j
         desc = _clean(doc_texts[(j * 13) % n_docs])
-        body = "<!DOCTYPE html><html><head><title>%s</title></head><body><p>%s</p>" % (name, desc)
+        # v9: both mirror copies declare the h1 copy canonical — the
+        # same tag bytes on both hosts, so the bodies remain identical
+        body = (
+            '<!DOCTYPE html><html><head><title>%s</title>'
+            '<link rel="canonical" href="https://%s/mirror/%d"></head><body><p>%s</p>'
+            % (name, MIRROR_HOSTS[0], j, desc)
+        )
         mhtml = body.encode() + _nav_links(j * 31 % n_pages, n_pages) + b"</body></html>"
         mtext = "%s %s" % (name, desc)
         for k, mh in enumerate(MIRROR_HOSTS):

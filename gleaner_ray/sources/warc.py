@@ -56,6 +56,8 @@ __all__ = [
     "read_warc_dataset",
     "surt",
     "build_cdx",
+    "fetch_dedup_roles",
+    "write_warc_deduped",
 ]
 
 _CRLF = b"\r\n"
@@ -94,7 +96,14 @@ def _record_id(url: str) -> str:
     return "urn:uuid:%s-%s-%s-%s-%s" % (x[:8], x[8:12], x[12:16], x[16:20], x[20:])
 
 
-def _record(rec_type: str, url: str, ts_ms: int, content_type: str, payload: bytes) -> bytes:
+def _record(
+    rec_type: str,
+    url: str,
+    ts_ms: int,
+    content_type: str,
+    payload: bytes,
+    extra: dict[str, str] | None = None,
+) -> bytes:
     # WARC grammar: optional whitespace around a header field value is
     # not part of the value, so a Target-URI with surrounding space/tab
     # is unrepresentable. Canonicalize at write time so that
@@ -102,14 +111,21 @@ def _record(rec_type: str, url: str, ts_ms: int, content_type: str, payload: byt
     # stored form). Interior whitespace (never present in a real URI)
     # survives byte-exactly.
     url = url.strip(" \t")
+    # extra named WARC headers (e.g. WARC-Refers-To-Target-URI for
+    # revisit records) in sorted-key order for byte determinism
+    extra_lines = "".join(
+        "%s: %s\r\n" % (k, v) for k, v in sorted((extra or {}).items())
+    )
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: %s\r\n"
         "WARC-Target-URI: %s\r\n"
         "WARC-Date: %s\r\n"
         "WARC-Record-ID: <%s>\r\n"
+        "%s"
         "Content-Type: %s\r\n"
-        "Content-Length: %d\r\n" % (rec_type, url, _warc_date(ts_ms), _record_id(url), content_type, len(payload))
+        "Content-Length: %d\r\n"
+        % (rec_type, url, _warc_date(ts_ms), _record_id(url), extra_lines, content_type, len(payload))
     ).encode()
     return head + _CRLF + payload + _SEP
 
@@ -207,6 +223,10 @@ def parse_warc(blob: bytes) -> list[dict]:
                 "warc_ts_ms": _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z")),
                 "type": rec_type,
                 "payload": payload,
+                # revisit-record pointers (WARC/1.1 §6.7.2); empty on
+                # every other record type
+                "refers_url": headers.get("warc-refers-to-target-uri", ""),
+                "payload_digest": headers.get("warc-payload-digest", ""),
             }
         )
         pos = hdr_end + 4 + clen + 4  # skip record separator
@@ -410,3 +430,134 @@ def build_cdx(warc_dir: str):
         return out
 
     return ds.map_batches(index, batch_format="pyarrow")
+
+
+def fetch_dedup_roles(pages_ds):
+    """Common-Crawl fetch-level dedup roles: per page, is it the FIRST
+    fetch of its payload (a ``response`` record) or a repeat (a
+    ``revisit`` record pointing at the original)?  CC writes revisit
+    records instead of re-storing identical payloads (WARC/1.1 §6.7.2)
+    — the storage-dedup twin of the miller's SHA identity (reference:
+    the never-overwrite StatObject-then-Put semantics, jsonutils.go).
+
+    First = smallest ``(warc_ts, url)`` within a digest group — a
+    deterministic total order, so roles are stable across runs/engines.
+
+    Output: ``(url, digest, rec_type, refers_url)``; ``refers_url`` is
+    empty for responses.
+
+    Scale shape: digests computed row-local; the ONLY exchange is keyed
+    on digest and carries (url, ts, digest) — payload never moves.
+    Digest groups are duplicate multiplicities (small); a viral payload
+    duplicated across millions of URLs is one hot group — the keyed
+    pair-dedupe salting of ``ops/dedup`` applies if observed."""
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        ts = t.column("warc_ts")
+        if pa.types.is_timestamp(ts.type):
+            ts_ms = pa.compute.cast(ts, pa.timestamp("ms")).cast(pa.int64()).to_pylist()
+        else:
+            ts_ms = ts.to_pylist()
+        return pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "ts_ms": pd.Series(ts_ms, dtype="int64"),
+                "digest": [hashlib.md5(bytes(h)).hexdigest() for h in t.column("html").to_pylist()],
+            }
+        )
+
+    keyed = pages_ds.map_batches(keys, batch_format="pyarrow")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_ms", "url"], kind="mergesort", ignore_index=True)
+        first_url = df["url"].iloc[0]
+        rec_type = np.where(np.arange(len(df)) == 0, "response", "revisit")
+        refers = np.where(np.arange(len(df)) == 0, "", first_url)
+        return pd.DataFrame(
+            {"url": df["url"], "digest": df["digest"], "rec_type": rec_type, "refers_url": refers}
+        )
+
+    return keyed.groupby("digest").map_groups(assign, batch_format="pandas")
+
+
+def write_warc_deduped(pages, out_dir: str, compress: bool = True, ts_col: str = "warc_ts"):
+    """WARC sink with fetch-level dedup: the first fetch of each
+    distinct payload writes a full response record; every repeat writes
+    a revisit record carrying ``WARC-Refers-To-Target-URI`` and
+    ``WARC-Payload-Digest`` and NO payload — the Common-Crawl storage
+    layout for duplicated fetches.
+
+    The winner table (digest -> (first_url, first_ts)) comes from
+    ``fetch_dedup_roles``'s keyed exchange and is broadcast ONCE via
+    ``ray.put``; the payload plane then streams through one sink pass,
+    each row deciding response-vs-revisit by probing the broadcast map
+    — payload bytes never shuffle.  Broadcast bound: O(distinct
+    digests); beyond driver size, shard the winner table by digest
+    prefix and probe the matching shard (the ``state/seen.py`` layout),
+    or flip to a digest-keyed join of roles with payload."""
+    import ray
+
+    roles = fetch_dedup_roles(pages)
+    winners_df = (
+        roles.map_batches(
+            lambda df: df[df["rec_type"] == "response"][["digest", "url"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    winner_map = dict(zip(winners_df["digest"], winners_df["url"]))
+    ref = ray.put(winner_map)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=str), "n_response": pd.Series(dtype="int64"), "n_revisit": pd.Series(dtype="int64")}
+            )
+        import ray as _ray
+
+        wmap = _ray.get(ref)
+        urls = t.column("url").to_pylist()
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts_ms = pa.compute.cast(ts, pa.timestamp("ms")).cast(pa.int64()).to_pylist()
+        else:
+            ts_ms = ts.to_pylist()
+        htmls = t.column("html").to_pylist()
+        out = io.BytesIO()
+        n_resp = n_rev = 0
+        for url, tms, html in zip(urls, ts_ms, htmls):
+            html = bytes(html)
+            digest = hashlib.md5(html).hexdigest()
+            if wmap.get(digest) == url:
+                rec = _record(
+                    "response", url, int(tms), "application/http; msgtype=response", _http_block(html)
+                )
+                n_resp += 1
+            else:
+                rec = _record(
+                    "revisit",
+                    url,
+                    int(tms),
+                    "application/http; msgtype=response",
+                    b"",
+                    extra={
+                        "WARC-Refers-To-Target-URI": wmap[digest],
+                        "WARC-Payload-Digest": "md5:%s" % digest,
+                        "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                    },
+                )
+                n_rev += 1
+            out.write(gzip.compress(rec, mtime=0) if compress else rec)
+        blob = out.getvalue()
+        name = "dedup-%s-%d.%s" % (
+            hashlib.md5(urls[0].encode()).hexdigest()[:12],
+            len(urls),
+            "warc.gz" if compress else "warc",
+        )
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({"path": [path], "n_response": [n_resp], "n_revisit": [n_rev]})
+
+    return pages.map_batches(sink, batch_format="pyarrow").to_pandas().to_dict("records")

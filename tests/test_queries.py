@@ -256,12 +256,15 @@ def test_oracle_checked_small(contract, name):
         "crawl_title_dups",
         "crawl_url_templates",
         "crawl_url_filter",
+        "crawl_canonical",
         "crawl_type_profile",
         "crawl_boilerplate",
         "crawl_visible_text",
         "crawl_warc_roundtrip",
         "crawl_cdx_index",
         "crawl_cdx_publish",
+        "crawl_fetch_dedup",
+        "crawl_cross_dedup",
         "crawl_wet_roundtrip",
         "crawl_wat_roundtrip",
         "crawl_host_budget",

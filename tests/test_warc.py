@@ -211,3 +211,59 @@ class TestCdx:
             assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
         # ts14 formats the record date in UTC
         assert idx.loc[idx["url"] == URLS[0], "ts14"].iloc[0] == "20231114221320"
+
+
+class TestRevisit:
+    # duplicate payloads across urls: a and c share bytes (a first by ts)
+    DURLS = ["https://h1.org/a", "https://h2.org/b", "https://h1.org/c"]
+    DTS = [1700000000000, 1700000001000, 1700000002000]
+    DHTMLS = [b"<html>same</html>", b"<html>other</html>", b"<html>same</html>"]
+
+    def test_roles(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.sources.warc import fetch_dedup_roles
+
+        pages = rd.from_items(
+            [
+                {"url": u, "warc_ts": t, "html": h}
+                for u, t, h in zip(self.DURLS, self.DTS, self.DHTMLS)
+            ]
+        )
+        roles = fetch_dedup_roles(pages).to_pandas().set_index("url")
+        assert roles.loc["https://h1.org/a", "rec_type"] == "response"
+        assert roles.loc["https://h2.org/b", "rec_type"] == "response"
+        assert roles.loc["https://h1.org/c", "rec_type"] == "revisit"
+        assert roles.loc["https://h1.org/c", "refers_url"] == "https://h1.org/a"
+        assert roles.loc["https://h1.org/a", "refers_url"] == ""
+
+    def test_deduped_sink_roundtrip(self, ray_session, tmp_path):
+        import hashlib
+
+        import ray.data as rd
+
+        from gleaner_ray.sources.warc import parse_warc, write_warc_deduped
+
+        pages = rd.from_items(
+            [
+                {"url": u, "warc_ts": t, "html": h}
+                for u, t, h in zip(self.DURLS, self.DTS, self.DHTMLS)
+            ]
+        )
+        out = str(tmp_path / "dedup")
+        manifest = write_warc_deduped(pages, out)
+        assert sum(m["n_response"] for m in manifest) == 2
+        assert sum(m["n_revisit"] for m in manifest) == 1
+        recs = []
+        for p in sorted(glob.glob(os.path.join(out, "*.warc.gz"))):
+            recs.extend(parse_warc(open(p, "rb").read()))
+        by_url = {r["url"]: r for r in recs}
+        assert by_url["https://h1.org/a"]["type"] == "response"
+        assert by_url["https://h1.org/a"]["payload"] == b"<html>same</html>"
+        rev = by_url["https://h1.org/c"]
+        assert rev["type"] == "revisit"
+        assert rev["payload"] == b""
+        assert rev["refers_url"] == "https://h1.org/a"
+        assert rev["payload_digest"] == "md5:%s" % hashlib.md5(b"<html>same</html>").hexdigest()
+        # revisit + referenced response reconstruct the original bytes
+        assert by_url[rev["refers_url"]]["payload"] == b"<html>same</html>"
