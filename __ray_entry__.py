@@ -396,6 +396,34 @@ def _q_graph_outlink_degree(sf_dir: str):
     return lg.outlink_degree(_graph_pages(sf_dir))
 
 
+def _q_graph_degree_dist(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.degree_distribution(_graph_pages(sf_dir))
+
+
+def _q_crawl_redirects(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import resolve_redirects
+
+    return resolve_redirects(_graph_pages(sf_dir))
+
+
+def _q_crawl_soft404(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import soft404_pages
+
+    return soft404_pages(_graph_pages(sf_dir))
+
+
+def _q_crawl_cdx_replay(sf_dir: str):
+    """Ranged-read replay of a deterministic CDX sample: each sampled
+    record is recovered by fetching exactly [offset, offset+length) of
+    its part file — the wayback access path; the md5 over the replayed
+    payload must equal the stored page's html hash."""
+    from gleaner_ray.sources.warc import cdx_replay
+
+    return cdx_replay(_warc_dir(sf_dir, "warc"))
+
+
 def _q_graph_host_edges(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -921,6 +949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the order-preserving prefix-bucket seam — no global payload
         # sort; the rank range IS the write offset of a sorted shard
         "crawl_cdx_publish": _q_crawl_cdx_publish,
+        # ranged-read replay of a CDX sample: one seek+read of exactly
+        # [offset, offset+length) per sampled record — the wayback
+        # access path, zero shuffles
+        "crawl_cdx_replay": _q_crawl_cdx_replay,
         # response-vs-revisit storage-dedup roles (WARC/1.1 §6.7.2):
         # first fetch per payload digest stores bytes, repeats store a
         # pointer; digest-keyed payload-free exchange
@@ -956,6 +988,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fold + idempotent Max presence bits (v8 corpus plants the
         # i%17 peer pairs this finds)
         "graph_reciprocal": _q_graph_reciprocal,
+        # in/out degree histograms (power-law diagnostic): both sides
+        # reduce to bounded (degree, count) tables, one dual-path fold
+        "graph_degree_dist": _q_graph_degree_dist,
+        # redirect-chain resolution (v10 corpus plants 1-3-hop
+        # meta-refresh chains): row-local hop extract, pointer-doubling
+        # closure over the bounded redirect-edge set
+        "crawl_redirects": _q_crawl_redirects,
+        # soft-404 detection (title marker / apology phrase; v10 plants
+        # positives at /gone/ and discuss-404 negative controls):
+        # row-local, zero exchange
+        "crawl_soft404": _q_crawl_soft404,
         # duplicate <title> detection (soft-dup signal cheaper than body
         # hashing): distinct-title exchange with Sum/Min combine
         "crawl_title_dups": _q_crawl_title_dups,
@@ -1005,6 +1048,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group PERCENT_RANK from the bounded count table (prefix
         # sums on distinct values; no window exchange)
         "rel_percent_rank": lambda sf: rel.percent_rank_events(sf),
+        # RANK() with gaps: exclusive prefix sums over the same bounded
+        # count table (ties share, next rank jumps); no window exchange
+        "rel_rank": lambda sf: rel.rank_events(sf),
+        # CUME_DIST: inclusive prefix sum / group total, one double
+        # division per DISTINCT value; events never shuffle
+        "rel_cume_dist": lambda sf: rel.cume_dist_events(sf),
+        # robust outliers |x-median| > 5*MAD in exact scaled-integer
+        # units (m2=2*median, mad4=8*MAD) — the long-tail-safe twin of
+        # rel_outliers; two bounded-table medians, broadcast thresholds
+        "rel_mad_outliers": lambda sf: rel.mad_outliers_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -1276,6 +1329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM, per-doc perplexity; unigram table broadcast once, corpus
         # never shuffled
         "text_lm_perplexity": lambda sf: tx.lm_perplexity(docs(sf)),
+        # bigram LM with stupid backoff (Brants et al. 2007): two count
+        # passes share tokenization, tables broadcast once, one scoring
+        # pass with flattened searchsorted probes — corpus never shuffled
+        "text_bigram_lm": lambda sf: tx.bigram_lm_scores(docs(sf)),
         # hashed-feature linear classifier inference (fasttext-style
         # quality gate): O(n_buckets) weight table, one streaming pass,
         # zero shuffles; closed-form weights so SQL can recompute them
@@ -1483,10 +1540,11 @@ def _q_media_frames(sf_dir: str) -> pd.DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     # Crawl oracles reconstruct the sitemap frontier from the pages
-    # table: '/private/' pages are robots-disallowed and '/mirror/'
-    # pages (corpus v6) are link-discovered only — neither is in any
-    # sitemap, so both are excluded wherever an oracle models what the
-    # crawl admits. Graph/host-profile oracles read the full table.
+    # table: '/private/' pages are robots-disallowed; '/mirror/' (v6),
+    # '/redir/' and '/gone/' (v10) pages are link-discovered only —
+    # none is in any sitemap, so all are excluded wherever an oracle
+    # models what the crawl admits. Graph/host-profile oracles read
+    # the full table.
     pages = "read_parquet('%s')" % _ORACLE_PAGES
     sqls = {
         "crawl_extract_canon": f"""
@@ -1502,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_counts": f"""
             SELECT {_HOST_CASE} AS source, COUNT(*) AS fetched
             FROM {pages}
-            WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%'
+            WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%'
             GROUP BY 1 ORDER BY 1
         """,
         "crawl_dup_dedup": f"""
@@ -1708,6 +1766,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
               FROM {pages})
             SELECT dst AS url, COUNT(*) AS in_degree FROM links GROUP BY 1
+        """,
+        # chains in the v10 corpus are at most 3 hops, so two unrolled
+        # LEFT JOIN jumps reach every final target; the engine's
+        # pointer doubling is depth-general
+        "crawl_redirects": f"""
+            WITH r AS (
+              SELECT url AS src,
+                     regexp_extract(decode(html),
+                         '<meta http-equiv="refresh" content="0; url=([^"]+)">', 1) AS nxt
+              FROM {pages}
+              WHERE decode(html) LIKE '%<meta http-equiv="refresh" content="0; url=%')
+            SELECT a.src AS url,
+                   COALESCE(c.nxt, b.nxt, a.nxt) AS final_url,
+                   CAST(1 + CASE WHEN b.nxt IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN c.nxt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hops
+            FROM r a
+            LEFT JOIN r b ON a.nxt = b.src
+            LEFT JOIN r c ON b.nxt = c.src
+        """,
+        "crawl_soft404": f"""
+            WITH h AS (SELECT url, decode(html) AS s FROM {pages}),
+            f AS (SELECT url,
+                    regexp_matches(s,
+                        '(?i)<title>[^<]*(?:404|not found|does not exist)[^<]*</title>') AS t_hit,
+                    contains(lower(s), 'page you requested was not found') AS b_hit
+                  FROM h)
+            SELECT url, CASE WHEN t_hit THEN 'title' ELSE 'body' END AS reason
+            FROM f WHERE t_hit OR b_hit
+        """,
+        # out side counts EVERY page (zero-outlink pages included via
+        # the LEFT JOIN); in side counts linked targets only (GROUP BY
+        # dst), matching the engine's indegree semantics
+        "graph_degree_dist": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            oc AS (SELECT src, COUNT(*) AS n FROM links GROUP BY 1),
+            outd AS (
+              SELECT COALESCE(oc.n, 0) AS degree
+              FROM {pages} p LEFT JOIN oc ON p.url = oc.src),
+            ind AS (SELECT COUNT(*) AS degree FROM links GROUP BY dst)
+            SELECT 'out' AS side, degree, COUNT(*) AS n_urls FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in' AS side, degree, COUNT(*) AS n_urls FROM ind GROUP BY 2
         """,
         "graph_anchor_text": f"""
             WITH m AS (
@@ -1987,6 +2090,15 @@ def oracle_sql() -> dict[str, str]:
                    url,
                    md5(decode(html)) AS digest
             FROM t
+        """,
+        # the sampled records' recovered payload identity == the stored
+        # page bytes (md5 over the BLOB; the engine hashes the payload
+        # recovered from the ranged read)
+        "crawl_cdx_replay": f"""
+            SELECT url, md5(decode(html)) AS replay_md5,
+                   octet_length(html)::BIGINT AS n_bytes
+            FROM {pages}
+            WHERE CAST(concat('0x', substr(md5(url), 1, 8)) AS UBIGINT) % 37 = 0
         """,
         "crawl_fetch_dedup": f"""
             WITH d AS (
@@ -2355,6 +2467,45 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk
             FROM events
+        """,
+        "rel_rank": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CAST(RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk
+            FROM events
+        """,
+        "rel_cume_dist": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CUME_DIST() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT)) AS cd
+            FROM events
+        """,
+        # robust |x-median| > 5*MAD filter in exact integer units:
+        # m2 = 2*median (interpolated medians are half-integers, so
+        # round(2*median) is exact), d = 4*|x-median|, mad4 = 8*MAD;
+        # keep iff 2*d > 5*mad4 — all-integer predicate both engines
+        "rel_mad_outliers": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events),
+            med AS (
+              SELECT event_type, CAST(round(2 * median(vc)) AS BIGINT) AS m2
+              FROM v GROUP BY 1),
+            d AS (
+              SELECT v.event_id, v.event_type, v.vc,
+                     abs(4 * v.vc - 2 * med.m2) AS dev4
+              FROM v JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, CAST(round(2 * median(dev4)) AS BIGINT) AS mad4
+              FROM d GROUP BY 1)
+            SELECT d.event_id, d.event_type, d.vc AS value_cents, d.dev4
+            FROM d JOIN mad USING (event_type)
+            WHERE 2 * d.dev4 > 5 * mad.mad4
         """,
         # watermark = cummax of event time over PRIOR arrivals (arrival
         # = ts + bounded md5 delivery delay, event_id tiebreak); late
@@ -2734,7 +2885,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY source ORDER BY warc_ts) - 1 AS seq,
                      regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
               FROM (SELECT url, warc_ts, {_HOST_CASE} AS source FROM {pages}
-                    WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%'))
+                    WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%'))
             SELECT url, source, seq,
                    unnest(CASE cls WHEN 'invalid' THEN [-1] WHEN 'nojsonld' THEN [-1]
                                    WHEN 'multi' THEN [0, 1] WHEN 'grapharray' THEN [0, 1, 2]
@@ -2755,7 +2906,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT {_HOST_CASE} AS source,
                      regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
               FROM {pages}
-              WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%')
+              WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%')
             SELECT source, type_iri, COUNT(*)::BIGINT AS n_nodes FROM (
               SELECT source, unnest(CASE cls
                 WHEN 'canon' THEN ['https://schema.org/Dataset']
@@ -2779,7 +2930,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n,
                    CASE WHEN source = 'hydro1' THEN COUNT(*) * 1000 ELSE 0 END AS max_admit_ms,
                    COUNT(*) - 1 AS max_seq
-            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%')
+            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%')
             GROUP BY source ORDER BY source
         """,
         # crawl -> corpus handoff: the union of the two pinned
@@ -3328,6 +3479,41 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
                    COALESCE(exp(-per.mlp), 0.0) AS ppl
+            FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # stupid backoff: position 1 scores ln(c(w1)/N); i>1 scores
+        # ln(cb/c_prev) when the bigram was seen, else ln(0.4*c(wi)/N)
+        "text_bigram_lm": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+            ex AS (SELECT doc_id, i, w[i] AS tok,
+                          CASE WHEN i > 1 THEN w[i-1] END AS ptok,
+                          CASE WHEN i > 1 THEN w[i-1] || ' ' || w[i] END AS pair
+                   FROM pos),
+            uni AS (SELECT w[i] AS tok, COUNT(*) AS c
+                    FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+                    GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n FROM uni),
+            bi AS (SELECT w[i] || ' ' || w[i+1] AS pair, COUNT(*) AS cb
+                   FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+                   GROUP BY 1),
+            scored AS (
+              SELECT e.doc_id,
+                     CASE WHEN e.i = 1 THEN ln(u.c * 1.0 / tot.n)
+                          WHEN b.cb IS NOT NULL THEN ln(b.cb * 1.0 / up.c)
+                          ELSE ln(0.4 * u.c / tot.n) END AS lp
+              FROM ex e
+              JOIN uni u ON e.tok = u.tok
+              LEFT JOIN uni up ON e.ptok = up.tok
+              LEFT JOIN bi b ON e.pair = b.pair
+              CROSS JOIN tot),
+            per AS (SELECT doc_id, AVG(lp) AS score FROM scored GROUP BY 1)
+            SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+                   COALESCE(per.score, 0.0) AS score
             FROM toks t LEFT JOIN per USING (doc_id)
         """,
         # DSIR log-likelihood ratio under hashed-ngram (uni+bigram)

@@ -1622,3 +1622,55 @@ def host_budget(pages: rd.Dataset, total_budget: int = 1_000_000, iters: int = 2
     bonus = np.zeros(n, dtype=np.int64)
     bonus[order[:leftover]] = 1
     return pd.DataFrame({"host": hr["host"], "budget": base + bonus})
+
+
+def degree_distribution(pages: rd.Dataset) -> rd.Dataset:
+    """(side, degree, n_urls) — the in- and out-degree histograms of
+    the page graph, the standard power-law diagnostic for a web crawl
+    (a healthy crawl shows a heavy in-degree tail; a flat one signals a
+    spider trap or template farm).
+
+    Scale shape: both sides reduce to bounded (degree, count) tables —
+    degree domains are capped by links-per-page (out) and the corpus's
+    hottest target (in), thousands of distinct values at most. Out-side
+    partials are row-local over :func:`outlink_degree` (zero-degree
+    pages included, unlike a bare GROUP BY src); in-side rides
+    :func:`indegree`'s distinct-target reduce (zero-inlink URLs absent,
+    matching SQL). One dual-path fold merges the partials."""
+    from ray.data.aggregate import Sum
+
+    from .fold import DRIVER_KEYS, fold_or_reduce
+
+    empty = pd.DataFrame(
+        {
+            "side": pd.Series(dtype=object),
+            "degree": pd.Series(dtype="int64"),
+            "n_urls": pd.Series(dtype="int64"),
+        }
+    )
+
+    def hist(col: str, side: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return empty
+            g = df.groupby(col, as_index=False).size()
+            return pd.DataFrame(
+                {
+                    "side": side,
+                    "degree": g[col].astype("int64"),
+                    "n_urls": g["size"].astype("int64"),
+                }
+            )
+
+        return partial
+
+    outd = outlink_degree(pages).map_batches(hist("out_degree", "out"), batch_format="pandas")
+    ind = indegree(pages).map_batches(hist("in_degree", "in"), batch_format="pandas")
+    folded, parts = fold_or_reduce(
+        outd.union(ind), ["side", "degree"], {"n_urls": "sum"}, DRIVER_KEYS
+    )
+    if folded is not None:
+        if folded.empty:
+            return rd.from_pandas(empty)
+        return rd.from_pandas(folded.astype({"degree": "int64", "n_urls": "int64"}))
+    return parts.groupby(["side", "degree"]).aggregate(Sum("n_urls", alias_name="n_urls"))

@@ -2197,3 +2197,105 @@ def ppl_buckets(ds, sample_n: int = 200, key: str = "doc_id", text_col: str = "t
         return pd.DataFrame({key: df[key], "ppl": p, "bucket": bucket})
 
     return scored.map_batches(label, batch_format="pandas")
+
+
+def bigram_lm_scores(ds, key: str = "doc_id", text_col: str = "text", alpha: float = 0.4):
+    """Bigram language-model scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the
+    KenLM-shaped upgrade of :func:`lm_perplexity`'s unigram filter:
+    score(doc) = mean_i lp(i) where lp(1) = ln(c(w_1)/N) and for i>1
+    lp(i) = ln(c(w_{i-1} w_i)/c(w_{i-1})) when the bigram was seen,
+    else ln(alpha * c(w_i)/N) — the backoff that makes the score robust
+    where the context count is zero without any discounting machinery.
+    Trained on the corpus itself (closed over its input) so the SQL
+    oracle verifies it value-for-value.
+
+    Output: one row per document ``(key, n_tokens, score)``; empty
+    documents score 0.0. Exact row set; score float-tolerance.
+
+    Scale shape (corpus never shuffled): TWO count passes share the
+    tokenization — per-batch unigram and adjacent-pair Counters ->
+    groupby-Sum tables -> sorted vocab + count arrays broadcast once
+    via ray.put -> one scoring pass with flattened searchsorted probes
+    and per-doc segment sums. The broadcast assumes boundable unigram
+    AND bigram vocabularies; at open-web scale cap both to top-V with
+    an OOV bucket (the KenLM swap point — same seam as lm_perplexity's
+    ray.put)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in df[text_col]:
+            toks = (t or "").lower().split()
+            uni.update(toks)
+            bi.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame(
+            {
+                "tok": list(uni.keys()) + list(bi.keys()),
+                "is_bi": [False] * len(uni) + [True] * len(bi),
+                "n": list(uni.values()) + list(bi.values()),
+            }
+        )
+
+    tbl = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby(["tok", "is_bi"])
+        .aggregate(Sum("n", alias_name="c"))
+        .to_pandas()
+    )
+    uni_t = tbl[~tbl["is_bi"]]
+    bi_t = tbl[tbl["is_bi"]]
+    n_total = int(uni_t["c"].sum()) if len(uni_t) else 0
+    uo = np.argsort(uni_t["tok"].to_numpy(dtype=object))
+    u_vocab = uni_t["tok"].to_numpy(dtype=object)[uo]
+    u_cnt = uni_t["c"].to_numpy(dtype=np.float64)[uo]
+    bo = np.argsort(bi_t["tok"].to_numpy(dtype=object))
+    b_vocab = bi_t["tok"].to_numpy(dtype=object)[bo]
+    b_cnt = bi_t["c"].to_numpy(dtype=np.float64)[bo]
+    ref = ray.put((u_vocab, u_cnt, b_vocab, b_cnt, float(n_total)))
+
+    def _probe(vocab: np.ndarray, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(vocab) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), dtype=np.int64), np.zeros(len(keys), dtype=bool)
+        pos = np.minimum(np.searchsorted(vocab, keys), len(vocab) - 1)
+        return pos, vocab[pos] == keys
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        uv, uc, bv, bc, n = ray.get(ref)
+        tok_lists = [(t or "").lower().split() for t in df[text_col]]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=int(lens.sum()))
+        out = np.zeros(len(tok_lists), dtype=np.float64)
+        if len(flat):
+            upos, _ = _probe(uv, flat)  # every token is in-vocab (self-trained)
+            c_tok = uc[upos]
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            # per-position log-probs: default = backoff unigram term
+            lp = np.log(alpha * c_tok / n)
+            nz = lens > 0
+            first_idx = starts[nz]
+            lp[first_idx] = np.log(c_tok[first_idx] * 1.0 / n)
+            # bigram positions: pair j scores position j+1 unless j+1
+            # is a document start
+            if len(flat) > 1:
+                pairs = flat[:-1] + " " + flat[1:]
+                bpos, bhit = _probe(bv, pairs)
+                is_start = np.zeros(len(flat), dtype=bool)
+                is_start[first_idx] = True
+                valid = bhit & ~is_start[1:]
+                tgt = np.flatnonzero(valid) + 1
+                lp[tgt] = np.log(bc[bpos[valid]] / uc[upos[tgt - 1]])
+            # clip: a trailing empty doc's start == len(flat); its sum
+            # is garbage but masked out by nz below
+            sums = np.add.reduceat(lp, np.minimum(starts, len(flat) - 1))
+            out[nz] = sums[nz] / lens[nz]
+        return pd.DataFrame({key: df[key].to_numpy(), "n_tokens": lens, "score": out})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -55,6 +55,8 @@ __all__ = [
     "url_quality_filter",
     "canonical_urls",
     "cross_crawl_dedup",
+    "resolve_redirects",
+    "soft404_pages",
 ]
 
 _HOST_RE = r"^https://([^/]+)/"
@@ -974,3 +976,145 @@ def cross_crawl_dedup(pages_ds, cutoff_ms: int | None = None):
         return pd.DataFrame({"url": curdf["url"], "digest": d, "dedup_prev": hit})
 
     return kd.map_batches(probe, batch_format="pandas")
+
+
+_REFRESH_RE = r'<meta http-equiv="refresh" content="0; url=([^"]+)">'
+
+
+def resolve_redirects(pages_ds, max_hops: int = 16, fold_cap: int | None = None):
+    """Redirect-chain resolution — collapse every meta-refresh hop page
+    to its final landing URL plus hop count, the alias-graph closure a
+    crawler needs before frontier dedup (a chain a->b->c->target means
+    a, b and c are all names for target; Common Crawl resolves 3xx
+    chains the same way before counting a capture).
+
+    Output: one row per redirect page, ``(url, final_url, hops)``;
+    chains longer than ``max_hops`` (a redirect loop) resolve to the
+    last URL reached with ``hops = max_hops`` — accounted, not dropped.
+
+    Scale shape: the hop extract is one vectorized regex pass (row
+    local); only (src, next) pairs leave the map side, so the working
+    set is bounded by redirect volume, a small fraction of the corpus.
+    Under the driver cap the chain closure is pointer DOUBLING over
+    sorted numpy arrays (log2(longest chain) rounds, no per-row
+    Python); past it, the same doubling runs as self-joins of the edge
+    Dataset keyed on the current target (each round squares the
+    resolved distance — ceil(log2(max_hops)) exchanges bounded by edge
+    count, payload-free). Both paths are equality-tested by forcing
+    the cap in the unit test."""
+    import ray.data as rd
+
+    from gleaner_ray.ops.fold import DRIVER_KEYS, fold_or_reduce
+
+    cap = DRIVER_KEYS if fold_cap is None else fold_cap
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["html"].apply(
+            lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+        nxt = h.str.extract(_REFRESH_RE, expand=False)
+        sel = nxt.notna()
+        return pd.DataFrame(
+            {"src": df["url"].astype(str)[sel], "nxt": nxt[sel], "one": np.ones(int(sel.sum()), dtype=np.int64)}
+        )
+
+    edges_ds = pages_ds.map_batches(extract, batch_format="pandas")
+    # "min" over a single occurrence per src is the identity merge; the
+    # fold machinery only needs an associative combine
+    folded, parts = fold_or_reduce(edges_ds, ["src"], {"nxt": "min", "one": "min"}, cap)
+
+    empty = pd.DataFrame(
+        {
+            "url": pd.Series(dtype=str),
+            "final_url": pd.Series(dtype=str),
+            "hops": pd.Series(dtype="int64"),
+        }
+    )
+
+    if folded is not None:
+        if folded.empty:
+            return rd.from_pandas(empty)
+        srcs = np.sort(folded["src"].to_numpy(dtype=object))
+        order = np.argsort(folded["src"].to_numpy(dtype=object))
+        nxts = folded["nxt"].to_numpy(dtype=object)[order]
+        # pointer doubling: (final, hops) per source; each round jumps
+        # every unresolved pointer by its target's current distance
+        final = nxts.copy()
+        hops = np.ones(len(srcs), dtype=np.int64)
+        for _ in range(max(1, int(np.ceil(np.log2(max(max_hops, 2)))))):
+            pos = np.searchsorted(srcs, final)
+            pos_c = np.minimum(pos, len(srcs) - 1)
+            hit = (srcs[pos_c] == final) & (hops < max_hops)
+            if not hit.any():
+                break
+            final[hit] = final[pos_c[hit]]
+            hops[hit] = np.minimum(hops[hit] + hops[pos_c[hit]], max_hops)
+        return rd.from_pandas(
+            pd.DataFrame({"url": srcs, "final_url": final, "hops": hops})
+        )
+
+    # distributed fallback: iterate doubling rounds as hash joins of the
+    # state against the (redirect-only) edge table — bounded by edge
+    # count per round, payload-free
+    state = parts.map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["src"], "final_url": df["nxt"], "hops": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    jump = state
+    for _ in range(max(1, int(np.ceil(np.log2(max(max_hops, 2)))))):
+        joined = state.join(
+            jump.map_batches(
+                lambda df: df.rename(columns={"url": "final_url", "final_url": "jf", "hops": "jh"}),
+                batch_format="pandas",
+            ),
+            join_type="left_outer",
+            num_partitions=max(8, state.count() // 500_000 + 1),
+            on=("final_url",),
+        )
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df["jf"].notna() & (df["hops"] < max_hops)
+            fu = df["final_url"].where(~hit, df["jf"])
+            hp = df["hops"].where(~hit, np.minimum(df["hops"] + df["jh"].fillna(0).astype("int64"), max_hops))
+            return pd.DataFrame({"url": df["url"], "final_url": fu, "hops": hp.astype("int64")})
+
+        state = joined.map_batches(step, batch_format="pandas").materialize()
+        jump = state
+    return state
+
+
+_404_TITLE_RE = r"(?i)<title>[^<]*(?:404|not found|does not exist)[^<]*</title>"
+_404_PHRASE = "page you requested was not found"
+
+
+def soft404_pages(pages_ds):
+    """Soft-404 detection: pages served as 200s whose content says
+    "not found" — the crawl-waste signal (storage, recrawl budget,
+    training-data pollution all pay for them; cf. Bar-Yossef et al.,
+    "Sic transit gloria telae", WWW 2004). A page is flagged when its
+    TITLE carries a not-found marker (404 / "not found" / "does not
+    exist") or its body contains the canonical apology phrase; pages
+    that merely discuss 404s in prose stay clean (title rule, not a
+    bag-of-words).
+
+    Output: flagged rows only, ``(url, reason)`` with reason
+    'title' | 'body' (title wins when both match).
+
+    Scale shape: row-local — two compiled-regex / substring passes per
+    batch, zero exchange; runs as a streaming filter ahead of the
+    storage sink."""
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["html"].apply(
+            lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+        t_hit = h.str.contains(_404_TITLE_RE, regex=True)
+        b_hit = h.str.lower().str.contains(_404_PHRASE, regex=False)
+        keep = t_hit | b_hit
+        reason = np.where(t_hit, "title", "body")
+        out = pd.DataFrame({"url": df["url"].astype(str), "reason": reason})
+        return out[keep.to_numpy()]
+
+    return pages_ds.map_batches(flag, batch_format="pandas")

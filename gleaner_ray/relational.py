@@ -2043,3 +2043,174 @@ def regr_value_on_hour(sf_dir: str):
         )
 
     return totals.map_batches(finish, batch_format="pandas")
+
+
+def _event_value_count_table(sf_dir: str):
+    """(events Dataset, per-(event_type, value_cents) row-count table).
+
+    The shared pass-1 reduction behind the window-function family
+    (rank/dense_rank/percent_rank/cume_dist/median): per-batch count
+    partials shrink the corpus to the bounded (group, value) domain,
+    ONE small groupby-Sum reduces them, and the driver sorts the
+    result. Events themselves never shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_cents": (df["value"] * 100).round().astype("int64"),
+                "n": 1,
+            }
+        )
+        return out.groupby(["event_type", "value_cents"], as_index=False).sum()
+
+    cnt = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "value_cents"], ignore_index=True)
+    )
+    return ds, cnt
+
+
+def _probe_by_type(ds, table_map_ref, out_col: str, out_dtype):
+    """Pass-2 broadcast probe shared by the rank family: per batch,
+    searchsorted each group's sorted value array and emit the mapped
+    statistic — vectorized, zero exchange."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(table_map_ref)
+        c = (df["value"] * 100).round().astype("int64").to_numpy()
+        out = np.empty(len(df), dtype=out_dtype)
+        types = df["event_type"].to_numpy(dtype=object)
+        for t in pd.unique(types):
+            sel = types == t
+            vals, stat = m[t]
+            out[sel] = stat[np.searchsorted(vals, c[sel])]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "value_cents": c,
+                out_col: out,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def rank_events(sf_dir: str):
+    """Per-group RANK() **with gaps** — ``RANK() OVER (PARTITION BY
+    event_type ORDER BY value_cents DESC)`` parity, shuffle-free.
+
+    rank(x) = 1 + count of group rows with a LARGER value, so the whole
+    window function collapses to the bounded (group, value) count table
+    (:func:`_event_value_count_table`): sort each group descending,
+    exclusive prefix-sum gives the "rows above" count, broadcast the
+    (value -> rank) map, probe per batch. The gap structure (ties share
+    a rank, next rank jumps by tie size) falls out of the prefix sum —
+    no window exchange, events never shuffle."""
+    ds, cnt = _event_value_count_table(sf_dir)
+    cnt = cnt.sort_values(
+        ["event_type", "value_cents"], ascending=[True, False], ignore_index=True
+    )
+    cnt["rnk"] = (cnt.groupby("event_type")["n"].cumsum() - cnt["n"] + 1).astype("int64")
+    rank_map = {
+        t: (g["value_cents"].to_numpy()[::-1].copy(), g["rnk"].to_numpy()[::-1].copy())
+        for t, g in cnt.groupby("event_type")
+    }
+    return _probe_by_type(ds, ray.put(rank_map), "rnk", np.int64)
+
+
+def cume_dist_events(sf_dir: str):
+    """Per-group CUME_DIST() — ``CUME_DIST() OVER (PARTITION BY
+    event_type ORDER BY value_cents)`` parity: fraction of group rows
+    with value <= x, i.e. inclusive-prefix-sum / group total over the
+    same bounded count table. One double division per DISTINCT value
+    (evaluated in the oracle's operation order); events never
+    shuffle."""
+    ds, cnt = _event_value_count_table(sf_dir)
+    le = cnt.groupby("event_type")["n"].cumsum().astype("int64")
+    totals = cnt.groupby("event_type")["n"].transform("sum").astype("int64")
+    cnt["cd"] = le.to_numpy() / totals.to_numpy()
+    cd_map = {
+        t: (g["value_cents"].to_numpy().copy(), g["cd"].to_numpy().copy())
+        for t, g in cnt.groupby("event_type")
+    }
+    return _probe_by_type(ds, ray.put(cd_map), "cd", np.float64)
+
+
+def mad_outliers_events(sf_dir: str, k: int = 5):
+    """Robust per-group outlier filter: |x - median| > k * MAD, the
+    median/median-absolute-deviation twin of the 3-sigma z-test in
+    :func:`outliers_events` — the robust statistic a long-tailed web
+    corpus needs (one mega-page shifts a mean, not a median).
+
+    Exactness device (no float medians anywhere): interpolated medians
+    live in half-integers, so everything runs in scaled integer units —
+    m2 = lo+hi = 2*median(value_cents) from the count table's prefix
+    sums; per-value deviation d = |4*value_cents - 2*m2| = 4*|x-median|
+    (exact int64); the d-distribution REUSES the same counts (two
+    values may fold onto one d — re-aggregate), so mad4 = d_lo + d_hi
+    = 8*MAD is again exact. Keep iff 2*d > k*mad4, an all-integer
+    predicate both engines evaluate identically.
+
+    Scale shape: two bounded-table reductions (values, then folded
+    deviations) both derived from ONE corpus pass; thresholds broadcast
+    as two ints per group; the filter pass is vectorized and
+    shuffle-free."""
+    ds, cnt = _event_value_count_table(sf_dir)
+
+    def _median2(values: np.ndarray, counts: np.ndarray) -> int:
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        lo = int(values[np.searchsorted(cum, (n + 1) // 2)])
+        hi = int(values[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    stats: dict[str, tuple[int, int]] = {}
+    for t, g in cnt.groupby("event_type"):
+        v = g["value_cents"].to_numpy()
+        n = g["n"].to_numpy()
+        m2 = _median2(v, n)
+        d = np.abs(4 * v - 2 * m2)
+        order = np.argsort(d, kind="stable")
+        d_sorted = d[order]
+        n_sorted = n[order]
+        # fold equal deviations (x below and x above the median collide)
+        uniq, inv = np.unique(d_sorted, return_inverse=True)
+        folded = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(folded, inv, n_sorted)
+        mad4 = _median2(uniq, folded)
+        stats[t] = (m2, mad4)
+    ref = ray.put(stats)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        c = (df["value"] * 100).round().astype("int64").to_numpy()
+        types = df["event_type"].to_numpy(dtype=object)
+        keep = np.zeros(len(df), dtype=bool)
+        dev = np.zeros(len(df), dtype=np.int64)
+        for t in pd.unique(types):
+            sel = types == t
+            m2, mad4 = m[t]
+            d = np.abs(4 * c[sel] - 2 * m2)
+            dev[sel] = d
+            keep[sel] = 2 * d > k * mad4
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "value_cents": c,
+                "dev4": dev,
+            }
+        )
+        return out[keep]
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -217,7 +217,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 9}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 10}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:
@@ -327,6 +327,69 @@ def generate_corpus(
             langs.append("en")
             if len(urls) >= rows_per_file:
                 flush()
+
+    # redirect chains (v10): /redir/{j}/{k} hop pages resolve through
+    # 1-3 meta-refresh hops to a real /ref/ page — the redirect-graph
+    # signal for ``pipelines/recrawl.resolve_redirects``. Like /mirror/,
+    # never listed in a sitemap (crawl-admission oracles exclude them).
+    extra_ts = n_pages + 2 * n_mirror
+    n_redir = max(3, n_pages // 256)
+    for j in range(n_redir):
+        hops = 1 + j % 3
+        rhost = HOSTS[_assign_source(j)]
+        target = _url_for((j * 37) % n_pages)
+        chain = ["https://%s/redir/%d/%d" % (rhost, j, k) for k in range(hops)]
+        for k, u in enumerate(chain):
+            nxt = chain[k + 1] if k + 1 < hops else target
+            rhtml = (
+                '<!DOCTYPE html><html><head><title>Redirecting %d</title>'
+                '<meta http-equiv="refresh" content="0; url=%s"></head>'
+                '<body><p>Moved to <a href="%s">here</a>.</p></body></html>' % (j, nxt, nxt)
+            )
+            urls.append(u)
+            tss.append(base_ts + extra_ts * 1000)
+            extra_ts += 1
+            htmls.append(rhtml.encode())
+            texts.append("Moved to %s" % nxt)
+            langs.append("en")
+            if len(urls) >= rows_per_file:
+                flush()
+
+    # soft-404s (v10): /gone/{j} pages whose TITLE or error phrase marks
+    # a not-found body served with (implicitly) HTTP 200 — plus negative
+    # controls at /gone/info/{j} that merely DISCUSS 404s in the body,
+    # which the title/phrase rule must not flag.
+    _404_TITLES = ["404 Not Found", "Page not found", "Oops - this page does not exist", "Error 404"]
+    n_gone = max(2, n_pages // 512)
+    for j in range(n_gone):
+        ghost = HOSTS[_assign_source(j * 3 + 1)]
+        title = _404_TITLES[j % len(_404_TITLES)]
+        body = "Sorry. The page you requested was not found on this server. (ref %d)" % j
+        ghtml = (
+            "<!DOCTYPE html><html><head><title>%s</title></head><body><p>%s</p></body></html>"
+            % (title, body)
+        )
+        urls.append("https://%s/gone/%d" % (ghost, j))
+        tss.append(base_ts + extra_ts * 1000)
+        extra_ts += 1
+        htmls.append(ghtml.encode())
+        texts.append("%s %s" % (title, body))
+        langs.append("en")
+        if j % 3 == 0:
+            # negative control: clean title, body casually mentions 404
+            nhtml = (
+                "<!DOCTYPE html><html><head><title>HTTP status codes explained %d</title></head>"
+                "<body><p>A 404 response means the resource is absent; clients should back off.</p>"
+                "</body></html>" % j
+            )
+            urls.append("https://%s/gone/info/%d" % (ghost, j))
+            tss.append(base_ts + extra_ts * 1000)
+            extra_ts += 1
+            htmls.append(nhtml.encode())
+            texts.append("HTTP status codes explained %d" % j)
+            langs.append("en")
+        if len(urls) >= rows_per_file:
+            flush()
     flush()
 
     # every ~97th frontier URL additionally exists only in the sitemap

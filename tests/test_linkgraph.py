@@ -547,3 +547,79 @@ class TestHostBudget:
             lg.host_rank = orig
         assert int(df["budget"].sum()) == 10**6
         assert set(df["budget"]) == {500_000}
+
+
+class TestRedirectsAndSoft404:
+    def _pages(self):
+        import ray.data as rd
+
+        def redir(u, nxt):
+            return {
+                "url": u,
+                "html": (
+                    '<head><title>Redirecting</title>'
+                    '<meta http-equiv="refresh" content="0; url=%s"></head>' % nxt
+                ).encode(),
+            }
+
+        rows = [
+            # chain a -> b -> c -> T
+            redir("https://h/a", "https://h/b"),
+            redir("https://h/b", "https://h/c"),
+            redir("https://h/c", "https://h/T"),
+            # single hop
+            redir("https://h/x", "https://h/T2"),
+            # loop p <-> q: resolves to SOME chain member with hops capped
+            redir("https://h/p", "https://h/q"),
+            redir("https://h/q", "https://h/p"),
+            {"url": "https://h/T", "html": b"<head><title>Landing</title></head>body"},
+        ]
+        return rd.from_items(rows)
+
+    def test_chain_resolution(self, ray_session):
+        from gleaner_ray.pipelines.recrawl import resolve_redirects
+
+        df = (
+            resolve_redirects(self._pages(), max_hops=8)
+            .to_pandas()
+            .set_index("url")
+            .sort_index()
+        )
+        assert df.loc["https://h/a", "final_url"] == "https://h/T"
+        assert int(df.loc["https://h/a", "hops"]) == 3
+        assert df.loc["https://h/b", "final_url"] == "https://h/T"
+        assert int(df.loc["https://h/b", "hops"]) == 2
+        assert df.loc["https://h/x", "final_url"] == "https://h/T2"
+        assert int(df.loc["https://h/x", "hops"]) == 1
+        # loop members hit the hop cap instead of spinning
+        assert int(df.loc["https://h/p", "hops"]) == 8
+        assert df.loc["https://h/p", "final_url"] in ("https://h/p", "https://h/q")
+
+    def test_distributed_fallback_parity(self, ray_session):
+        from gleaner_ray.pipelines.recrawl import resolve_redirects
+
+        a = resolve_redirects(self._pages(), max_hops=8).to_pandas()
+        b = resolve_redirects(self._pages(), max_hops=8, fold_cap=0).to_pandas()
+        a = a.sort_values("url", ignore_index=True)
+        b = b.sort_values("url", ignore_index=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    def test_soft404_rules(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import soft404_pages
+
+        rows = [
+            {"url": "u1", "html": b"<head><title>404 Not Found</title></head><body>x</body>"},
+            {"url": "u2", "html": b"<head><title>Fine page</title></head><body>The page you requested was not found.</body>"},
+            # negative: discusses 404 in the body only
+            {"url": "u3", "html": b"<head><title>Status codes</title></head><body>a 404 means gone</body>"},
+            # title wins over body when both match
+            {"url": "u4", "html": b"<head><title>Oops not found</title></head><body>the page you requested was not found</body>"},
+            {"url": "u5", "html": b"<head><title>Normal</title></head><body>hello</body>"},
+        ]
+        df = soft404_pages(rd.from_items(rows)).to_pandas().set_index("url")
+        assert set(df.index) == {"u1", "u2", "u4"}
+        assert df.loc["u1", "reason"] == "title"
+        assert df.loc["u2", "reason"] == "body"
+        assert df.loc["u4", "reason"] == "title"

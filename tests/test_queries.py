@@ -114,6 +114,9 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_outliers",
         "rel_dense_rank",
         "rel_percent_rank",
+        "rel_rank",
+        "rel_cume_dist",
+        "rel_mad_outliers",
         "rel_stream_window",
         "crawl_url_canon",
         "rel_sessionize",
@@ -180,6 +183,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_tfidf_topk",
         "text_bm25",
         "text_lm_perplexity",
+        "text_bigram_lm",
         "samp_dsir_weights",
         "text_bpe_pairs",
         "samp_domain_cap",
@@ -253,6 +257,7 @@ def test_oracle_checked_small(contract, name):
         "graph_seed_depth",
         "graph_anchor_text",
         "graph_reciprocal",
+        "graph_degree_dist",
         "crawl_title_dups",
         "crawl_url_templates",
         "crawl_url_filter",
@@ -261,6 +266,9 @@ def test_oracle_checked_small(contract, name):
         "crawl_boilerplate",
         "crawl_visible_text",
         "crawl_warc_roundtrip",
+        "crawl_redirects",
+        "crawl_soft404",
+        "crawl_cdx_replay",
         "crawl_cdx_index",
         "crawl_cdx_publish",
         "crawl_fetch_dedup",
