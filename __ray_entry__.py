@@ -402,6 +402,12 @@ def _q_graph_degree_dist(sf_dir: str):
     return lg.degree_distribution(_graph_pages(sf_dir))
 
 
+def _q_graph_kcore(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.kcore(_graph_pages(sf_dir))
+
+
 def _q_crawl_redirects(sf_dir: str):
     from gleaner_ray.pipelines.recrawl import resolve_redirects
 
@@ -991,6 +997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in/out degree histograms (power-law diagnostic): both sides
         # reduce to bounded (degree, count) tables, one dual-path fold
         "graph_degree_dist": _q_graph_degree_dist,
+        # fixed-round 2-core peeling (density filter: link-farm cores
+        # survive, chains/stars peel): bincount rounds under the node
+        # bound, semi-join+groupby rounds beyond (equality-tested)
+        "graph_kcore": _q_graph_kcore,
         # redirect-chain resolution (v10 corpus plants 1-3-hop
         # meta-refresh chains): row-local hop extract, pointer-doubling
         # closure over the bounded redirect-edge set
@@ -1058,6 +1068,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # units (m2=2*median, mad4=8*MAD) — the long-tail-safe twin of
         # rel_outliers; two bounded-table medians, broadcast thresholds
         "rel_mad_outliers": lambda sf: rel.mad_outliers_events(sf),
+        # PERCENTILE_CONT interpolated quantiles from the bounded count
+        # table (two searchsorted probes per q); no sort shuffle
+        "rel_quantiles_cont": lambda sf: rel.quantiles_cont_events(sf),
+        # multi-feature closed-form regression (normal equations):
+        # exact int64 moment partials -> one bounded groupby-Sum ->
+        # Cramer 3x3 on arbitrary-precision ints, one division per beta
+        "rel_multi_regr": lambda sf: rel.multi_regr_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
         # interval self-join (attribution window): same-user event pairs
@@ -1795,6 +1812,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, CASE WHEN t_hit THEN 'title' ELSE 'body' END AS reason
             FROM f WHERE t_hit OR b_hit
         """,
+        # 4 unrolled peel rounds, k=2: each round drops nodes whose
+        # degree in the surviving subgraph is < 2; output = degrees of
+        # the final surviving edge set
+        "graph_kcore": f"""
+            WITH links AS MATERIALIZED (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            n0 AS MATERIALIZED (SELECT url FROM {pages}),
+            e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                   FROM links WHERE src <> dst AND dst IN (SELECT url FROM n0)),
+            d0 AS MATERIALIZED (SELECT x AS url, COUNT(*) AS d
+                   FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) GROUP BY 1),
+            n1 AS MATERIALIZED (SELECT url FROM d0 WHERE d >= 2),
+            e1 AS MATERIALIZED (SELECT u, v FROM e0
+                   WHERE u IN (SELECT url FROM n1) AND v IN (SELECT url FROM n1)),
+            d1 AS MATERIALIZED (SELECT x AS url, COUNT(*) AS d
+                   FROM (SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1) GROUP BY 1),
+            n2 AS MATERIALIZED (SELECT url FROM d1 WHERE d >= 2),
+            e2 AS MATERIALIZED (SELECT u, v FROM e1
+                   WHERE u IN (SELECT url FROM n2) AND v IN (SELECT url FROM n2)),
+            d2 AS MATERIALIZED (SELECT x AS url, COUNT(*) AS d
+                   FROM (SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) GROUP BY 1),
+            n3 AS MATERIALIZED (SELECT url FROM d2 WHERE d >= 2),
+            e3 AS MATERIALIZED (SELECT u, v FROM e2
+                   WHERE u IN (SELECT url FROM n3) AND v IN (SELECT url FROM n3)),
+            d3 AS MATERIALIZED (SELECT x AS url, COUNT(*) AS d
+                   FROM (SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3) GROUP BY 1),
+            n4 AS MATERIALIZED (SELECT url FROM d3 WHERE d >= 2),
+            e4 AS MATERIALIZED (SELECT u, v FROM e3
+                   WHERE u IN (SELECT url FROM n4) AND v IN (SELECT url FROM n4))
+            SELECT x AS url, COUNT(*)::BIGINT AS core_deg
+            FROM (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) GROUP BY 1
+        """,
         # out side counts EVERY page (zero-outlink pages included via
         # the LEFT JOIN); in side counts linked targets only (GROUP BY
         # dst), matching the engine's indegree semantics
@@ -2506,6 +2557,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.vc AS value_cents, d.dev4
             FROM d JOIN mad USING (event_type)
             WHERE 2 * d.dev4 > 5 * mad.mad4
+        """,
+        "rel_quantiles_cont": """
+            SELECT event_type,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # normal equations by Cramer's rule over exact HUGEINT moments;
+        # the only floats are the three det_i/det divisions (numerator
+        # and denominator each round to DOUBLE before dividing — within
+        # 2^-52 of the engine's exact-int true division)
+        "rel_multi_regr": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(hour(ts) AS HUGEINT)) AS sa,
+                     SUM(CAST(isodow(ts) AS HUGEINT)) AS sb,
+                     SUM(CAST(hour(ts) AS HUGEINT) * hour(ts)) AS saa,
+                     SUM(CAST(hour(ts) AS HUGEINT) * isodow(ts)) AS sab,
+                     SUM(CAST(isodow(ts) AS HUGEINT) * isodow(ts)) AS sbb,
+                     SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sy,
+                     SUM(CAST(hour(ts) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS say,
+                     SUM(CAST(isodow(ts) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS sby
+              FROM events GROUP BY 1),
+            d AS (
+              SELECT event_type,
+                     n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                       + sb * (sa * sab - saa * sb) AS det,
+                     sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+                       + sb * (say * sab - saa * sby) AS d0,
+                     n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+                       + sb * (sa * sby - say * sb) AS d1,
+                     n * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+                       + sy * (sa * sab - saa * sb) AS d2
+              FROM m)
+            SELECT event_type,
+                   CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) AS intercept,
+                   CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_hour,
+                   CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_dow
+            FROM d ORDER BY 1
         """,
         # watermark = cummax of event time over PRIOR arrivals (arrival
         # = ts + bounded md5 delivery delay, event_id tiebreak); late

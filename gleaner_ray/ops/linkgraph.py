@@ -1674,3 +1674,137 @@ def degree_distribution(pages: rd.Dataset) -> rd.Dataset:
             return rd.from_pandas(empty)
         return rd.from_pandas(folded.astype({"degree": "int64", "n_urls": "int64"}))
     return parts.groupby(["side", "degree"]).aggregate(Sum("n_urls", alias_name="n_urls"))
+
+
+def kcore(
+    pages: rd.Dataset,
+    k: int = 2,
+    rounds: int = 4,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    force_join: bool = False,
+) -> rd.Dataset:
+    """Fixed-round k-core peeling over the undirected page graph — the
+    density filter that separates a genuinely interlinked cluster from
+    chains and stars (link-farm cores survive, long redirect/template
+    chains peel away; Seidman 1983, "Network structure and minimum
+    degree"). Each round removes every node whose degree in the
+    SURVIVING subgraph is < ``k``; with ``rounds`` fixed both engines
+    compute the identical contraction even before convergence (extra
+    rounds past convergence are no-ops, so fixed-round = exact k-core
+    once stable).
+
+    Output: ``(url, core_deg)`` for nodes with >= 1 edge in the
+    surviving subgraph; ``core_deg`` is the degree there.
+
+    Scale shape: under the node bound the edge list reduces to packed
+    uint64 id pairs (``np.unique`` dedupe) and every peel round is two
+    ``bincount`` passes — zero shuffles after the one edge-extract
+    pass. Beyond the bound the same rounds run distributed: two
+    semi-joins restrict the (distinct, undirected) edge table to the
+    surviving nodes and one bounded groupby-Sum recomputes degrees per
+    round. Both paths equality-tested (``force_join``)."""
+    n_nodes = pages.count()
+    node_ds = pages.select_columns(["url"])
+    empty = pa.table({"url": pa.array([], pa.string()), "core_deg": pa.array([], pa.int64())})
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    if not force_join and n_nodes <= broadcast_nodes:
+        nodes = _sorted_node_hashes(node_ds, n_nodes)
+        if nodes is not None:
+            hashes, urls = nodes
+            idp = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").to_pandas()
+            a = idp["si"].to_numpy(np.int64)
+            b = idp["di"].to_numpy(np.int64)
+            m = a != b
+            lo = np.minimum(a[m], b[m]).astype(np.uint64)
+            hi = np.maximum(a[m], b[m]).astype(np.uint64)
+            packed = np.unique((lo << np.uint64(32)) | hi)
+            u = (packed >> np.uint64(32)).astype(np.int64)
+            v = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            alive = np.ones(n_nodes, dtype=bool)
+            for _ in range(rounds):
+                em = alive[u] & alive[v]
+                deg = np.bincount(u[em], minlength=n_nodes) + np.bincount(v[em], minlength=n_nodes)
+                alive &= deg >= k
+            em = alive[u] & alive[v]
+            deg = np.bincount(u[em], minlength=n_nodes) + np.bincount(v[em], minlength=n_nodes)
+            sel = deg > 0
+            return rd.from_pandas(
+                pd.DataFrame({"url": urls[sel], "core_deg": deg[sel].astype("int64")})
+            )
+    return _kcore_join(node_ds, outlinks(pages), k, rounds)
+
+
+def _kcore_join(node_ds, edges, k: int, rounds: int) -> rd.Dataset:
+    """Distributed peeling: per round, two left-semi joins restrict the
+    distinct undirected edge table to surviving nodes and one groupby
+    recomputes degrees (materialized per round — same aggregator-pool
+    rationale as ``_pagerank_join``)."""
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    )
+
+    def undir(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["src"] != df["dst"]]
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series(dtype=str), "v": pd.Series(dtype=str)})
+        u = np.minimum(df["src"], df["dst"])
+        v = np.maximum(df["src"], df["dst"])
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates(ignore_index=True)
+
+    from ray.data.aggregate import Count
+
+    und = (
+        edges.map_batches(undir, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def degrees(edge_ds):
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            s = pd.concat([df["u"], df["v"]], ignore_index=True)
+            g = s.value_counts()
+            return pd.DataFrame({"url": g.index, "n": g.to_numpy().astype("int64")})
+
+        return (
+            edge_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Sum("n", alias_name="core_deg"))
+        )
+
+    cur = und
+    for _ in range(rounds):
+        alive = (
+            degrees(cur)
+            .map_batches(
+                lambda df, _k=k: df[df["core_deg"] >= _k][["url"]], batch_format="pandas"
+            )
+            .materialize()
+        )
+        for col, alias in (("u", "au"), ("v", "av")):
+            cur = cur.join(
+                alive.map_batches(
+                    lambda t, _a=alias: pa.table({_a: t.column("url")}), batch_format="pyarrow"
+                ),
+                join_type="left_semi",
+                num_partitions=width,
+                on=(col,),
+                right_on=(alias,),
+            )
+        cur = cur.materialize()
+    return degrees(cur)

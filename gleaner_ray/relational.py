@@ -2214,3 +2214,102 @@ def mad_outliers_events(sf_dir: str, k: int = 5):
         return out[keep]
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def quantiles_cont_events(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95)):
+    """Interpolated quantiles (``quantile_cont`` / PERCENTILE_CONT
+    parity) per group — the continuous twin of
+    :func:`quantiles_lineitem`'s discrete rank pick, from the same
+    bounded (group, value) count table: position p = q*(n-1) in the
+    sorted multiset, result = v[floor(p)] + frac*(v[floor(p)+1] -
+    v[floor(p)]). Both neighbors come from two searchsorted probes of
+    the cumulative counts; no sort shuffle, events never shuffle."""
+    _, cnt = _event_value_count_table(sf_dir)
+
+    rows = []
+    for t, g in cnt.groupby("event_type"):
+        v = g["value_cents"].to_numpy()
+        c = g["n"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row: dict = {"event_type": t}
+        for q in qs:
+            p = q * (n - 1)
+            lo_rank = int(np.floor(p)) + 1  # 1-based
+            frac = p - np.floor(p)
+            v_lo = float(v[np.searchsorted(cum, lo_rank)])
+            v_hi = float(v[np.searchsorted(cum, min(lo_rank + 1, n))])
+            row["p%02d" % round(q * 100)] = v_lo + (v_hi - v_lo) * frac
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("event_type", ignore_index=True)
+    return rd.from_pandas(out)
+
+
+def multi_regr_events(sf_dir: str):
+    """Multi-feature closed-form linear regression — value_cents on
+    (hour-of-day, day-of-week) with intercept, the distributed
+    normal-equations shape: one pass reduces every batch to exact int64
+    moment partials of X'X and X'y (features are small ints, so every
+    moment is exact), ONE bounded groupby-Sum merges them per group,
+    and the 3x3 system solves on the driver by Cramer's rule over
+    arbitrary-precision integer determinants — the only floats are the
+    final det_i/det divisions, evaluated in the same operation order as
+    the oracle's HUGEINT expression. The corpus never shuffles; the
+    exchange is 10 integer columns per group. (This is the training
+    twin of ops/text.hashed_model_scores' inference: fit the quality
+    model ON the cluster with zero iterations.)"""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    MOM = ["n", "sa", "sb", "saa", "sab", "sbb", "sy", "say", "sby"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["ts"].dt.hour.astype("int64")
+        # isodow (1=Mon..7=Sun) — pandas dayofweek is 0-based Monday
+        b = df["ts"].dt.dayofweek.astype("int64") + 1
+        y = (df["value"] * 100).round().astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": 1,
+                "sa": a,
+                "sb": b,
+                "saa": a * a,
+                "sab": a * b,
+                "sbb": b * b,
+                "sy": y,
+                "say": a * y,
+                "sby": b * y,
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    mom = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in MOM])
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+
+    rows = []
+    for r in mom.itertuples(index=False):
+        # X'X = [[n, Sa, Sb], [Sa, Saa, Sab], [Sb, Sab, Sbb]],
+        # X'y = [Sy, Say, Sby] — exact Python ints
+        n, sa, sb = int(r.n), int(r.sa), int(r.sb)
+        saa, sab, sbb = int(r.saa), int(r.sab), int(r.sbb)
+        sy, say, sby = int(r.sy), int(r.say), int(r.sby)
+        det = n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb) + sb * (sa * sab - saa * sb)
+        d0 = sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby) + sb * (say * sab - saa * sby)
+        d1 = n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb) + sb * (sa * sby - say * sb)
+        d2 = n * (saa * sby - say * sab) - sa * (sa * sby - say * sb) + sy * (sa * sab - saa * sb)
+        rows.append(
+            {
+                "event_type": r.event_type,
+                "intercept": d0 / det,
+                "beta_hour": d1 / det,
+                "beta_dow": d2 / det,
+            }
+        )
+    return rd.from_pandas(pd.DataFrame(rows))

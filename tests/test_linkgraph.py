@@ -623,3 +623,44 @@ class TestRedirectsAndSoft404:
         assert df.loc["u1", "reason"] == "title"
         assert df.loc["u2", "reason"] == "body"
         assert df.loc["u4", "reason"] == "title"
+
+
+class TestKcore:
+    def test_peeling_semantics(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import kcore
+
+        def page(u, targets):
+            html = "".join('<a href="%s">x</a>' % t for t in targets)
+            return {"url": u, "html": ("<body>%s</body>" % html).encode()}
+
+        # triangle a-b-c (2-core) + chain c-d-e (peels away)
+        rows = [
+            page("https://h/a", ["https://h/b", "https://h/c"]),
+            page("https://h/b", ["https://h/c"]),
+            page("https://h/c", ["https://h/d"]),
+            page("https://h/d", ["https://h/e"]),
+            page("https://h/e", []),
+        ]
+        df = kcore(rd.from_items(rows), k=2, rounds=4).to_pandas().set_index("url")
+        assert set(df.index) == {"https://h/a", "https://h/b", "https://h/c"}
+        assert (df["core_deg"] == 2).all()
+
+    def test_join_path_parity(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import kcore
+        from gleaner_ray.sources import synth
+
+        corpus = synth.generate_corpus("/root/testdata/sf0.001")
+        import os
+
+        pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+        a = kcore(pages).to_pandas().sort_values("url", ignore_index=True)
+        b = (
+            kcore(pages, force_join=True)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)[["url", "core_deg"]]
+        )
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -117,6 +117,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_rank",
         "rel_cume_dist",
         "rel_mad_outliers",
+        "rel_quantiles_cont",
+        "rel_multi_regr",
         "rel_stream_window",
         "crawl_url_canon",
         "rel_sessionize",
@@ -258,6 +260,7 @@ def test_oracle_checked_small(contract, name):
         "graph_anchor_text",
         "graph_reciprocal",
         "graph_degree_dist",
+        "graph_kcore",
         "crawl_title_dups",
         "crawl_url_templates",
         "crawl_url_filter",
