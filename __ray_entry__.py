@@ -420,6 +420,12 @@ def _q_crawl_soft404(sf_dir: str):
     return soft404_pages(_graph_pages(sf_dir))
 
 
+def _q_crawl_alias_collapse(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import alias_collapse
+
+    return alias_collapse(_graph_pages(sf_dir))
+
+
 def _q_crawl_cdx_replay(sf_dir: str):
     """Ranged-read replay of a deterministic CDX sample: each sampled
     record is recovered by fetching exactly [offset, offset+length) of
@@ -1009,6 +1015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positives at /gone/ and discuss-404 negative controls):
         # row-local, zero exchange
         "crawl_soft404": _q_crawl_soft404,
+        # alias closure: canonical(redirect_final(u)) per page — both
+        # relations fold to bounded broadcast tables, one streaming
+        # probe pass; the frontier-dedup key
+        "crawl_alias_collapse": _q_crawl_alias_collapse,
         # duplicate <title> detection (soft-dup signal cheaper than body
         # hashing): distinct-title exchange with Sum/Min combine
         "crawl_title_dups": _q_crawl_title_dups,
@@ -1801,6 +1811,29 @@ def oracle_sql() -> dict[str, str]:
             FROM r a
             LEFT JOIN r b ON a.nxt = b.src
             LEFT JOIN r c ON b.nxt = c.src
+        """,
+        # alias = canonical(redirect_final(u)): redirect closure via the
+        # 2-jump unroll, then the landing page's declared canonical
+        "crawl_alias_collapse": f"""
+            WITH r AS MATERIALIZED (
+              SELECT url AS src,
+                     regexp_extract(decode(html),
+                         '<meta http-equiv="refresh" content="0; url=([^"]+)">', 1) AS nxt
+              FROM {pages}
+              WHERE decode(html) LIKE '%<meta http-equiv="refresh" content="0; url=%'),
+            rr AS MATERIALIZED (
+              SELECT a.src AS url, COALESCE(c.nxt, b.nxt, a.nxt) AS fin
+              FROM r a LEFT JOIN r b ON a.nxt = b.src LEFT JOIN r c ON b.nxt = c.src),
+            can AS MATERIALIZED (
+              SELECT url AS curl,
+                     regexp_extract(decode(html), '<link rel="canonical" href="([^"]+)"', 1) AS c
+              FROM {pages}
+              WHERE decode(html) LIKE '%rel="canonical"%'),
+            base AS (
+              SELECT p.url, COALESCE(rr.fin, p.url) AS landing
+              FROM {pages} p LEFT JOIN rr USING (url))
+            SELECT base.url, COALESCE(can.c, base.landing) AS alias
+            FROM base LEFT JOIN can ON base.landing = can.curl
         """,
         "crawl_soft404": f"""
             WITH h AS (SELECT url, decode(html) AS s FROM {pages}),

@@ -57,6 +57,7 @@ __all__ = [
     "cross_crawl_dedup",
     "resolve_redirects",
     "soft404_pages",
+    "alias_collapse",
 ]
 
 _HOST_RE = r"^https://([^/]+)/"
@@ -1118,3 +1119,75 @@ def soft404_pages(pages_ds):
         return out[keep.to_numpy()]
 
     return pages_ds.map_batches(flag, batch_format="pandas")
+
+
+def alias_collapse(pages_ds):
+    """URL alias collapse — the composition of the two alias relations
+    a crawler must close over before frontier dedup: redirect hops
+    (:func:`resolve_redirects`) and declared ``rel=canonical`` targets
+    (:func:`canonical_urls`). For every page: follow its redirect chain
+    to the landing URL (identity for non-redirects), then adopt that
+    landing page's declared canonical if it has one. alias(u) =
+    canonical(redirect_final(u)).
+
+    Output: ``(url, alias)`` for EVERY page (self-aliased pages
+    included) — group by ``alias`` downstream to dedup the frontier.
+
+    Scale shape: both relations are bounded side tables (redirect pages
+    and canonical-declaring pages are small corpus fractions); each
+    folds map-side and broadcasts as sorted arrays, then ONE streaming
+    pass probes both with searchsorted — the corpus never shuffles.
+    Past the fold cap the same composition runs as two left joins
+    (the resolve_redirects fallback seam)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from gleaner_ray.ops.fold import DRIVER_KEYS, fold_or_reduce
+
+    # redirect closure (bounded table)
+    redir = resolve_redirects(pages_ds).to_pandas()
+    r_src = np.sort(redir["url"].to_numpy(dtype=object))
+    r_fin = redir["final_url"].to_numpy(dtype=object)[
+        np.argsort(redir["url"].to_numpy(dtype=object))
+    ]
+
+    # canonical declarations (bounded: declaring pages only)
+    def canon_extract(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["html"].apply(
+            lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+        c = h.str.extract(r'<link rel="canonical" href="([^"]+)"', expand=False)
+        sel = c.notna()
+        return pd.DataFrame({"curl": df["url"].astype(str)[sel], "c": c[sel], "one": np.ones(int(sel.sum()), dtype=np.int64)})
+
+    folded, _ = fold_or_reduce(
+        pages_ds.map_batches(canon_extract, batch_format="pandas"),
+        ["curl"],
+        {"c": "min", "one": "min"},
+        DRIVER_KEYS,
+    )
+    if folded is None or folded.empty:
+        c_url = np.array([], dtype=object)
+        c_tgt = np.array([], dtype=object)
+    else:
+        order = np.argsort(folded["curl"].to_numpy(dtype=object))
+        c_url = folded["curl"].to_numpy(dtype=object)[order]
+        c_tgt = folded["c"].to_numpy(dtype=object)[order]
+
+    ref = ray.put((r_src, r_fin, c_url, c_tgt))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        rs, rf, cu, ct = ray.get(ref)
+        u = df["url"].to_numpy(dtype=object)
+        alias = u.copy()
+        if len(rs):
+            pos = np.minimum(np.searchsorted(rs, u), len(rs) - 1)
+            hit = rs[pos] == u
+            alias[hit] = rf[pos[hit]]
+        if len(cu):
+            pos = np.minimum(np.searchsorted(cu, alias), len(cu) - 1)
+            hit = cu[pos] == alias
+            alias[hit] = ct[pos[hit]]
+        return pd.DataFrame({"url": df["url"].astype(str), "alias": alias})
+
+    return pages_ds.map_batches(probe, batch_format="pandas")

@@ -271,6 +271,7 @@ def test_oracle_checked_small(contract, name):
         "crawl_warc_roundtrip",
         "crawl_redirects",
         "crawl_soft404",
+        "crawl_alias_collapse",
         "crawl_cdx_replay",
         "crawl_cdx_index",
         "crawl_cdx_publish",
