@@ -780,6 +780,20 @@ def _q_emb_covariance(sf_dir: str) -> pd.DataFrame:
     return out[["i", "j", "cov_micro"]].sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def _q_emb_pca(sf_dir: str) -> pd.DataFrame:
+    """First principal direction by exact integer power iteration on
+    the micro-unit covariance matrix (3 steps from the all-ones
+    vector): one streaming moment pass, driver matvec on the bounded
+    dim x dim table — hash-exact vs the oracle's unrolled HUGEINT
+    joins."""
+    import ray.data as rd
+
+    from gleaner_ray.ops.embutil import power_iteration
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    return power_iteration(ds).sort_values("i").reset_index(drop=True)
+
+
 def _q_emb_quantize(sf_dir: str) -> pd.DataFrame:
     """uint8 scalar quantization of the embedding column (two streaming
     passes: map-side min/max partials -> broadcast bounds -> per-batch
@@ -1487,6 +1501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact one-pass covariance of the embedding matrix (map-side
         # moment partials; see _q_emb_covariance)
         "emb_covariance": _q_emb_covariance,
+        # PCA first principal direction: exact integer power iteration
+        # over the micro-unit covariance (driver matvec, 3 steps)
+        "emb_pca_power": _q_emb_pca,
         # uint8 scalar quantization (vector compression for ANN)
         "emb_quantize_uint8": _q_emb_quantize,
         # exact-integer top-k over the quantized corpus (compressed-ANN
@@ -4106,6 +4123,28 @@ def oracle_sql() -> dict[str, str]:
             FROM u a JOIN u b ON a.vec_id = b.vec_id
             GROUP BY a.dim, b.dim
             ORDER BY i, j
+        """,
+        # 3 unrolled integer matvec steps over the micro-unit
+        # covariance from the all-ones vector; HUGEINT intermediates,
+        # BIGINT result (engine checks the int64 fit)
+        "emb_pca_power": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 u AS (SELECT vec_id,
+                              CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                              unnest(v) AS x
+                       FROM e),
+                 c AS MATERIALIZED (
+                   SELECT a.dim AS i, b.dim AS j,
+                          CAST(FLOOR((AVG(a.x * b.x) - AVG(a.x) * AVG(b.x)) * 1000000 + 0.5)
+                               AS HUGEINT) AS cm
+                   FROM u a JOIN u b ON a.vec_id = b.vec_id
+                   GROUP BY a.dim, b.dim),
+                 v1 AS (SELECT i, SUM(cm) AS v FROM c GROUP BY i),
+                 v2 AS (SELECT c.i, SUM(c.cm * v1.v) AS v
+                        FROM c JOIN v1 ON c.j = v1.i GROUP BY c.i),
+                 v3 AS (SELECT c.i, SUM(c.cm * v2.v) AS v
+                        FROM c JOIN v2 ON c.j = v2.i GROUP BY c.i)
+            SELECT i, CAST(v AS BIGINT) AS pc FROM v3 ORDER BY i
         """,
         # the literal quantize expression; float32 values widen to
         # DOUBLE exactly, so engine/oracle agree bit-for-bit

@@ -158,3 +158,40 @@ def quantize_uint8(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
             return pa.table({id_col: t.column(id_col), "q": lists})
 
     return ds.map_batches(Quantize, batch_format="pyarrow", concurrency=2)
+
+
+def power_iteration(ds, vec_col: str = "embedding", iters: int = 3):
+    """Distributed PCA, first principal direction — the moment-matrix
+    shape: ONE streaming covariance pass (:func:`covariance`; vectors
+    never shuffle), then ``iters`` power-iteration steps on the driver
+    over the bounded dim x dim matrix (Mises & Pollaczek-Geiringer
+    1929; the PCA prep for whitening / SemDeDup / spectral data
+    selection).
+
+    Exactness device: the float covariance rounds ONCE to micro-units
+    (``floor(cov*1e6 + 0.5)``, the same pinned expression as the
+    ``emb_covariance`` oracle) and every power step is an INTEGER
+    matrix-vector product from the all-ones start vector — exact,
+    order-independent, hash-identical to the oracle's unrolled HUGEINT
+    joins. The unnormalized iterate is the output; normalizing to a
+    unit eigvector (one float sqrt per dim) is a driver postprocess
+    left outside the oracle boundary.
+
+    Output: ``(i, pc)`` — dimension index and the exact integer
+    ``iters``-step iterate (magnitudes ~ (dim * |cov_micro|)^iters;
+    int64-checked, widen iters with care)."""
+    import pandas as pd
+
+    cov = covariance(ds, vec_col=vec_col)
+    if not len(cov):
+        return pd.DataFrame({"i": pd.Series(dtype="int64"), "pc": pd.Series(dtype="int64")})
+    dim = int(cov["i"].max()) + 1
+    c_micro = np.floor(cov["cov"].to_numpy() * 1_000_000 + 0.5).astype(object)
+    mat = c_micro.reshape(dim, dim)  # object dtype -> exact Python ints
+    v = np.ones(dim, dtype=object)
+    for _ in range(iters):
+        v = mat @ v
+    as_i64 = v.astype(np.int64)
+    if not (as_i64.astype(object) == v).all():
+        raise OverflowError("power_iteration iterate exceeds int64; reduce iters")
+    return pd.DataFrame({"i": np.arange(dim, dtype=np.int64), "pc": as_i64})

@@ -215,6 +215,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "sim_knn_bruteforce",
         "sim_ivf_knn",
         "emb_covariance",
+        "emb_pca_power",
         "emb_quantize_uint8",
         "sim_knn_quantized",
         "sim_knn_pq",
