@@ -408,6 +408,18 @@ def _q_graph_kcore(sf_dir: str):
     return lg.kcore(_graph_pages(sf_dir))
 
 
+def _q_graph_host_jaccard(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_jaccard(_graph_pages(sf_dir))
+
+
+def _q_graph_label_prop(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.label_prop(_graph_pages(sf_dir), iters=2)
+
+
 def _q_crawl_redirects(sf_dir: str):
     from gleaner_ray.pipelines.recrawl import resolve_redirects
 
@@ -1021,6 +1033,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # survive, chains/stars peel): bincount rounds under the node
         # bound, semi-join+groupby rounds beyond (equality-tested)
         "graph_kcore": _q_graph_kcore,
+        # host-pair outlink-set Jaccard (structural mirror signal;
+        # mirror_hosts' content-digest twin): dual-path distinct
+        # (host, dst), dst-keyed self-join, map-side pair combine
+        "graph_host_jaccard": _q_graph_host_jaccard,
+        # synchronous label propagation (2 rounds, mode vote, tie ->
+        # min label): community detection for link-farm / site-family
+        # discovery; np.unique argmax rounds under the node bound,
+        # join + Sum + per-dst argmax rounds beyond (equality-tested)
+        "graph_label_prop": _q_graph_label_prop,
         # redirect-chain resolution (v10 corpus plants 1-3-hop
         # meta-refresh chains): row-local hop extract, pointer-doubling
         # closure over the bounded redirect-edge set
@@ -1101,6 +1122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_multi_regr": lambda sf: rel.multi_regr_events(sf),
         "rel_sessionize": lambda sf: rel.sessionize_events(sf),
         "rel_grouped_topk": lambda sf: rel.grouped_topk_orders(sf),
+        # partitioned NTILE(4): base position from the bounded (group,
+        # value) count table, within-tie order from the tied rows only
+        # (broadcast map under the cap, tie-sized map_groups beyond)
+        "rel_ntile": lambda sf: rel.ntile_events(sf),
         # interval self-join (attribution window): same-user event pairs
         # within 60 min, co-partitioned by user, searchsorted bounds
         "rel_range_join": lambda sf: rel.range_join_events(sf),
@@ -1895,6 +1920,54 @@ def oracle_sql() -> dict[str, str]:
                    WHERE u IN (SELECT url FROM n4) AND v IN (SELECT url FROM n4))
             SELECT x AS url, COUNT(*)::BIGINT AS core_deg
             FROM (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) GROUP BY 1
+        """,
+        # distinct (host, target) sets, dst-keyed self-join on the
+        # co-cited targets, one double division per pair in the same
+        # operand order the engine uses: i / (na + nb - i)
+        "graph_host_jaccard": f"""
+            WITH links AS (
+              SELECT split_part(url, '/', 3) AS h,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            hl AS (SELECT DISTINCT h, dst FROM links),
+            sz AS (SELECT h, COUNT(*) AS n FROM hl GROUP BY 1),
+            inter AS (SELECT a.h AS ha, b.h AS hb, COUNT(*) AS i
+                      FROM hl a JOIN hl b ON a.dst = b.dst AND a.h < b.h GROUP BY 1, 2)
+            SELECT ha AS host_a, hb AS host_b, CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - i AS BIGINT) AS n_union,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter JOIN sz sa ON sa.h = ha JOIN sz sb ON sb.h = hb
+        """,
+        # 2 unrolled synchronous LPA rounds: per-node neighbor-label
+        # mode (multiplicity counted, self-loops dropped), ROW_NUMBER
+        # tie-break to the smallest label, isolated nodes keep their own
+        "graph_label_prop": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes) AND dst <> src),
+            e AS (SELECT src, dst FROM links
+                  UNION ALL SELECT dst AS src, src AS dst FROM links),
+            l0 AS (SELECT url, url AS lbl FROM nodes),
+            c1 AS (SELECT e.dst AS url, l.lbl, COUNT(*) AS c
+                   FROM e JOIN l0 l ON e.src = l.url GROUP BY 1, 2),
+            p1 AS (SELECT url, lbl FROM (
+                     SELECT url, lbl, ROW_NUMBER() OVER (
+                         PARTITION BY url ORDER BY c DESC, lbl) AS rn FROM c1)
+                   WHERE rn = 1),
+            l1 AS (SELECT n.url, COALESCE(p1.lbl, n.url) AS lbl
+                   FROM nodes n LEFT JOIN p1 ON p1.url = n.url),
+            c2 AS (SELECT e.dst AS url, l.lbl, COUNT(*) AS c
+                   FROM e JOIN l1 l ON e.src = l.url GROUP BY 1, 2),
+            p2 AS (SELECT url, lbl FROM (
+                     SELECT url, lbl, ROW_NUMBER() OVER (
+                         PARTITION BY url ORDER BY c DESC, lbl) AS rn FROM c2)
+                   WHERE rn = 1)
+            SELECT n.url, COALESCE(p2.lbl, n.url) AS community
+            FROM nodes n LEFT JOIN p2 ON p2.url = n.url
         """,
         # out side counts EVERY page (zero-outlink pages included via
         # the LEFT JOIN); in side counts linked targets only (GROUP BY
@@ -2716,6 +2789,15 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY o_orderpriority
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
               FROM orders) WHERE rk <= 3
+        """,
+        "rel_ntile": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+                     AS BIGINT) AS tile
+            FROM events
         """,
         "rel_range_join": """
             SELECT a.event_id AS src_event, b.event_id AS dst_event,

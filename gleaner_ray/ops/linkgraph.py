@@ -70,6 +70,8 @@ __all__ = [
     "discovered_urls",
     "components_min_label",
     "seed_depth",
+    "host_jaccard",
+    "label_prop",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -1808,3 +1810,290 @@ def _kcore_join(node_ds, edges, k: int, rounds: int) -> rd.Dataset:
             )
         cur = cur.materialize()
     return degrees(cur)
+
+
+def host_jaccard(pages: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+    """Outlink-set similarity between host pairs: J = |A∩B| / |A∪B|
+    where A is host a's distinct set of link targets — the structural
+    mirror signal (``recrawl.mirror_hosts`` is the content twin keyed
+    on body digests; this one catches mirrors that rewrite bodies but
+    keep navigation, and template-sharing site families).
+
+    Scale shape: a streaming pass extracts links and pre-dedupes
+    (host, dst) within each batch; a dual-path distinct makes it
+    global (driver fold under the ``ops.fold`` cap, groupby beyond);
+    the dst-keyed self-join emits only co-citations, combined map-side
+    to bounded (host_a, host_b) partials before the host-pair-sized
+    Sum. One double division per surviving pair, in the oracle's
+    operand order i / (na + nb - i)."""
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+    from .fold import fold_or_reduce
+
+    if num_partitions is None:
+        num_partitions = max(2, cluster_cpus(8))
+
+    links = outlinks(pages)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype=object),
+                    "dst": pd.Series(dtype=object),
+                    "_n": pd.Series(dtype="int8"),
+                }
+            )
+        out = pd.DataFrame({"host": _host_of(df["src"]), "dst": df["dst"]}).drop_duplicates()
+        return out.assign(_n=np.ones(len(out), dtype=np.int8))
+
+    parts = links.map_batches(partial, batch_format="pandas")
+    folded, parts = fold_or_reduce(parts, ["host", "dst"], {"_n": "max"})
+
+    def finish(hl: pd.DataFrame) -> pd.DataFrame:
+        sz = hl.groupby("host").size()
+        m = hl.merge(hl, on="dst")
+        m = m[m["host_x"] < m["host_y"]]
+        g = m.groupby(["host_x", "host_y"], as_index=False).agg(n_inter=("dst", "size"))
+        na = sz.reindex(g["host_x"]).to_numpy()
+        nb = sz.reindex(g["host_y"]).to_numpy()
+        inter = g["n_inter"].to_numpy(dtype=np.int64)
+        union = na + nb - inter
+        return pd.DataFrame(
+            {
+                "host_a": g["host_x"],
+                "host_b": g["host_y"],
+                "n_inter": inter,
+                "n_union": union.astype(np.int64),
+                "jaccard": inter.astype(np.float64) / union,
+            }
+        )
+
+    if folded is not None:
+        return rd.from_pandas(finish(folded[["host", "dst"]]))
+
+    # beyond the fold cap: global distinct via groupby, dst-keyed
+    # self-join, map-side pair combine, host-pair-sized Sum
+    hl = parts.groupby(["host", "dst"]).aggregate(Sum("_n", alias_name="_n")).drop_columns(["_n"])
+    sizes = (
+        hl.map_batches(
+            lambda df: df.groupby("host", as_index=False).agg(n=("dst", "size")),
+            batch_format="pandas",
+        )
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sz_ref = ray.put(dict(zip(sizes["host"], sizes["n"].astype(np.int64))))
+    joined = hl.join(
+        hl.map_batches(
+            lambda t: pa.table({"host_b": t.column("host"), "dst_b": t.column("dst")}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("dst_b",),
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["host"] < df["host_b"]]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "host_a": pd.Series(dtype=object),
+                    "host_b": pd.Series(dtype=object),
+                    "n_inter": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby(["host", "host_b"], as_index=False).agg(n_inter=("host", "size"))
+        return g.rename(columns={"host": "host_a"}).astype({"n_inter": "int64"})
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n_inter", alias_name="n_inter"))
+    )
+
+    def emit(df: pd.DataFrame, _sz=sz_ref) -> pd.DataFrame:
+        sz = ray.get(_sz)
+        na = df["host_a"].map(sz).to_numpy(dtype=np.int64)
+        nb = df["host_b"].map(sz).to_numpy(dtype=np.int64)
+        inter = df["n_inter"].to_numpy(dtype=np.int64)
+        union = na + nb - inter
+        return pd.DataFrame(
+            {
+                "host_a": df["host_a"],
+                "host_b": df["host_b"],
+                "n_inter": inter,
+                "n_union": union,
+                "jaccard": inter.astype(np.float64) / union,
+            }
+        )
+
+    return pairs.map_batches(emit, batch_format="pandas")
+
+
+def label_prop(
+    pages: rd.Dataset, iters: int = 2, broadcast_nodes: int = _BROADCAST_NODES
+) -> rd.Dataset:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break — community detection for link-farm /
+    site-family discovery, the mode-vote sibling of
+    :func:`components_min_label` (components merge on ANY path; LPA
+    needs a neighborhood MAJORITY, so weakly-bridged clusters stay
+    separate).
+
+    Each round every node adopts the most frequent label among its
+    undirected neighbors (multiplicity counted, self-loops dropped),
+    ties to the lexicographically smallest label; nodes with no
+    neighbors keep their own. Fixed ``iters`` rounds so engine and SQL
+    oracle compute the identical contraction.
+
+    Scale shape mirrors the PageRank dual path: under the node bound
+    the edge id list folds once and every round is one vectorized
+    np.unique + lexsort argmax on the driver (zero shuffles/round);
+    beyond, each round is edges ⨝ labels + (dst, lbl) Sum groupby +
+    per-dst argmax map_groups, materialized per iteration. Both paths
+    are equality-tested."""
+    n_nodes = pages.count()
+    node_ds = pages.select_columns(["url"])
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "community": pa.array([], pa.string())})
+        )
+    if n_nodes <= broadcast_nodes:
+        out = _label_prop_broadcast(pages, node_ds, n_nodes, iters)
+        if out is not None:
+            return out
+    return _label_prop_join(node_ds, outlinks(pages), iters)
+
+
+def _label_prop_broadcast(pages, node_ds, n_nodes, iters):
+    nodes = _sorted_node_hashes(node_ds, n_nodes)
+    if nodes is None:
+        return None
+    hashes, urls = nodes
+    idp = (
+        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
+        .rename_columns({"si": "a", "di": "b"})
+        .to_pandas()
+    )
+    a = idp["a"].to_numpy(np.int64)
+    b = idp["b"].to_numpy(np.int64)
+    keep = a != b  # self-loops do not vote
+    a, b = a[keep], b[keep]
+    # labels live in string-rank space so "min label" = min rank (same
+    # device as _components_broadcast: hash order is not string order)
+    str_rank = np.empty(n_nodes, dtype=np.int64)
+    str_rank[np.argsort(urls, kind="stable")] = np.arange(n_nodes, dtype=np.int64)
+    rank_to_idx = np.argsort(str_rank, kind="stable")
+    lbl = str_rank.copy()
+    tgt = np.concatenate([b, a])
+    src = np.concatenate([a, b])
+    for _ in range(iters):
+        votes = lbl[src]
+        key = tgt * np.int64(n_nodes) + votes
+        uk, cnt = np.unique(key, return_counts=True)
+        v_node = uk // n_nodes
+        v_lab = uk % n_nodes
+        # per node: max count, tie -> min label rank: sort by
+        # (node, -count, label rank), first row per node wins
+        order = np.lexsort((v_lab, -cnt, v_node))
+        v_node, v_lab = v_node[order], v_lab[order]
+        first = np.ones(len(v_node), dtype=bool)
+        first[1:] = v_node[1:] != v_node[:-1]
+        nxt = lbl.copy()
+        nxt[v_node[first]] = v_lab[first]
+        lbl = nxt
+    comm = urls[rank_to_idx[lbl]]
+    return rd.from_arrow(
+        pa.table(
+            {"url": pa.array(list(urls), pa.string()), "community": pa.array(list(comm), pa.string())}
+        )
+    )
+
+
+def _label_prop_join(node_ds, edges, iters):
+    # per-round materialization: same aggregator-pool-stacking
+    # rationale as _pagerank_join
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    edges = edges.filter(lambda r: r["src"] != r["dst"])
+    edges = edges.join(
+        node_ds.map_batches(
+            lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+        ),
+        join_type="left_semi",
+        num_partitions=width,
+        on=("dst",),
+        right_on=("nd_url",),
+    )
+    und = edges.union(
+        edges.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    labels = node_ds.map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url"), "lbl": t.column("url"), "own": t.column("url")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "lbl"], as_index=False).agg(c=("lbl", "size"))
+        return g.rename(columns={"dst": "url"}).astype({"c": "int64"})
+
+    def argmax(df: pd.DataFrame) -> pa.Table:
+        # arrow out with the join-side names (Ray 2.49's rename_columns
+        # Project op rejects pandas blocks)
+        df = df.sort_values(["c", "lbl"], ascending=[False, True], kind="stable")
+        return pa.table(
+            {
+                "v_url": pa.array(df["url"].iloc[:1], pa.string()),
+                "v_lbl": pa.array(df["lbl"].iloc[:1], pa.string()),
+            }
+        )
+
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.select_columns(["url", "lbl"]),
+                join_type="inner",
+                num_partitions=width,
+                on=("src",),
+                right_on=("url",),
+            )
+            .map_batches(vote_partial, batch_format="pandas")
+            .groupby(["url", "lbl"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("url")
+            .map_groups(argmax, batch_format="pandas")
+        )
+        labels = (
+            labels.select_columns(["url", "own"])
+            .join(
+                votes,
+                join_type="left_outer",
+                num_partitions=width,
+                on=("url",),
+                right_on=("v_url",),
+            )
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"url": df["url"], "lbl": df["v_lbl"].fillna(df["own"]), "own": df["own"]}
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+    return labels.map_batches(
+        lambda t: pa.table({"url": t.column("url"), "community": t.column("lbl")}),
+        batch_format="pyarrow",
+    )

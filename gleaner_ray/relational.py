@@ -75,6 +75,7 @@ __all__ = [
     "percent_rank_events",
     "sessionize_events",
     "grouped_topk_orders",
+    "ntile_events",
     "range_join_events",
     "rollup_agg_lineitem",
     "pivot_events",
@@ -2313,3 +2314,149 @@ def multi_regr_events(sf_dir: str):
             }
         )
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def ntile_events(sf_dir: str, n: int = 4, tie_cap: int = 5_000_000):
+    """Per-group NTILE(n) — ``NTILE(n) OVER (PARTITION BY event_type
+    ORDER BY value_cents, event_id)`` parity, shuffle-free under the
+    tie cap (:func:`global_rank_events` is the global-order sibling;
+    this one is the partitioned window).
+
+    NTILE needs ROW_NUMBER (a total order), not just a rank: the base
+    position comes from the bounded (group, value) count table
+    (exclusive prefix sum = rows with a smaller value) and the
+    within-tie order from the TIED rows only — values with count>1, a
+    set bounded by tie volume, tiny when values are near-distinct.
+    Under ``tie_cap`` their sorted event_ids broadcast as a
+    (group, value) -> ids map probed per batch (events never shuffle);
+    beyond, a (group, value)-keyed map_groups assigns within-tie order
+    (groups are tie-sized, never partition-sized). Tile boundaries
+    follow the SQL rule: the first cnt%n tiles take ceil(cnt/n) rows.
+    Both paths are equality-tested."""
+    ds, cnt = _event_value_count_table(sf_dir)
+    cnt = cnt.sort_values(["event_type", "value_cents"], ignore_index=True)
+    cnt["base"] = (cnt.groupby("event_type")["n"].cumsum() - cnt["n"]).astype("int64")
+    totals = cnt.groupby("event_type")["n"].sum().astype("int64").to_dict()
+    base_map = {
+        t: (g["value_cents"].to_numpy().copy(), g["base"].to_numpy().copy())
+        for t, g in cnt.groupby("event_type")
+    }
+    ties = cnt[cnt["n"] > 1]
+    tie_volume = int(ties["n"].sum())
+
+    def tiles_for(rn: np.ndarray, total: int) -> np.ndarray:
+        q, rem = divmod(total, n)
+        big = rem * (q + 1)
+        return np.where(
+            rn <= big, (rn - 1) // (q + 1) + 1, rem + (rn - 1 - big) // max(q, 1) + 1
+        ).astype(np.int64)
+
+    if tie_volume <= tie_cap:
+        tie_keys = set(zip(ties["event_type"], ties["value_cents"]))
+
+        def tie_rows(df: pd.DataFrame) -> pd.DataFrame:
+            c = (df["value"] * 100).round().astype("int64")
+            keys = list(zip(df["event_type"], c))
+            mask = np.fromiter((k in tie_keys for k in keys), dtype=bool, count=len(df))
+            out = df[mask]
+            return pd.DataFrame(
+                {
+                    "event_type": out["event_type"],
+                    "value_cents": c[mask],
+                    "event_id": out["event_id"].astype("int64"),
+                }
+            )
+
+        tie_df = ds.map_batches(tie_rows, batch_format="pandas").to_pandas()
+        tie_map = {
+            k: np.sort(g["event_id"].to_numpy(np.int64))
+            for k, g in tie_df.groupby(["event_type", "value_cents"])
+        }
+        state = ray.put((base_map, totals, tie_map))
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            bmap, tot, tmap = ray.get(state)
+            c = (df["value"] * 100).round().astype("int64").to_numpy()
+            eid = df["event_id"].to_numpy(np.int64)
+            rn = np.empty(len(df), dtype=np.int64)
+            tile = np.empty(len(df), dtype=np.int64)
+            types = df["event_type"].to_numpy(dtype=object)
+            for t in pd.unique(types):
+                sel = np.where(types == t)[0]
+                vals, base = bmap[t]
+                b = base[np.searchsorted(vals, c[sel])]
+                r = np.ones(len(sel), dtype=np.int64)
+                for j, i in enumerate(sel):
+                    ids = tmap.get((t, c[i]))
+                    if ids is not None:
+                        r[j] = np.searchsorted(ids, eid[i]) + 1
+                rn[sel] = b + r
+                tile[sel] = tiles_for(rn[sel], tot[t])
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"],
+                    "event_type": df["event_type"],
+                    "value_cents": c,
+                    "tile": tile,
+                }
+            )
+
+        return ds.map_batches(assign, batch_format="pandas")
+
+    # scale path: within-tie order via tie-sized map_groups
+    tie_vals = {t: set(g["value_cents"]) for t, g in ties.groupby("event_type")}
+
+    def split_tie(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["value"] * 100).round().astype("int64")
+        tv = df["event_type"].map(lambda t: tie_vals.get(t, ()))
+        is_tie = np.fromiter((v in s for v, s in zip(c, tv)), dtype=bool, count=len(df))
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "value_cents": c,
+                "is_tie": is_tie,
+            }
+        )
+
+    keyed = ds.map_batches(split_tie, batch_format="pandas")
+
+    def order_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", ignore_index=True)
+        df["r"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["event_id", "event_type", "value_cents", "r"]]
+
+    tied = (
+        keyed.filter(lambda row: row["is_tie"])
+        .groupby(["event_type", "value_cents"])
+        .map_groups(order_group, batch_format="pandas")
+    )
+    single = keyed.filter(lambda row: not row["is_tie"]).map_batches(
+        lambda df: df.drop(columns=["is_tie"]).assign(r=np.ones(len(df), dtype=np.int64)),
+        batch_format="pandas",
+    )
+    both = tied.union(single)
+    state = ray.put((base_map, totals))
+
+    def assign2(df: pd.DataFrame) -> pd.DataFrame:
+        bmap, tot = ray.get(state)
+        c = df["value_cents"].to_numpy(np.int64)
+        rn = np.empty(len(df), dtype=np.int64)
+        tile = np.empty(len(df), dtype=np.int64)
+        types = df["event_type"].to_numpy(dtype=object)
+        r_arr = df["r"].to_numpy(np.int64)
+        for t in pd.unique(types):
+            sel = np.where(types == t)[0]
+            vals, base = bmap[t]
+            rn[sel] = base[np.searchsorted(vals, c[sel])] + r_arr[sel]
+            tile[sel] = tiles_for(rn[sel], tot[t])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "value_cents": c,
+                "tile": tile,
+            }
+        )
+
+    return both.map_batches(assign2, batch_format="pandas")

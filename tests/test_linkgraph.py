@@ -664,3 +664,94 @@ class TestKcore:
             .sort_values("url", ignore_index=True)[["url", "core_deg"]]
         )
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+class TestHostJaccard:
+    def test_fixture_values(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import host_jaccard
+
+        df = host_jaccard(tiny_graph).to_pandas()
+        # distinct target sets: h1 -> {b, c}; h2 -> {a, e}; h3 -> {}
+        # no shared targets between h1 and h2 -> no pairs at all
+        assert len(df) == 0
+
+    def test_shared_targets(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import host_jaccard
+
+        rows = [
+            _page("https://x.org/1", ["https://t.org/a", "https://t.org/b"]),
+            _page("https://x.org/2", ["https://t.org/b"]),  # within-host dup target
+            _page("https://y.org/1", ["https://t.org/b", "https://t.org/c"]),
+        ]
+        df = host_jaccard(rd.from_items(rows)).to_pandas()
+        assert len(df) == 1
+        r = df.iloc[0]
+        # x: {a,b} (2), y: {b,c} (2), inter {b} (1), union 3
+        assert (r.host_a, r.host_b, r.n_inter, r.n_union) == ("x.org", "y.org", 1, 3)
+        assert r.jaccard == 1.0 / 3.0
+
+    def test_fold_equals_distributed(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import gleaner_ray.ops.fold as fold
+        from gleaner_ray.ops.linkgraph import host_jaccard
+
+        rows = [
+            _page("https://x.org/1", ["https://t.org/a", "https://t.org/b"]),
+            _page("https://y.org/1", ["https://t.org/b", "https://t.org/c"]),
+            _page("https://z.org/1", ["https://t.org/b", "https://t.org/a"]),
+        ]
+        ds = rd.from_items(rows)
+        a = host_jaccard(ds).to_pandas().sort_values(["host_a", "host_b"], ignore_index=True)
+        orig = fold.fold_or_reduce
+
+        def no_fold(parts_ds, keys, agg, cap=0, pull_rows=None):
+            return orig(parts_ds, keys, agg, cap=0, pull_rows=pull_rows)
+
+        monkeypatch.setattr(fold, "fold_or_reduce", no_fold)
+        b = host_jaccard(ds).to_pandas().sort_values(["host_a", "host_b"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+class TestLabelProp:
+    def test_triangle_absorbs_pendant(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import label_prop
+
+        # triangle a-b-c (mutual majority) + pendant p hanging off a
+        rows = [
+            _page("https://h.org/a", ["https://h.org/b", "https://h.org/c", "https://h.org/p"]),
+            _page("https://h.org/b", ["https://h.org/a", "https://h.org/c"]),
+            _page("https://h.org/c", ["https://h.org/a", "https://h.org/b"]),
+            _page("https://h.org/p", []),
+        ]
+        # synchronous rounds: the pendant lags the triangle by one
+        # round (it adopts a's PREVIOUS label each time) — at iters=2
+        # the triangle has converged on "a" while p still carries a's
+        # round-1 label "b"; one more round pulls p in
+        df = label_prop(rd.from_items(rows), iters=2).to_pandas().set_index("url")["community"]
+        assert len(set(df[["https://h.org/a", "https://h.org/b", "https://h.org/c"]])) == 1
+        assert df["https://h.org/a"] == "https://h.org/a"
+        assert df["https://h.org/p"] == "https://h.org/b"
+        df3 = label_prop(rd.from_items(rows), iters=3).to_pandas().set_index("url")["community"]
+        assert set(df3) == {"https://h.org/a"}
+
+    def test_isolated_keeps_own_label(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import label_prop
+
+        df = label_prop(tiny_graph, iters=2).to_pandas().set_index("url")["community"]
+        assert df["https://h3.org/f"] == "https://h3.org/f"
+
+    def test_broadcast_equals_join_path(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import label_prop
+
+        a = label_prop(tiny_graph, iters=2).to_pandas().sort_values("url", ignore_index=True)
+        b = (
+            label_prop(tiny_graph, iters=2, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)[["url", "community"]]
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -123,6 +123,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "crawl_url_canon",
         "rel_sessionize",
         "rel_grouped_topk",
+        "rel_ntile",
         "rel_range_join",
         "rel_rollup",
         "rel_cube",
@@ -262,6 +263,8 @@ def test_oracle_checked_small(contract, name):
         "graph_reciprocal",
         "graph_degree_dist",
         "graph_kcore",
+        "graph_host_jaccard",
+        "graph_label_prop",
         "crawl_title_dups",
         "crawl_url_templates",
         "crawl_url_filter",
@@ -304,3 +307,14 @@ def test_every_query_has_oracle(contract):
     sqls = contract.oracle_sql()
     for name in contract.queries():
         assert name in sqls, name
+
+
+def test_ntile_scale_path_matches_oracle(contract, ray_session):
+    # force the beyond-cap regime: within-tie order via tie-sized
+    # map_groups instead of the broadcast tie map
+    from gleaner_ray import relational as rel
+
+    sql = contract.oracle_sql()["rel_ntile"]
+    rdf = to_pandas(rel.ntile_events(SMALL_SF, tie_cap=0))
+    odf = oracle_df(sql, SMALL_SF)
+    assert_frames_match(rdf, odf, "rel_ntile[tie_cap=0]")
