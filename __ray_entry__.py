@@ -408,6 +408,30 @@ def _q_graph_kcore(sf_dir: str):
     return lg.kcore(_graph_pages(sf_dir))
 
 
+def _q_graph_host_scc(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_scc(_graph_pages(sf_dir), min_links=500)
+
+
+def _q_graph_bowtie(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_bowtie(_graph_pages(sf_dir), min_links=500)
+
+
+def _q_graph_host_clustering(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.host_clustering(_graph_pages(sf_dir))
+
+
+def _q_graph_avg_nbr_degree(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.avg_neighbor_degree(_graph_pages(sf_dir))
+
+
 def _q_graph_host_jaccard(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1037,6 +1061,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror_hosts' content-digest twin): dual-path distinct
         # (host, dst), dst-keyed self-join, map-side pair combine
         "graph_host_jaccard": _q_graph_host_jaccard,
+        # exact Kosaraju SCC on the weighted host graph (min_links
+        # threshold prunes stray anchors): mirror-ring / spider-trap
+        # ring detection; host-bounded driver table like host_rank
+        "graph_host_scc": _q_graph_host_scc,
+        # Broder et al. 2000 bow-tie macro-structure: CORE = largest
+        # SCC, IN reaches it, OUT is reached from it, OTHER = rest
+        "graph_bowtie": _q_graph_bowtie,
+        # local clustering coefficient over the undirected distinct
+        # host graph: 2*tri/(d*(d-1)) — mirror ring (~1) vs hub (~0)
+        "graph_host_clustering": _q_graph_host_clustering,
+        # avg out-degree of each page's internal link targets
+        # (assortativity): broadcast degree column -> fully ROW-LOCAL
+        # under the node bound; outlinks ⨝ degrees + Sum beyond
+        "graph_avg_nbr_degree": _q_graph_avg_nbr_degree,
         # synchronous label propagation (2 rounds, mode vote, tie ->
         # min label): community detection for link-farm / site-family
         # discovery; np.unique argmax rounds under the node bound,
@@ -1920,6 +1958,111 @@ def oracle_sql() -> dict[str, str]:
                    WHERE u IN (SELECT url FROM n4) AND v IN (SELECT url FROM n4))
             SELECT x AS url, COUNT(*)::BIGINT AS core_deg
             FROM (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) GROUP BY 1
+        """,
+        # weighted host graph (n>=500 prunes stray anchors), recursive
+        # closure, SCC = min mutually-reachable host; singleton nodes
+        # (page hosts + kept-edge endpoints) map to themselves
+        "graph_host_scc": f"""
+            WITH RECURSIVE l0 AS MATERIALIZED (
+              SELECT split_part(url, '/', 3) AS sh,
+                     split_part(UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)), '/', 3) AS dh
+              FROM {pages}),
+            w AS MATERIALIZED (SELECT sh, dh, COUNT(*) AS n FROM l0 WHERE sh <> dh GROUP BY 1, 2),
+            he AS MATERIALIZED (SELECT sh, dh FROM w WHERE n >= 500),
+            nodes AS MATERIALIZED (
+              SELECT host FROM (
+                SELECT DISTINCT split_part(url, '/', 3) AS host FROM {pages}
+                UNION SELECT sh FROM he UNION SELECT dh FROM he)),
+            reach(s, d) AS (
+              SELECT sh, dh FROM he
+              UNION
+              SELECT r.s, he.dh FROM reach r JOIN he ON he.sh = r.d),
+            mutual AS (
+              SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+              UNION SELECT host, host FROM nodes)
+            SELECT y AS host, MIN(x) AS scc_id FROM mutual GROUP BY y
+        """,
+        # same closure; CORE = largest SCC (tie -> min id), IN reaches
+        # it, OUT is reached from it, OTHER = tendrils/disconnected
+        "graph_bowtie": f"""
+            WITH RECURSIVE l0 AS MATERIALIZED (
+              SELECT split_part(url, '/', 3) AS sh,
+                     split_part(UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)), '/', 3) AS dh
+              FROM {pages}),
+            w AS MATERIALIZED (SELECT sh, dh, COUNT(*) AS n FROM l0 WHERE sh <> dh GROUP BY 1, 2),
+            he AS MATERIALIZED (SELECT sh, dh FROM w WHERE n >= 500),
+            nodes AS MATERIALIZED (
+              SELECT host FROM (
+                SELECT DISTINCT split_part(url, '/', 3) AS host FROM {pages}
+                UNION SELECT sh FROM he UNION SELECT dh FROM he)),
+            reach(s, d) AS (
+              SELECT sh, dh FROM he
+              UNION
+              SELECT r.s, he.dh FROM reach r JOIN he ON he.sh = r.d),
+            mutual AS (
+              SELECT x, y FROM (
+                SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+                UNION SELECT host, host FROM nodes)),
+            scc AS (SELECT y AS host, MIN(x) AS scc_id FROM mutual GROUP BY y),
+            core AS (SELECT scc_id FROM (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1)
+                     ORDER BY n DESC, scc_id LIMIT 1),
+            cm AS (SELECT host FROM scc WHERE scc_id = (SELECT scc_id FROM core))
+            SELECT n.host,
+                   CASE WHEN n.host IN (SELECT host FROM cm) THEN 'CORE'
+                        WHEN EXISTS (SELECT 1 FROM reach r WHERE r.s = n.host
+                                     AND r.d IN (SELECT host FROM cm)) THEN 'IN'
+                        WHEN EXISTS (SELECT 1 FROM reach r WHERE r.d = n.host
+                                     AND r.s IN (SELECT host FROM cm)) THEN 'OUT'
+                        ELSE 'OTHER' END AS region
+            FROM nodes n
+        """,
+        # graph_triangles' wedge closure + undirected degree; one CASE
+        # guard (d<2 -> 0.0) and the engine's operand order 2*t/(d*(d-1))
+        "graph_host_clustering": f"""
+            WITH links AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            hp AS (
+              SELECT DISTINCT split_part(src, '/', 3) AS sh, split_part(dst, '/', 3) AS dh
+              FROM links WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)),
+            und AS (SELECT DISTINCT least(sh, dh) AS a, greatest(sh, dh) AS b FROM hp),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1 JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            m AS (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+            hosts AS (SELECT a AS host FROM und UNION SELECT b FROM und),
+            deg AS (SELECT host, COUNT(*) AS d FROM
+                    (SELECT a AS host FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+            SELECT hosts.host,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles,
+                   CAST(deg.d AS BIGINT) AS degree,
+                   CASE WHEN deg.d > 1
+                        THEN 2.0 * coalesce(cnt.n, 0) / (deg.d * (deg.d - 1))
+                        ELSE 0.0 END AS clustering
+            FROM hosts
+            LEFT JOIN (SELECT host, COUNT(*) AS n FROM m GROUP BY host) cnt USING (host)
+            JOIN deg USING (host)
+        """,
+        # internal targets only (degree of an unknown host is
+        # undefined); multiplicity counted; one double division per
+        # page in the engine's operand order sum/count
+        "graph_avg_nbr_degree": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            od AS (SELECT url,
+                          CAST(len(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS BIGINT) AS d
+                   FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes))
+            SELECT l.src AS url, CAST(SUM(od.d) AS BIGINT) AS sum_nbr_deg,
+                   CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+                   CAST(SUM(od.d) AS DOUBLE) / COUNT(*) AS avg_nbr_deg
+            FROM links l JOIN od ON od.url = l.dst GROUP BY 1
         """,
         # distinct (host, target) sets, dst-keyed self-join on the
         # co-cited targets, one double division per pair in the same

@@ -72,6 +72,10 @@ __all__ = [
     "seed_depth",
     "host_jaccard",
     "label_prop",
+    "host_scc",
+    "host_bowtie",
+    "host_clustering",
+    "avg_neighbor_degree",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -2097,3 +2101,354 @@ def _label_prop_join(node_ds, edges, iters):
         lambda t: pa.table({"url": t.column("url"), "community": t.column("lbl")}),
         batch_format="pyarrow",
     )
+
+
+# --- host-graph macro-structure (SCC / bow-tie / clustering) ---------------
+
+def _weighted_host_graph(pages: rd.Dataset, min_links: int):
+    """(page-host list, kept weighted edge table) on the driver.
+
+    ``host_edges`` has already combined the O(edges) anchor stream to
+    the O(hosts^2)-bounded weighted table (map-side partial + tiny
+    groupby), so the driver pull here is host-bounded — the same
+    justification as ``host_rank``'s bounded host table. ``min_links``
+    prunes incidental cross-host links the way production host-graph
+    builds threshold edge weights (one stray anchor must not merge two
+    site families into one SCC)."""
+    from .fold import fold_or_reduce
+
+    def hosts_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"host": pd.Series(dtype=object), "_n": pd.Series(dtype="int8")})
+        h = _host_of(pd.Series(t.column("url").to_pylist())).drop_duplicates()
+        return pd.DataFrame({"host": h, "_n": np.ones(len(h), dtype=np.int8)})
+
+    folded, parts = fold_or_reduce(
+        pages.map_batches(hosts_partial, batch_format="pyarrow"), ["host"], {"_n": "max"}
+    )
+    if folded is not None:
+        page_hosts = folded["host"].tolist()
+    else:  # host table wider than the fold cap: distinct via groupby
+        from ray.data.aggregate import Max
+
+        page_hosts = (
+            parts.groupby("host").aggregate(Max("_n", alias_name="_n")).to_pandas()["host"].tolist()
+        )
+    he = host_edges(pages).to_pandas()
+    he = he[(he["src_host"] != he["dst_host"]) & (he["n_links"] >= min_links)]
+    return sorted(page_hosts), he[["src_host", "dst_host"]].reset_index(drop=True)
+
+
+def _kosaraju(hosts: list[str], edges: pd.DataFrame) -> np.ndarray:
+    """Exact SCC ids (index of the lexicographically-smallest member)
+    via iterative Kosaraju on the bounded host graph."""
+    n = len(hosts)
+    idx = pd.Index(hosts)
+    si = idx.get_indexer(edges["src_host"]).astype(np.int64)
+    di = idx.get_indexer(edges["dst_host"]).astype(np.int64)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(si, di):
+        adj[s].append(int(d))
+        radj[d].append(int(s))
+    order: list[int] = []
+    visited = np.zeros(n, dtype=bool)
+    for s0 in range(n):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        stack: list[tuple[int, int]] = [(s0, 0)]
+        while stack:
+            v, i = stack[-1]
+            if i < len(adj[v]):
+                stack[-1] = (v, i + 1)
+                w = adj[v][i]
+                if not visited[w]:
+                    visited[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+                stack.pop()
+    comp = np.full(n, -1, dtype=np.int64)
+    for s0 in reversed(order):
+        if comp[s0] != -1:
+            continue
+        comp[s0] = s0
+        dfs = [s0]
+        while dfs:
+            v = dfs.pop()
+            for w in radj[v]:
+                if comp[w] == -1:
+                    comp[w] = s0
+                    dfs.append(w)
+    # canonical id: lexicographic min member per component (hosts is
+    # sorted, so min index IS the min host string)
+    roots = np.unique(comp)
+    min_member = {int(r): int(np.min(np.where(comp == r)[0])) for r in roots}
+    return np.array([min_member[int(r)] for r in comp], dtype=np.int64)
+
+
+def host_scc(pages: rd.Dataset, min_links: int = 500) -> rd.Dataset:
+    """Strongly connected components of the weighted host graph —
+    mirror-ring / spider-trap-ring detection (a ring of hosts that
+    link each other above ``min_links`` is one SCC; a one-way feeder
+    is not, which plain undirected components cannot distinguish).
+
+    Nodes are every page host plus every endpoint of a kept edge
+    (pure link targets — e.g. external hosts — become singleton or
+    sink nodes). Exact iterative Kosaraju on the host-bounded graph;
+    ``scc_id`` is the component's lexicographically smallest host."""
+    page_hosts, he = _weighted_host_graph(pages, min_links)
+    hosts = sorted(
+        set(page_hosts) | set(he["src_host"].tolist()) | set(he["dst_host"].tolist())
+    )
+    if not hosts:
+        return rd.from_arrow(
+            pa.table({"host": pa.array([], pa.string()), "scc_id": pa.array([], pa.string())})
+        )
+    comp = _kosaraju(hosts, he)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "scc_id": pa.array([hosts[i] for i in comp], pa.string()),
+            }
+        )
+    )
+
+
+def host_bowtie(pages: rd.Dataset, min_links: int = 500) -> rd.Dataset:
+    """Broder et al. 2000 bow-tie decomposition of the weighted host
+    graph: CORE = the largest SCC (ties to the smallest scc_id), IN =
+    hosts that reach the core, OUT = hosts the core reaches, OTHER =
+    tendrils/disconnected. The classic web-macro-structure report a
+    crawl planner reads before budgeting frontier expansion (OUT-only
+    hosts never feed new URLs back; IN hosts are entry points)."""
+    page_hosts, he = _weighted_host_graph(pages, min_links)
+    hosts = sorted(
+        set(page_hosts) | set(he["src_host"].tolist()) | set(he["dst_host"].tolist())
+    )
+    if not hosts:
+        return rd.from_arrow(
+            pa.table({"host": pa.array([], pa.string()), "region": pa.array([], pa.string())})
+        )
+    n = len(hosts)
+    comp = _kosaraju(hosts, he)
+    sizes = np.bincount(comp, minlength=n)
+    # largest SCC, tie -> smallest canonical id (= smallest index)
+    core_root = int(np.argmax(sizes))
+    in_core = comp == core_root
+    idx = pd.Index(hosts)
+    si = idx.get_indexer(he["src_host"]).astype(np.int64)
+    di = idx.get_indexer(he["dst_host"]).astype(np.int64)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(si, di):
+        adj[s].append(int(d))
+        radj[d].append(int(s))
+
+    def bfs(seeds: np.ndarray, nbrs: list[list[int]]) -> np.ndarray:
+        seen = seeds.copy()
+        frontier = list(np.where(seeds)[0])
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in nbrs[v]:
+                    if not seen[w]:
+                        seen[w] = True
+                        nxt.append(w)
+            frontier = nxt
+        return seen
+
+    reaches_core = bfs(in_core, radj)  # walk reverse edges from core
+    reached_from_core = bfs(in_core, adj)
+    region = np.where(
+        in_core,
+        "CORE",
+        np.where(reaches_core, "IN", np.where(reached_from_core, "OUT", "OTHER")),
+    )
+    return rd.from_arrow(
+        pa.table({"host": pa.array(hosts, pa.string()), "region": pa.array(list(region), pa.string())})
+    )
+
+
+def host_clustering(pages: rd.Dataset) -> rd.Dataset:
+    """Local clustering coefficient per host over the undirected
+    distinct host graph: c(v) = 2·triangles(v) / (d(v)·(d(v)−1)) —
+    the normalized density signal on top of :func:`host_triangles`
+    (raw triangle counts grow with degree; the coefficient separates
+    a mirror ring, c≈1, from a high-degree topical hub, c≈0).
+
+    Triangles and degrees come from the same bounded undirected pair
+    table; one double division per host in a fixed operand order."""
+    from ray.data.aggregate import Sum
+
+    und = _undirected_host_pairs(pages)
+    if und.count() <= _DRIVER_TRI_EDGES:
+        df = und.to_pandas()
+        tri = _triangles_driver(df)
+        deg = (
+            pd.DataFrame({"host": pd.concat([df["a"], df["b"]], ignore_index=True)})
+            .groupby("host", as_index=False)
+            .agg(d=("host", "size"))
+        )
+    else:
+        tri = host_triangles(pages)
+        deg = (
+            und.map_batches(
+                lambda d: pd.DataFrame({"host": pd.concat([d["a"], d["b"]])})
+                .groupby("host", as_index=False)
+                .agg(n=("host", "size")),
+                batch_format="pandas",
+            )
+            .groupby("host")
+            .aggregate(Sum("n", alias_name="d"))
+            .to_pandas()
+        )
+    out = tri.merge(deg, on="host", how="left")
+    d = out["d"].fillna(0).astype(np.int64)
+    t = out["n_triangles"].astype(np.int64)
+    denom = d * (d - 1)
+    coef = np.where(denom > 0, 2.0 * t.to_numpy(np.float64) / denom.to_numpy(np.float64), 0.0)
+    res = pd.DataFrame(
+        {
+            "host": out["host"],
+            "n_triangles": t,
+            "degree": d,
+            "clustering": coef,
+        }
+    ).sort_values("host", ignore_index=True)
+    return rd.from_pandas(res)
+
+
+def avg_neighbor_degree(
+    pages: rd.Dataset, broadcast_nodes: int = _BROADCAST_NODES
+) -> rd.Dataset:
+    """Average out-degree of each page's internal link targets
+    (multiplicity counted) — the assortativity signal: spider traps
+    and link farms point at pages that themselves fan out broadly,
+    while editorial pages point at low-degree leaves.
+
+    Dual path: under the node bound the (hash-sorted) out-degree
+    column broadcasts once and the whole op is ROW-LOCAL — a page's
+    anchors live in its own html cell, so sum/count of target degrees
+    needs no exchange at all. Beyond, outlinks ⨝ degrees with
+    map-side (src, sum, cnt) partials and one url-keyed Sum groupby.
+    Pages with no internal targets are absent (indegree semantics);
+    one double division per page, operand order sum/cnt."""
+    n_nodes = pages.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "sum_nbr_deg": pa.array([], pa.int64()),
+                    "n_nbrs": pa.array([], pa.int64()),
+                    "avg_nbr_deg": pa.array([], pa.float64()),
+                }
+            )
+        )
+    node_ds = pages.select_columns(["url"])
+    if n_nodes <= broadcast_nodes:
+        out = _avg_nbr_deg_broadcast(pages, node_ds, n_nodes)
+        if out is not None:
+            return out
+    return _avg_nbr_deg_join(pages, node_ds)
+
+
+def _avg_nbr_deg_broadcast(pages, node_ds, n_nodes):
+    nodes = _sorted_node_hashes(node_ds, n_nodes)
+    if nodes is None:
+        return None
+    hashes, urls = nodes
+    # degree column aligned to hash order: outlink_degree is row-local
+    # and node-bounded (one row per page), same driver pull the node
+    # table itself already made
+    dd = outlink_degree(pages).to_pandas()
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    pos0 = np.searchsorted(hashes, _hash64(np.asarray(dd["url"], dtype=object)))
+    deg[pos0] = dd["out_degree"].to_numpy(np.int64)
+    h_ref = ray.put(hashes)
+    d_ref = ray.put(deg)
+
+    def row_local(t: pa.Table, _h=h_ref, _d=d_ref) -> pd.DataFrame:
+        hs = ray.get(_h)
+        dg = ray.get(_d)
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=object),
+                    "sum_nbr_deg": pd.Series(dtype="int64"),
+                    "n_nbrs": pd.Series(dtype="int64"),
+                    "avg_nbr_deg": pd.Series(dtype="float64"),
+                }
+            )
+        html = t.column("html")
+        urls_b = t.column("url").to_pylist()
+        out_u, out_s, out_c = [], [], []
+        for i in range(t.num_rows):
+            tgts = HREF_RE.findall(memoryview(html[i].as_buffer()))
+            if not tgts:
+                continue
+            th = _hash64([x.decode("utf-8", "surrogateescape") for x in tgts])
+            pos = np.searchsorted(hs, th)
+            pos[pos >= len(hs)] = len(hs) - 1
+            found = hs[pos] == th
+            if not found.any():
+                continue
+            out_u.append(urls_b[i])
+            out_s.append(int(dg[pos[found]].sum()))
+            out_c.append(int(found.sum()))
+        s = np.array(out_s, dtype=np.int64)
+        c = np.array(out_c, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(out_u, dtype=object),
+                "sum_nbr_deg": s,
+                "n_nbrs": c,
+                "avg_nbr_deg": s.astype(np.float64) / c if len(c) else np.array([], dtype=np.float64),
+            }
+        )
+
+    return pages.map_batches(row_local, batch_format="pyarrow")
+
+
+def _avg_nbr_deg_join(pages, node_ds):
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    deg = outlink_degree(pages).map_batches(
+        lambda t: pa.table({"d_url": t.column("url"), "d": t.column("out_degree")}),
+        batch_format="pyarrow",
+    )
+    links = outlinks(pages).join(
+        deg, join_type="inner", num_partitions=width, on=("dst",), right_on=("d_url",)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).agg(s=("d", "sum"), c=("d", "size"))
+        return pd.DataFrame(
+            {"url": g["src"], "s": g["s"].astype("int64"), "c": g["c"].astype("int64")}
+        )
+
+    summed = (
+        links.map_batches(partial, batch_format="pandas")
+        .groupby("url")
+        .aggregate(Sum("s", alias_name="sum_nbr_deg"), Sum("c", alias_name="n_nbrs"))
+    )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sum_nbr_deg"].to_numpy(np.int64)
+        c = df["n_nbrs"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "sum_nbr_deg": s,
+                "n_nbrs": c,
+                "avg_nbr_deg": s.astype(np.float64) / c,
+            }
+        )
+
+    return summed.map_batches(emit, batch_format="pandas")

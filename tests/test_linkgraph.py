@@ -755,3 +755,80 @@ class TestLabelProp:
             .sort_values("url", ignore_index=True)[["url", "community"]]
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHostMacroStructure:
+    @pytest.fixture(scope="class")
+    def ring_graph(self, ray_session):
+        """a->b->c->a ring (SCC), feeder f->a (IN), sink a->s (OUT),
+        isolate z (OTHER). One link per pair; min_links=1."""
+        import ray.data as rd
+
+        rows = [
+            _page("https://a.org/1", ["https://b.org/1"]),
+            _page("https://b.org/1", ["https://c.org/1"]),
+            _page("https://c.org/1", ["https://a.org/1", "https://s.org/1"]),
+            _page("https://f.org/1", ["https://a.org/1"]),
+            _page("https://z.org/1", []),
+        ]
+        return rd.from_items(rows)
+
+    def test_scc_ring(self, ring_graph):
+        from gleaner_ray.ops.linkgraph import host_scc
+
+        df = host_scc(ring_graph, min_links=1).to_pandas().set_index("host")["scc_id"]
+        assert df["a.org"] == df["b.org"] == df["c.org"] == "a.org"
+        assert df["f.org"] == "f.org"
+        assert df["s.org"] == "s.org"  # pure link target becomes a node
+        assert df["z.org"] == "z.org"
+
+    def test_scc_threshold_breaks_ring(self, ring_graph):
+        from gleaner_ray.ops.linkgraph import host_scc
+
+        df = host_scc(ring_graph, min_links=2).to_pandas().set_index("host")["scc_id"]
+        # every edge pruned -> all singletons; link-only hosts vanish
+        assert (df.index == df.to_numpy()).all()
+        assert "s.org" not in df.index
+
+    def test_bowtie_regions(self, ring_graph):
+        from gleaner_ray.ops.linkgraph import host_bowtie
+
+        df = host_bowtie(ring_graph, min_links=1).to_pandas().set_index("host")["region"]
+        assert df["a.org"] == df["b.org"] == df["c.org"] == "CORE"
+        assert df["f.org"] == "IN"
+        assert df["s.org"] == "OUT"
+        assert df["z.org"] == "OTHER"
+
+    def test_clustering_triangle_vs_star(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import host_clustering
+
+        rows = [
+            # triangle a-b-c plus star hub a->{d,e}
+            _page("https://a.org/1", ["https://b.org/1", "https://c.org/1", "https://d.org/1", "https://e.org/1"]),
+            _page("https://b.org/1", ["https://c.org/1"]),
+        ]
+        df = host_clustering(rd.from_items(rows)).to_pandas().set_index("host")
+        # a: degree 4, 1 triangle -> 2*1/(4*3)
+        assert df.loc["a.org", "clustering"] == pytest.approx(2.0 / 12.0)
+        assert df.loc["b.org", "clustering"] == 1.0  # degree 2, 1 triangle
+        assert df.loc["d.org", "clustering"] == 0.0  # degree 1
+
+    def test_avg_nbr_degree_paths_agree(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import avg_neighbor_degree
+
+        a = (
+            avg_neighbor_degree(tiny_graph)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+        b = (
+            avg_neighbor_degree(tiny_graph, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # b's only internal target is c (out-degree 2)
+        row = a[a.url == "https://h1.org/b"].iloc[0]
+        assert (row.sum_nbr_deg, row.n_nbrs, row.avg_nbr_deg) == (2, 1, 2.0)

@@ -264,6 +264,10 @@ def test_oracle_checked_small(contract, name):
         "graph_degree_dist",
         "graph_kcore",
         "graph_host_jaccard",
+        "graph_host_scc",
+        "graph_bowtie",
+        "graph_host_clustering",
+        "graph_avg_nbr_degree",
         "graph_label_prop",
         "crawl_title_dups",
         "crawl_url_templates",
