@@ -1519,6 +1519,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embs(sf), threshold=0.25, n_planes=2, seeds=tuple(range(100, 140))
         ).select_columns(["a", "b"]),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_dedup(docs(sf), threshold=0.8),
+        # Broder containment C(A,B)=|A∩B|/|A| — asymmetric near-dup
+        # (quote-inclusion) detection; same inverted-index plan as
+        # ngram_jaccard, only the finish arithmetic differs
+        "dedup_containment": lambda sf: dd.ngram_containment_dedup(docs(sf), threshold=0.8),
         # chunk-level (paragraph) exact dedup: keep the globally-first
         # occurrence of each distinct line — the CCNet/RefinedWeb
         # boilerplate-stripping step before document-level dedup
@@ -3685,6 +3689,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
             FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # same shingle CTEs; containment = max of the two directed
+        # fractions, each one double division (engine operand order)
+        "dedup_containment": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(w) = 0 THEN []
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-3),
+                                                i -> array_to_string(w[i:i+4], ' ')) END) AS shingles
+              FROM toks),
+            ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            SELECT a, b,
+                   greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n) AS containment
+            FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n) >= 0.8
         """,
         # token overlap vs the doc_id<20 slice's vocabulary — exact
         # small-int division, same tokenization as the shingle oracle

@@ -612,6 +612,82 @@ def ngram_jaccard_dedup(
     evidence: set sizes n_a/n_b are computed before it, so filtered
     Jaccard is a lower bound and near-dup pairs sharing only stopword
     shingles are (intentionally) not reported."""
+    totals = _ngram_pair_totals(ds, shingle_k, concurrency, num_partitions, max_df)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        jac = df["i"] / (df["n_a"] + df["n_b"] - df["i"])
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"][keep].astype("int64"),
+                "b": df["b"][keep].astype("int64"),
+                "jaccard": jac[keep].astype("float64"),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
+def ngram_containment_dedup(
+    ds,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency: int = 2,
+    num_partitions: int | None = None,
+    max_df: int | str | None = None,
+):
+    """EXACT asymmetric near-dup pairs by shingle CONTAINMENT (Broder
+    1997's companion metric): C(A,B) = |S(A)∩S(B)| / |S(A)| — the
+    fraction of the SMALLER document reproduced inside the larger one.
+    Jaccard misses quote-inclusion (a doc fully embedded in a 10x
+    larger page scores i/(n_a+n_b-i) ≈ 0.1); containment catches it
+    (C = 1.0). The pair is kept when either direction clears
+    ``threshold``; ``containment`` reports the max of the two, each a
+    single double division in a fixed operand order.
+
+    Same inverted-index plan (and the same ``max_df`` prefix-filter
+    scale preset) as :func:`ngram_jaccard_dedup` — only the finish
+    arithmetic differs."""
+    totals = _ngram_pair_totals(ds, shingle_k, concurrency, num_partitions, max_df)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "containment": pd.Series([], dtype="float64"),
+                }
+            )
+        c = np.maximum(df["i"] / df["n_a"], df["i"] / df["n_b"])
+        keep = c >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"][keep].astype("int64"),
+                "b": df["b"][keep].astype("int64"),
+                "containment": c[keep].astype("float64"),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
+def _ngram_pair_totals(
+    ds,
+    shingle_k: int,
+    concurrency: int,
+    num_partitions: int | None,
+    max_df: int | str | None,
+):
+    """Shared inverted-index pair-count plan: (a, b, n_a, n_b, i)."""
     if max_df == "auto":
         max_df = NGRAM_SCALE_MAX_DF
     exploded = ds.map_batches(
@@ -693,28 +769,7 @@ def ngram_jaccard_dedup(
     from ray.data.aggregate import Sum
 
     partials = joined.map_batches(partial_counts, batch_format="pandas")
-    totals = partials.groupby(["a", "b", "n_a", "n_b"]).aggregate(Sum("i", alias_name="i"))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype="int64"),
-                    "b": pd.Series([], dtype="int64"),
-                    "jaccard": pd.Series([], dtype="float64"),
-                }
-            )
-        jac = df["i"] / (df["n_a"] + df["n_b"] - df["i"])
-        keep = jac >= threshold
-        return pd.DataFrame(
-            {
-                "a": df["a"][keep].astype("int64"),
-                "b": df["b"][keep].astype("int64"),
-                "jaccard": jac[keep].astype("float64"),
-            }
-        )
-
-    return totals.map_batches(finish, batch_format="pandas")
+    return partials.groupby(["a", "b", "n_a", "n_b"]).aggregate(Sum("i", alias_name="i"))
 
 
 class _ExplodeShingles:

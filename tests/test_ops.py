@@ -2207,3 +2207,38 @@ class TestRankByKey:
         got = rank_by_key(ds, key="k").to_pandas().sort_values("pos", ignore_index=True)
         assert got["k"].tolist() == ["a", "b", "c"]
         assert got["pos"].tolist() == [1, 2, 3]
+
+
+class TestContainment:
+    def test_quote_inclusion_caught(self, ray_session):
+        """A short doc fully embedded in a 6x larger page: Jaccard
+        stays far below 0.8 while containment hits 1.0."""
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import ngram_containment_dedup, ngram_jaccard_dedup
+
+        quote = "the quick brown fox jumps over the lazy dog again and again"
+        filler = " ".join("w%d x%d y%d" % (i, i * 7, i * 13) for i in range(30))
+        rows = [
+            {"doc_id": 1, "text": quote},
+            {"doc_id": 2, "text": filler + " " + quote + " " + filler[::-1].lower()},
+            {"doc_id": 3, "text": "entirely unrelated content about marmots and tea"},
+        ]
+        ds = rd.from_items(rows)
+        jac = ngram_jaccard_dedup(ds, threshold=0.8).to_pandas()
+        con = ngram_containment_dedup(ds, threshold=0.8).to_pandas()
+        assert len(jac) == 0  # symmetric metric misses the inclusion
+        assert len(con) == 1
+        r = con.iloc[0]
+        assert (r.a, r.b) == (1, 2)
+        assert r.containment == 1.0
+
+    def test_symmetric_dups_still_pair(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.dedup import ngram_containment_dedup
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        ds = rd.from_items([{"doc_id": 1, "text": t}, {"doc_id": 2, "text": t}])
+        out = ngram_containment_dedup(ds, threshold=0.8).to_pandas()
+        assert len(out) == 1 and out.iloc[0].containment == 1.0

@@ -209,6 +209,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "cluster_kmeans",
         "dedup_semdedup",
         "dedup_ngram_jaccard",
+        "dedup_containment",
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",
         "dedup_simhash",
