@@ -432,6 +432,27 @@ def _q_graph_avg_nbr_degree(sf_dir: str):
     return lg.avg_neighbor_degree(_graph_pages(sf_dir))
 
 
+def _q_graph_outlink_locality(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.outlink_locality(_graph_pages(sf_dir))
+
+
+def _q_graph_assortativity(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.assortativity(_graph_pages(sf_dir))
+
+
+def _q_crawl_url_depth(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.pipelines.recrawl import url_depth_hist
+
+    corpus = synth.generate_corpus(sf_dir)
+    return url_depth_hist(rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"]))
+
+
 def _q_graph_host_jaccard(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1075,6 +1096,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (assortativity): broadcast degree column -> fully ROW-LOCAL
         # under the node bound; outlinks ⨝ degrees + Sum beyond
         "graph_avg_nbr_degree": _q_graph_avg_nbr_degree,
+        # per-host self/internal/external anchor split (frontier
+        # expansion diagnostic): broadcast host set, row-local
+        # classification, dual-path (host, 3-counter) fold
+        "graph_outlink_locality": _q_graph_outlink_locality,
+        # Newman 2002 degree assortativity over internal edges: exact
+        # int64 moment partials row-local (x = own anchor count, y from
+        # the broadcast in-degree column), big-int driver fold, ONE
+        # identical float expression both engines (rel_corr's device)
+        "graph_assortativity": _q_graph_assortativity,
+        # per-host URL path-depth histogram (spider-trap depth budget):
+        # row-local count('/') + dual-path (host, depth) fold
+        "crawl_url_depth": _q_crawl_url_depth,
         # synchronous label propagation (2 rounds, mode vote, tie ->
         # min label): community detection for link-farm / site-family
         # discovery; np.unique argmax rounds under the node bound,
@@ -1962,6 +1995,60 @@ def oracle_sql() -> dict[str, str]:
                    WHERE u IN (SELECT url FROM n4) AND v IN (SELECT url FROM n4))
             SELECT x AS url, COUNT(*)::BIGINT AS core_deg
             FROM (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) GROUP BY 1
+        """,
+        # broadcast host membership in SQL = IN (SELECT h FROM hosts);
+        # one double division per host, engine operand order
+        "graph_outlink_locality": f"""
+            WITH hosts AS (SELECT DISTINCT split_part(url, '/', 3) AS h FROM {pages}),
+            links AS (
+              SELECT split_part(url, '/', 3) AS sh,
+                     split_part(UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)), '/', 3) AS dh
+              FROM {pages}),
+            c AS (SELECT sh,
+                    SUM(CASE WHEN dh = sh THEN 1 ELSE 0 END) AS n_self,
+                    SUM(CASE WHEN dh <> sh AND dh IN (SELECT h FROM hosts) THEN 1 ELSE 0 END) AS n_internal,
+                    SUM(CASE WHEN dh NOT IN (SELECT h FROM hosts) THEN 1 ELSE 0 END) AS n_external,
+                    COUNT(*) AS n
+                  FROM links GROUP BY 1)
+            SELECT sh AS host, CAST(n_self AS BIGINT) AS n_self,
+                   CAST(n_internal AS BIGINT) AS n_internal,
+                   CAST(n_external AS BIGINT) AS n_external,
+                   CAST(n_external AS DOUBLE) / n AS frac_external
+            FROM c
+        """,
+        # internal edges only; HUGEINT moment sums (engine folds the
+        # int64 batch partials with Python big ints), one identical
+        # float expression: (n*sxy - sx*sy) / (sqrt(..)*sqrt(..))
+        "graph_assortativity": f"""
+            WITH nodes AS (SELECT url FROM {pages}),
+            od AS (SELECT url,
+                          CAST(len(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS BIGINT) AS x
+                   FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            ind AS (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS y FROM links GROUP BY 1),
+            e AS (SELECT od.x, ind.y FROM links l
+                  JOIN od ON od.url = l.src JOIN ind ON ind.url = l.dst),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+                         CAST(SUM(x*y) AS HUGEINT) AS sxy
+                  FROM e)
+            SELECT n AS n_edges,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
+            FROM m
+        """,
+        # row-local split/count; depth = path segments after the host
+        "crawl_url_depth": f"""
+            SELECT split_part(url, '/', 3) AS host,
+                   CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls
+            FROM {pages} GROUP BY 1, 2
         """,
         # weighted host graph (n>=500 prunes stray anchors), recursive
         # closure, SCC = min mutually-reachable host; singleton nodes

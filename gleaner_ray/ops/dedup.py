@@ -43,6 +43,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "ngram_jaccard_dedup",
+    "ngram_containment_dedup",
     "NGRAM_SCALE_MAX_DF",
     "decontaminate",
     "decontaminate_bloom",

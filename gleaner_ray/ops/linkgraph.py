@@ -76,6 +76,8 @@ __all__ = [
     "host_bowtie",
     "host_clustering",
     "avg_neighbor_degree",
+    "outlink_locality",
+    "assortativity",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -2105,16 +2107,9 @@ def _label_prop_join(node_ds, edges, iters):
 
 # --- host-graph macro-structure (SCC / bow-tie / clustering) ---------------
 
-def _weighted_host_graph(pages: rd.Dataset, min_links: int):
-    """(page-host list, kept weighted edge table) on the driver.
-
-    ``host_edges`` has already combined the O(edges) anchor stream to
-    the O(hosts^2)-bounded weighted table (map-side partial + tiny
-    groupby), so the driver pull here is host-bounded — the same
-    justification as ``host_rank``'s bounded host table. ``min_links``
-    prunes incidental cross-host links the way production host-graph
-    builds threshold edge weights (one stray anchor must not merge two
-    site families into one SCC)."""
+def _page_hosts(pages: rd.Dataset) -> list[str]:
+    """Sorted distinct page hosts via the dual-path distinct (driver
+    fold under the ``ops.fold`` cap, groupby beyond)."""
     from .fold import fold_or_reduce
 
     def hosts_partial(t: pa.Table) -> pd.DataFrame:
@@ -2127,13 +2122,25 @@ def _weighted_host_graph(pages: rd.Dataset, min_links: int):
         pages.map_batches(hosts_partial, batch_format="pyarrow"), ["host"], {"_n": "max"}
     )
     if folded is not None:
-        page_hosts = folded["host"].tolist()
-    else:  # host table wider than the fold cap: distinct via groupby
-        from ray.data.aggregate import Max
+        return sorted(folded["host"].tolist())
+    from ray.data.aggregate import Max
 
-        page_hosts = (
-            parts.groupby("host").aggregate(Max("_n", alias_name="_n")).to_pandas()["host"].tolist()
-        )
+    return sorted(
+        parts.groupby("host").aggregate(Max("_n", alias_name="_n")).to_pandas()["host"].tolist()
+    )
+
+
+def _weighted_host_graph(pages: rd.Dataset, min_links: int):
+    """(page-host list, kept weighted edge table) on the driver.
+
+    ``host_edges`` has already combined the O(edges) anchor stream to
+    the O(hosts^2)-bounded weighted table (map-side partial + tiny
+    groupby), so the driver pull here is host-bounded — the same
+    justification as ``host_rank``'s bounded host table. ``min_links``
+    prunes incidental cross-host links the way production host-graph
+    builds threshold edge weights (one stray anchor must not merge two
+    site families into one SCC)."""
+    page_hosts = _page_hosts(pages)
     he = host_edges(pages).to_pandas()
     he = he[(he["src_host"] != he["dst_host"]) & (he["n_links"] >= min_links)]
     return sorted(page_hosts), he[["src_host", "dst_host"]].reset_index(drop=True)
@@ -2452,3 +2459,213 @@ def _avg_nbr_deg_join(pages, node_ds):
         )
 
     return summed.map_batches(emit, batch_format="pandas")
+
+
+def outlink_locality(pages: rd.Dataset) -> rd.Dataset:
+    """Per-host link-locality profile: how many anchors stay on the
+    same host (``n_self``), point at another crawled host
+    (``n_internal``) or leave the corpus (``n_external``) — the
+    frontier-expansion diagnostic (an external-heavy host feeds
+    discovery; a self-heavy host is navigation-bound and yields no new
+    domains). ``frac_external`` is one double division per host.
+
+    Scale shape: the page-host set broadcasts once as a sorted array
+    (host-bounded); classification is row-local searchsorted; per-batch
+    (host, 3 counters) partials fold dual-path."""
+    from .fold import fold_or_reduce
+
+    hosts = np.array(_page_hosts(pages), dtype=object)
+    h_ref = ray.put(hosts)
+    links = outlinks(pages)
+
+    def partial(df: pd.DataFrame, _h=h_ref) -> pd.DataFrame:
+        cols = {
+            "host": pd.Series(dtype=object),
+            "n_self": pd.Series(dtype="int64"),
+            "n_internal": pd.Series(dtype="int64"),
+            "n_external": pd.Series(dtype="int64"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        hs = ray.get(_h)
+        sh = _host_of(df["src"]).to_numpy(dtype=object)
+        dh = _host_of(df["dst"]).to_numpy(dtype=object)
+        pos = np.searchsorted(hs, dh)
+        pos_c = np.minimum(pos, max(len(hs) - 1, 0))
+        known = (len(hs) > 0) & (hs[pos_c] == dh)
+        is_self = dh == sh
+        g = pd.DataFrame(
+            {
+                "host": sh,
+                "n_self": is_self.astype(np.int64),
+                "n_internal": (known & ~is_self).astype(np.int64),
+                "n_external": (~known).astype(np.int64),
+            }
+        ).groupby("host", as_index=False).sum()
+        return g
+
+    parts = links.map_batches(partial, batch_format="pandas")
+    folded, parts = fold_or_reduce(
+        parts, ["host"], {"n_self": "sum", "n_internal": "sum", "n_external": "sum"}
+    )
+    if folded is None:
+        from ray.data.aggregate import Sum
+
+        folded = (
+            parts.groupby("host")
+            .aggregate(
+                Sum("n_self", alias_name="n_self"),
+                Sum("n_internal", alias_name="n_internal"),
+                Sum("n_external", alias_name="n_external"),
+            )
+            .to_pandas()
+        )
+    total = (folded["n_self"] + folded["n_internal"] + folded["n_external"]).astype(np.int64)
+    out = folded.assign(
+        frac_external=folded["n_external"].astype(np.float64) / total
+    ).sort_values("host", ignore_index=True)
+    return rd.from_pandas(out.astype({"n_self": "int64", "n_internal": "int64", "n_external": "int64"}))
+
+
+def assortativity(pages: rd.Dataset, broadcast_nodes: int = _BROADCAST_NODES) -> rd.Dataset:
+    """Global degree assortativity: Pearson correlation of
+    (out-degree(src), in-degree(dst)) over every internal directed
+    edge, multiplicity counted — the one-number mixing diagnostic
+    (r < 0: hubs point at leaves, editorial web; r > 0: hubs citing
+    hubs, the link-farm signature). Newman 2002 via the exact-int64
+    moment device of ``rel_corr``: per-batch moment partials are
+    ROW-LOCAL (a page's own anchor count is x; y probes the broadcast
+    in-degree column), the bounded partial rows fold on the driver
+    with arbitrary-precision Python ints, and ONE identical float
+    expression finishes on both engines. Output: a single row
+    (n_edges, sum moments, r)."""
+    n_nodes = pages.count()
+    empty = pd.DataFrame(
+        {
+            "n_edges": pd.Series([0], dtype="int64"),
+            "r": pd.Series([0.0], dtype="float64"),
+        }
+    )
+    if n_nodes == 0:
+        return rd.from_pandas(empty)
+    node_ds = pages.select_columns(["url"])
+    nodes = _sorted_node_hashes(node_ds, n_nodes) if n_nodes <= broadcast_nodes else None
+    if nodes is None:
+        return _assortativity_join(pages, node_ds, empty)
+    hashes, urls = nodes
+    # in-degree column aligned to hash order (multiplicity counted);
+    # indegree also reports EXTERNAL targets — mask them out (the edge
+    # set below is internal-only, so their degree is never probed)
+    ind = indegree(pages).to_pandas()
+    deg_in = np.zeros(len(hashes), dtype=np.int64)
+    ih = _hash64(np.asarray(ind["url"], dtype=object))
+    pos0 = np.searchsorted(hashes, ih)
+    pos0c = np.minimum(pos0, len(hashes) - 1)
+    known = hashes[pos0c] == ih
+    deg_in[pos0c[known]] = ind["in_degree"].to_numpy(np.int64)[known]
+    h_ref = ray.put(hashes)
+    d_ref = ray.put(deg_in)
+
+    def moments(t: pa.Table, _h=h_ref, _d=d_ref) -> pd.DataFrame:
+        hs = ray.get(_h)
+        dg = ray.get(_d)
+        n = sx = sy = sxx = syy = sxy = 0
+        html = t.column("html")
+        for i in range(t.num_rows):
+            tgts = HREF_RE.findall(memoryview(html[i].as_buffer()))
+            if not tgts:
+                continue
+            x = len(tgts)  # out-degree of src is row-local
+            th = _hash64([b.decode("utf-8", "surrogateescape") for b in tgts])
+            pos = np.searchsorted(hs, th)
+            pos[pos >= len(hs)] = len(hs) - 1
+            found = hs[pos] == th
+            if not found.any():
+                continue
+            ys = dg[pos[found]]
+            k = int(found.sum())
+            n += k
+            sx += x * k
+            sxx += x * x * k
+            sy += int(ys.sum())
+            syy += int((ys * ys).sum())
+            sxy += x * int(ys.sum())
+        return pd.DataFrame(
+            {
+                "n": pd.Series([n], dtype="int64"),
+                "sx": pd.Series([sx], dtype="int64"),
+                "sy": pd.Series([sy], dtype="int64"),
+                "sxx": pd.Series([sxx], dtype="int64"),
+                "syy": pd.Series([syy], dtype="int64"),
+                "sxy": pd.Series([sxy], dtype="int64"),
+            }
+        )
+
+    parts = pages.map_batches(moments, batch_format="pyarrow").to_pandas()
+    return rd.from_pandas(_assort_finish(parts, empty))
+
+
+def _assort_finish(parts: pd.DataFrame, empty: pd.DataFrame) -> pd.DataFrame:
+    # arbitrary-precision driver fold: int64 partials are batch-safe,
+    # the global sums may not be
+    n = sum(int(v) for v in parts["n"])
+    if n == 0:
+        return empty
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx) ** 0.5 * float(n * syy - sy * sy) ** 0.5
+    r = num / den if den > 0 else 0.0
+    return pd.DataFrame({"n_edges": pd.Series([n], dtype="int64"), "r": pd.Series([r], dtype="float64")})
+
+
+def _assortativity_join(pages, node_ds, empty: pd.DataFrame) -> rd.Dataset:
+    """Beyond the broadcast bound: outlinks ⨝ in-degree at cluster
+    width, per-batch moment partials, driver big-int fold."""
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    od = outlink_degree(pages).map_batches(
+        lambda t: pa.table({"o_url": t.column("url"), "x": t.column("out_degree")}),
+        batch_format="pyarrow",
+    )
+    ind = indegree(pages).map_batches(
+        lambda t: pa.table({"i_url": t.column("url"), "y": t.column("in_degree")}),
+        batch_format="pyarrow",
+    )
+    # internal edges only: an external target's in-degree exists in the
+    # ind table but the correlation is defined over the crawled graph
+    edges = (
+        outlinks(pages)
+        .join(
+            node_ds.map_batches(
+                lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"
+            ),
+            join_type="left_semi",
+            num_partitions=width,
+            on=("dst",),
+            right_on=("nd_url",),
+        )
+        .join(od, join_type="inner", num_partitions=width, on=("src",), right_on=("o_url",))
+        .join(ind, join_type="inner", num_partitions=width, on=("dst",), right_on=("i_url",))
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(df)], dtype="int64"),
+                "sx": pd.Series([int(x.sum())], dtype="int64"),
+                "sy": pd.Series([int(y.sum())], dtype="int64"),
+                "sxx": pd.Series([int((x * x).sum())], dtype="int64"),
+                "syy": pd.Series([int((y * y).sum())], dtype="int64"),
+                "sxy": pd.Series([int((x * y).sum())], dtype="int64"),
+            }
+        )
+
+    parts = edges.map_batches(moments, batch_format="pandas").to_pandas()
+    return rd.from_pandas(_assort_finish(parts, empty))

@@ -1191,3 +1191,48 @@ def alias_collapse(pages_ds):
         return pd.DataFrame({"url": df["url"].astype(str), "alias": alias})
 
     return pages_ds.map_batches(probe, batch_format="pandas")
+
+
+def url_depth_hist(pages_ds) -> "rd.Dataset":
+    """Per-host URL path-depth histogram: depth = path segments after
+    the host (``https://h/a/b`` -> 2) — the frontier depth-budgeting
+    diagnostic (depth caps are the cheapest spider-trap guard; this is
+    the table that says where a host's URL mass actually lives, cf.
+    ``url_templates`` for the per-template view).
+
+    Row-local vectorized count('/') per batch, (host, depth) partial
+    combine, dual-path fold — URLs never shuffle."""
+    import ray.data as rd
+
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype=object),
+                    "depth": pd.Series(dtype="int64"),
+                    "n_urls": pd.Series(dtype="int64"),
+                }
+            )
+        u = df["url"].astype(str)
+        host = u.str.split("/", n=3).str[2]
+        depth = (u.str.count("/") - 2).astype("int64")
+        g = (
+            pd.DataFrame({"host": host, "depth": depth})
+            .groupby(["host", "depth"], as_index=False)
+            .agg(n_urls=("depth", "size"))
+        )
+        return g.astype({"n_urls": "int64"})
+
+    parts = pages_ds.map_batches(partial, batch_format="pandas")
+    folded, parts = fold_or_reduce(parts, ["host", "depth"], {"n_urls": "sum"})
+    if folded is not None:
+        return rd.from_pandas(
+            folded.sort_values(["host", "depth"], ignore_index=True).astype(
+                {"depth": "int64", "n_urls": "int64"}
+            )
+        )
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(["host", "depth"]).aggregate(Sum("n_urls", alias_name="n_urls"))

@@ -832,3 +832,48 @@ class TestHostMacroStructure:
         # b's only internal target is c (out-degree 2)
         row = a[a.url == "https://h1.org/b"].iloc[0]
         assert (row.sum_nbr_deg, row.n_nbrs, row.avg_nbr_deg) == (2, 1, 2.0)
+
+
+class TestLocalityAssortativity:
+    def test_locality_fixture(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import outlink_locality
+
+        df = outlink_locality(tiny_graph).to_pandas().set_index("host")
+        # h1: a->b (self), b->c (internal to h2); no external
+        assert (df.loc["h1.org", ["n_self", "n_internal", "n_external"]] == [1, 1, 0]).all()
+        # h2: c->a x2 (internal), d->e (self)
+        assert (df.loc["h2.org", ["n_self", "n_internal", "n_external"]] == [1, 2, 0]).all()
+
+    def test_locality_external(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import outlink_locality
+
+        rows = [_page("https://a.org/1", ["https://a.org/2", "https://ext.net/x"])]
+        df = outlink_locality(rd.from_items(rows)).to_pandas().set_index("host")
+        r = df.loc["a.org"]
+        assert (r.n_self, r.n_internal, r.n_external) == (1, 0, 1)
+        assert r.frac_external == 0.5
+
+    def test_assortativity_paths_agree(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import assortativity
+
+        a = assortativity(tiny_graph).to_pandas()
+        b = assortativity(tiny_graph, broadcast_nodes=0).to_pandas()[a.columns]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert a.iloc[0].n_edges == 5  # all tiny_graph targets are internal
+
+    def test_url_depth_hist(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import url_depth_hist
+
+        rows = [
+            {"url": "https://a.org/x"},
+            {"url": "https://a.org/x/y"},
+            {"url": "https://a.org/x/y"},
+            {"url": "https://b.org/p/q/r"},
+        ]
+        df = url_depth_hist(rd.from_items(rows)).to_pandas()
+        m = {(r.host, r.depth): r.n_urls for r in df.itertuples()}
+        assert m == {("a.org", 1): 1, ("a.org", 2): 2, ("b.org", 3): 1}

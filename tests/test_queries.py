@@ -269,6 +269,9 @@ def test_oracle_checked_small(contract, name):
         "graph_bowtie",
         "graph_host_clustering",
         "graph_avg_nbr_degree",
+        "graph_outlink_locality",
+        "graph_assortativity",
+        "crawl_url_depth",
         "graph_label_prop",
         "crawl_title_dups",
         "crawl_url_templates",
