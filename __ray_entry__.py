@@ -432,6 +432,12 @@ def _q_graph_avg_nbr_degree(sf_dir: str):
     return lg.avg_neighbor_degree(_graph_pages(sf_dir))
 
 
+def _q_graph_reciprocity_rate(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.reciprocity_rate(_graph_pages(sf_dir))
+
+
 def _q_graph_outlink_locality(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1100,6 +1106,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expansion diagnostic): broadcast host set, row-local
         # classification, dual-path (host, 3-counter) fold
         "graph_outlink_locality": _q_graph_outlink_locality,
+        # one-number link reciprocity (editorial web vs link-exchange
+        # mesh): the reciprocal_links presence-bit fold reduced to int64
+        # partial sums, big-int driver finish, one division
+        "graph_reciprocity_rate": _q_graph_reciprocity_rate,
+        # deterministic round-robin interleave across sources (mixture
+        # scheduling): per-source md5 rank via (source, bucket)
+        # prefix sums, rr_pos arithmetic — positions move, never payload
+        "samp_interleave": lambda sf: smp.interleave_order(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+        ),
         # Newman 2002 degree assortativity over internal edges: exact
         # int64 moment partials row-local (x = own anchor count, y from
         # the broadcast in-degree column), big-int driver fold, ONE
@@ -1995,6 +2011,20 @@ def oracle_sql() -> dict[str, str]:
                    WHERE u IN (SELECT url FROM n4) AND v IN (SELECT url FROM n4))
             SELECT x AS url, COUNT(*)::BIGINT AS core_deg
             FROM (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) GROUP BY 1
+        """,
+        # same distinct-edge universe as graph_reciprocal; one division
+        "graph_reciprocity_rate": f"""
+            WITH l0 AS (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+              FROM {pages}),
+            links AS (SELECT DISTINCT src, dst FROM l0 WHERE src <> dst),
+            r AS (SELECT COUNT(*) AS np FROM links a
+                  JOIN links b ON a.src = b.dst AND a.dst = b.src WHERE a.src < a.dst)
+            SELECT CAST((SELECT COUNT(*) FROM links) AS BIGINT) AS n_edges,
+                   CAST(np AS BIGINT) AS n_reciprocal_pairs,
+                   2.0 * np / (SELECT COUNT(*) FROM links) AS reciprocity
+            FROM r
         """,
         # broadcast host membership in SQL = IN (SELECT h FROM hosts);
         # one double division per host, engine operand order
@@ -4149,6 +4179,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                        AS pos
             FROM documents
+        """,
+        # round-robin interleave key: per-source md5 rank + arithmetic
+        "samp_interleave": """
+            WITH r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rs
+                       FROM documents),
+            s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+                  FROM (SELECT DISTINCT source FROM documents)),
+            n AS (SELECT COUNT(*) AS ns FROM s)
+            SELECT r.doc_id, r.source, CAST(r.rs AS BIGINT) AS rs,
+                   CAST((r.rs - 1) * n.ns + s.sidx AS BIGINT) AS rr_pos
+            FROM r JOIN s USING (source) CROSS JOIN n
         """,
         "samp_group_sample": """
             SELECT source, doc_id FROM (

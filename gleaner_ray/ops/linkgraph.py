@@ -78,6 +78,7 @@ __all__ = [
     "avg_neighbor_degree",
     "outlink_locality",
     "assortativity",
+    "reciprocity_rate",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -2669,3 +2670,90 @@ def _assortativity_join(pages, node_ds, empty: pd.DataFrame) -> rd.Dataset:
 
     parts = edges.map_batches(moments, batch_format="pandas").to_pandas()
     return rd.from_pandas(_assort_finish(parts, empty))
+
+
+def reciprocity_rate(pages: rd.Dataset) -> rd.Dataset:
+    """Global link reciprocity: the fraction of distinct directed
+    internal-or-external edges whose reverse also exists — one number
+    separating an editorial web (low: citation flows one way) from a
+    link-exchange mesh (high: "you link me, I link you"). Newman et
+    al.'s r = 2·pairs / edges over the same distinct-edge universe as
+    :func:`reciprocal_links` (self-loops dropped).
+
+    Scale shape: the identical idempotent presence-bit fold (Max of
+    fwd/rev per unordered pair) — driver fold under the cap; beyond,
+    the pair-keyed groupby-Max reduced to ONE row of int64 partial
+    sums per block, big-int folded on the driver. One double
+    division."""
+    from ray.data.aggregate import Max
+
+    from .fold import DRIVER_KEYS, fold_or_reduce
+
+    edges = outlinks(pages)
+    empty_bits = pd.DataFrame(
+        {
+            "url_a": pd.Series(dtype=str),
+            "url_b": pd.Series(dtype=str),
+            "fwd": pd.Series(dtype="int64"),
+            "rev": pd.Series(dtype="int64"),
+        }
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_bits
+        df = df[df["src"] != df["dst"]]
+        if df.empty:
+            return empty_bits
+        lo = df["src"].where(df["src"] < df["dst"], df["dst"])
+        hi = df["dst"].where(df["src"] < df["dst"], df["src"])
+        fwd = (df["src"] < df["dst"]).astype("int64")
+        return (
+            pd.DataFrame({"url_a": lo, "url_b": hi, "fwd": fwd, "rev": 1 - fwd})
+            .groupby(["url_a", "url_b"], as_index=False)
+            .max()
+        )
+
+    folded, parts = fold_or_reduce(
+        edges.map_batches(fold, batch_format="pandas"),
+        ["url_a", "url_b"],
+        {"fwd": "max", "rev": "max"},
+        DRIVER_KEYS,
+    )
+
+    def finish(n_fwd: int, n_rev: int, n_pairs: int) -> pd.DataFrame:
+        d = n_fwd + n_rev
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([d], dtype="int64"),
+                "n_reciprocal_pairs": pd.Series([n_pairs], dtype="int64"),
+                "reciprocity": pd.Series([2.0 * n_pairs / d if d else 0.0], dtype="float64"),
+            }
+        )
+
+    if folded is not None:
+        both = (folded["fwd"] == 1) & (folded["rev"] == 1)
+        return rd.from_pandas(
+            finish(int(folded["fwd"].sum()), int(folded["rev"].sum()), int(both.sum()))
+        )
+    agg = parts.groupby(["url_a", "url_b"]).aggregate(
+        Max("fwd", alias_name="fwd"), Max("rev", alias_name="rev")
+    )
+
+    def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "f": pd.Series([int(df["fwd"].sum())], dtype="int64"),
+                "r": pd.Series([int(df["rev"].sum())], dtype="int64"),
+                "p": pd.Series([int(((df["fwd"] == 1) & (df["rev"] == 1)).sum())], dtype="int64"),
+            }
+        )
+
+    sums = agg.map_batches(partial_sums, batch_format="pandas").to_pandas()
+    return rd.from_pandas(
+        finish(
+            sum(int(v) for v in sums["f"]),
+            sum(int(v) for v in sums["r"]),
+            sum(int(v) for v in sums["p"]),
+        )
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "vocab_overlap",
     "source_tv_distance",
     "shuffle_positions",
+    "interleave_order",
     "group_sample_n",
     "rank_by_key",
 ]
@@ -1048,3 +1049,69 @@ def rank_by_key(ds, key: str, tiebreak: str | None = None, prefix_len: int = 2):
         return out
 
     return keyed.groupby("_pfx").map_groups(rank_bucket, batch_format="pandas")
+
+
+def interleave_order(ds, group: str = "source", key: str = "doc_id"):
+    """Deterministic round-robin interleave order across sources — the
+    mixture-scheduling sibling of :func:`shuffle_positions`: training
+    wants sources evenly spread through an epoch, not merely globally
+    shuffled (a md5 shuffle leaves runs; round-robin bounds the gap
+    between consecutive docs of one source to the source count).
+
+    rr_pos = (rank_within_source − 1) · n_sources + source_index is a
+    total order key: sorting by it visits sources round-robin, each
+    source in its own md5 order. Same two-level prefix-sum seam as
+    ``shuffle_positions`` with (source, bucket) buckets — only
+    positions move, the corpus never payload-sorts. At 10^12 rows
+    widen to 2-byte buckets so one (source, bucket) cell stays a
+    single group task."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(k).encode()).hexdigest() for k in df[key]]
+        return pd.DataFrame(
+            {
+                key: df[key],
+                group: df[group],
+                "h": h,
+                "bucket": np.fromiter((int(x[:2], 16) for x in h), dtype="int64", count=len(h)),
+            }
+        )
+
+    hashed = ds.map_batches(with_hash, batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group, "bucket"], as_index=False).agg(n=("bucket", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tbl = (
+        hashed.map_batches(bucket_counts, batch_format="pandas")
+        .groupby([group, "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([group, "bucket"], ignore_index=True)
+    )
+    tbl["base"] = (tbl.groupby(group)["n"].cumsum() - tbl["n"]).astype("int64")
+    base = {(s, int(b)): int(v) for s, b, v in zip(tbl[group], tbl["bucket"], tbl["base"])}
+    sources = sorted(tbl[group].unique().tolist())
+    sidx = {s: i for i, s in enumerate(sources)}
+    n_sources = len(sources)
+    state = ray.put((base, sidx, n_sources))
+
+    def rank_bucket(df: pd.DataFrame, _st=state) -> pd.DataFrame:
+        bases, si, ns = ray.get(_st)
+        df = df.sort_values(["h", key], kind="mergesort", ignore_index=True)
+        s = df[group].iloc[0]
+        rs = bases[(s, int(df["bucket"].iloc[0]))] + np.arange(1, len(df) + 1, dtype="int64")
+        return pd.DataFrame(
+            {
+                key: df[key],
+                group: df[group],
+                "rs": rs,
+                "rr_pos": (rs - 1) * np.int64(ns) + np.int64(si[s]),
+            }
+        )
+
+    return hashed.groupby([group, "bucket"]).map_groups(rank_bucket, batch_format="pandas")

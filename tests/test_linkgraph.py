@@ -877,3 +877,27 @@ class TestLocalityAssortativity:
         df = url_depth_hist(rd.from_items(rows)).to_pandas()
         m = {(r.host, r.depth): r.n_urls for r in df.itertuples()}
         assert m == {("a.org", 1): 1, ("a.org", 2): 2, ("b.org", 3): 1}
+
+
+class TestReciprocityRate:
+    def test_fixture_rate(self, tiny_graph):
+        from gleaner_ray.ops.linkgraph import reciprocity_rate
+
+        r = reciprocity_rate(tiny_graph).to_pandas().iloc[0]
+        # distinct directed edges: a->b, b->c, c->a, d->e = 4; no pair
+        # has both directions
+        assert (r.n_edges, r.n_reciprocal_pairs, r.reciprocity) == (4, 0, 0.0)
+
+    def test_mutual_pair(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import reciprocity_rate
+
+        rows = [
+            _page("https://a.org/1", ["https://b.org/1", "https://c.org/1"]),
+            _page("https://b.org/1", ["https://a.org/1"]),
+        ]
+        r = reciprocity_rate(rd.from_items(rows)).to_pandas().iloc[0]
+        # edges: a->b, a->c, b->a = 3; one mutual pair {a,b}
+        assert (r.n_edges, r.n_reciprocal_pairs) == (3, 1)
+        assert r.reciprocity == 2.0 / 3.0

@@ -2242,3 +2242,20 @@ class TestContainment:
         ds = rd.from_items([{"doc_id": 1, "text": t}, {"doc_id": 2, "text": t}])
         out = ngram_containment_dedup(ds, threshold=0.8).to_pandas()
         assert len(out) == 1 and out.iloc[0].containment == 1.0
+
+
+class TestInterleave:
+    def test_round_robin_property(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.sampling import interleave_order
+
+        rows = [{"doc_id": i, "source": "s%d" % (i % 3)} for i in range(30)]
+        out = interleave_order(rd.from_items(rows)).to_pandas().sort_values("rr_pos")
+        # rr_pos is a strict total order and visits sources round-robin
+        assert out["rr_pos"].is_unique
+        assert list(out["source"].iloc[:3].sort_values()) == ["s0", "s1", "s2"]
+        # consecutive docs of one source are exactly n_sources apart
+        for s, g in out.groupby("source"):
+            d = np.diff(np.sort(g["rr_pos"].to_numpy()))
+            assert (d == 3).all()

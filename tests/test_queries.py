@@ -192,6 +192,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_domain_cap",
         "samp_uniform_n",
         "samp_shuffle_pos",
+        "samp_interleave",
         "samp_group_sample",
         "text_model_score",
         "text_ppl_buckets",
@@ -270,6 +271,7 @@ def test_oracle_checked_small(contract, name):
         "graph_host_clustering",
         "graph_avg_nbr_degree",
         "graph_outlink_locality",
+        "graph_reciprocity_rate",
         "graph_assortativity",
         "crawl_url_depth",
         "graph_label_prop",
