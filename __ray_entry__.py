@@ -1539,6 +1539,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda df: df[df["doc_id"] < 20], batch_format="pandas"
             ),
         ),
+        # per-source curation league table (volume, punct density,
+        # English share, exact dup rate): int64 sum partials dual-path
+        # folded; the only corpus exchange is the (source, md5) distinct
+        "pipe_source_league": lambda sf: tx.source_league(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+        ),
         # one-row corpus health report: one fused partial pass + the
         # exact-distinct md5 reduce
         "pipe_corpus_report": lambda sf: tx.corpus_report(
@@ -4179,6 +4185,24 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                        AS pos
             FROM documents
+        """,
+        # int64 sums + two divisions per source, engine operand order
+        "pipe_source_league": r"""
+            WITH agg AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     SUM(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                                         x -> x <> ''))) AS n_tokens,
+                     SUM(length(coalesce(text,''))) AS n_chars,
+                     SUM(length(regexp_replace(coalesce(text,''), '[^!-/:-@\[-`{-~]', '', 'g'))) AS n_punct,
+                     SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+                     COUNT(DISTINCT md5(coalesce(text,''))) AS n_distinct
+              FROM documents GROUP BY 1)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_chars AS BIGINT) AS n_chars, CAST(n_punct AS BIGINT) AS n_punct,
+                   CAST(n_en AS BIGINT) AS n_en, CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                   CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
+            FROM agg
         """,
         # round-robin interleave key: per-source md5 rank + arithmetic
         "samp_interleave": """

@@ -51,6 +51,7 @@ __all__ = [
     "tfidf_topk",
     "training_data_prep",
     "corpus_report",
+    "source_league",
     "html_visible_text",
     "blocklist_filter",
     "sentence_split",
@@ -2299,3 +2300,116 @@ def bigram_lm_scores(ds, key: str = "doc_id", text_col: str = "text", alpha: flo
         return pd.DataFrame({key: df[key].to_numpy(), "n_tokens": lens, "score": out})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def source_league(ds):
+    """Per-source curation league table — the report a mixture planner
+    reads before weighting sources: document/token/char volume, exact
+    punctuation density, English share, and exact within-source dup
+    rate. (``corpus_report`` is the one-row corpus twin; this is the
+    per-source breakdown that actually drives ``samp_source_mix`` /
+    ``samp_temperature`` style decisions.)
+
+    Exactness: every per-source statistic reduces as int64 sums (no
+    mean-of-floats order dependence); punct_ratio = punct/chars and
+    dup_rate = (docs−distinct)/docs are each ONE double division on
+    the bounded source table. Scale shape: one fused streaming pass
+    emits source-keyed sum partials (dual-path fold); the only
+    corpus-keyed exchange is the exact-distinct (source, md5) table —
+    ``exact_dedup``'s cost, swappable for the HLL sketch when
+    exactness isn't worth the shuffle."""
+    import hashlib
+
+    import ray.data as rd
+
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "source": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_chars": pd.Series(dtype="int64"),
+            "n_punct": pd.Series(dtype="int64"),
+            "n_en": pd.Series(dtype="int64"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        text = df["text"].fillna("")
+        stripped = text.str.strip()
+        n_ws = stripped.str.split(_WS_RE).str.len()
+        n_ws = n_ws.where(stripped != "", 0).astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "n_docs": np.ones(len(df), dtype=np.int64),
+                    "n_tokens": n_ws,
+                    "n_chars": text.str.len().astype("int64"),
+                    "n_punct": text.str.count(_PUNCT_RE).astype("int64"),
+                    "n_en": (df["lang"] == "en").astype("int64"),
+                }
+            )
+            .groupby("source", as_index=False)
+            .sum()
+        )
+        return g
+
+    parts = ds.map_batches(sums, batch_format="pandas")
+    folded, parts = fold_or_reduce(
+        parts,
+        ["source"],
+        {"n_docs": "sum", "n_tokens": "sum", "n_chars": "sum", "n_punct": "sum", "n_en": "sum"},
+    )
+    if folded is None:
+        from ray.data.aggregate import Sum
+
+        folded = (
+            parts.groupby("source")
+            .aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_chars", alias_name="n_chars"),
+                Sum("n_punct", alias_name="n_punct"),
+                Sum("n_en", alias_name="n_en"),
+            )
+            .to_pandas()
+        )
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "h": pd.Series(dtype=object),
+                 "_n": pd.Series(dtype="int8")}
+            )
+        h = [hashlib.md5(str(t).encode()).hexdigest() for t in df["text"].fillna("")]
+        out = pd.DataFrame({"source": df["source"], "h": h}).drop_duplicates()
+        return out.assign(_n=np.ones(len(out), dtype=np.int8))
+
+    dparts = ds.map_batches(digests, batch_format="pandas")
+    dfolded, dparts = fold_or_reduce(dparts, ["source", "h"], {"_n": "max"})
+    if dfolded is not None:
+        distinct = dfolded.groupby("source", as_index=False).agg(n_distinct=("h", "size"))
+    else:
+        from ray.data.aggregate import Sum
+
+        distinct = (
+            dparts.groupby(["source", "h"])
+            .aggregate(Sum("_n", alias_name="_n"))
+            .map_batches(
+                lambda d: d.groupby("source", as_index=False).agg(n_distinct=("h", "size")),
+                batch_format="pandas",
+            )
+            .groupby("source")
+            .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+            .to_pandas()
+        )
+    out = folded.merge(distinct, on="source")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["punct_ratio"] = out["n_punct"].astype(np.float64) / out["n_chars"]
+    out["dup_rate"] = (out["n_docs"] - out["n_distinct"]).astype(np.float64) / out["n_docs"]
+    return rd.from_pandas(
+        out.sort_values("source", ignore_index=True).astype(
+            {c: "int64" for c in ("n_docs", "n_tokens", "n_chars", "n_punct", "n_en", "n_distinct")}
+        )
+    )

@@ -203,6 +203,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "pipe_source_gate",
         "pipe_training_data",
         "pipe_corpus_report",
+        "pipe_source_league",
         "dedup_exact",
         "dedup_chunk",
         "dedup_fuzzy_keep",
