@@ -450,6 +450,12 @@ def _q_graph_assortativity(sf_dir: str):
     return lg.assortativity(_graph_pages(sf_dir))
 
 
+def _q_crawl_hreflang(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import hreflang_clusters
+
+    return hreflang_clusters(_graph_pages(sf_dir))
+
+
 def _q_crawl_url_depth(sf_dir: str):
     import ray.data as rd
 
@@ -1124,6 +1130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host URL path-depth histogram (spider-trap depth budget):
         # row-local count('/') + dual-path (host, depth) fold
         "crawl_url_depth": _q_crawl_url_depth,
+        # i18n alternate clusters (v11 corpus plants /alt/ hreflang
+        # families, every 4th annotated one-way): row-local tag
+        # extract, bounded distinct-edge fold, exact union-find
+        # closure — the frontier's language-variant dedup key
+        "crawl_hreflang": _q_crawl_hreflang,
         # synchronous label propagation (2 rounds, mode vote, tie ->
         # min label): community detection for link-farm / site-family
         # discovery; np.unique argmax rounds under the node bound,
@@ -1726,7 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_counts": f"""
             SELECT {_HOST_CASE} AS source, COUNT(*) AS fetched
             FROM {pages}
-            WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%'
+            WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%' AND url NOT LIKE '%/alt/%'
             GROUP BY 1 ORDER BY 1
         """,
         "crawl_dup_dedup": f"""
@@ -2078,6 +2089,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
             FROM m
+        """,
+        # undirected closure over the annotation edges (one-way tags
+        # included), cluster = lexicographic min member; unions wrapped
+        # in subqueries (WITH RECURSIVE chained-UNION dedup quirk)
+        "crawl_hreflang": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT url AS src,
+                     UNNEST(regexp_extract_all(decode(html),
+                         '<link rel="alternate" hreflang="[^"]+" href="([^"]+)">', 1)) AS dst
+              FROM {pages}),
+            e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM t WHERE dst <> src),
+            und AS MATERIALIZED (SELECT src, dst FROM (
+              SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)),
+            nodes AS MATERIALIZED (SELECT url FROM (
+              SELECT src AS url FROM und UNION SELECT dst FROM und)),
+            reach(s, d) AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT r.s, u.dst FROM reach r JOIN und u ON u.src = r.d)
+            SELECT n.url, LEAST(n.url, MIN(r.d)) AS cluster
+            FROM nodes n LEFT JOIN reach r ON r.s = n.url
+            GROUP BY n.url
         """,
         # row-local split/count; depth = path segments after the host
         "crawl_url_depth": f"""
@@ -3378,7 +3411,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY source ORDER BY warc_ts) - 1 AS seq,
                      regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
               FROM (SELECT url, warc_ts, {_HOST_CASE} AS source FROM {pages}
-                    WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%'))
+                    WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%' AND url NOT LIKE '%/alt/%'))
             SELECT url, source, seq,
                    unnest(CASE cls WHEN 'invalid' THEN [-1] WHEN 'nojsonld' THEN [-1]
                                    WHEN 'multi' THEN [0, 1] WHEN 'grapharray' THEN [0, 1, 2]
@@ -3399,7 +3432,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT {_HOST_CASE} AS source,
                      regexp_extract(url, '/ref/([a-z]+)/', 1) AS cls
               FROM {pages}
-              WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%')
+              WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%' AND url NOT LIKE '%/alt/%')
             SELECT source, type_iri, COUNT(*)::BIGINT AS n_nodes FROM (
               SELECT source, unnest(CASE cls
                 WHEN 'canon' THEN ['https://schema.org/Dataset']
@@ -3423,7 +3456,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n,
                    CASE WHEN source = 'hydro1' THEN COUNT(*) * 1000 ELSE 0 END AS max_admit_ms,
                    COUNT(*) - 1 AS max_seq
-            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%')
+            FROM (SELECT {_HOST_CASE} AS source FROM {pages} WHERE url NOT LIKE '%/private/%' AND url NOT LIKE '%/mirror/%' AND url NOT LIKE '%/redir/%' AND url NOT LIKE '%/gone/%' AND url NOT LIKE '%/alt/%')
             GROUP BY source ORDER BY source
         """,
         # crawl -> corpus handoff: the union of the two pinned

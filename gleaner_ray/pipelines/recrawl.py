@@ -40,14 +40,18 @@ path, not the construction rule.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 __all__ = [
     "recrawl_snapshot",
     "change_detect",
     "priority_update",
+    "url_depth_hist",
+    "hreflang_clusters",
     "host_stats",
     "mirror_hosts",
     "duplicate_titles",
@@ -1236,3 +1240,85 @@ def url_depth_hist(pages_ds) -> "rd.Dataset":
     from ray.data.aggregate import Sum
 
     return parts.groupby(["host", "depth"]).aggregate(Sum("n_urls", alias_name="n_urls"))
+
+
+_HREFLANG_RE = re.compile(rb'<link rel="alternate" hreflang="[^"]+" href="([^"]+)">')
+
+
+def hreflang_clusters(pages_ds) -> "rd.Dataset":
+    """i18n alternate-cluster resolution: pages tied together by
+    ``<link rel="alternate" hreflang=...>`` annotations form one
+    logical document in N languages — the cluster a frontier dedupes
+    against (crawl every variant once, never re-discover them as
+    "new" URLs) and a corpus builder keeps exactly one of per target
+    language. Real-web annotations are often ONE-WAY (only the primary
+    page lists its variants), so the grouping is the connected-
+    component closure over the undirected annotation edges, not tag
+    symmetry — the corpus plants such partial clusters.
+
+    Output: (url, cluster) for every url that appears in any
+    annotation (source or target), cluster = lexicographic min member.
+
+    Scale shape: tag extraction is row-local over the html bytes; the
+    distinct (src, dst) edge table is bounded by annotation volume
+    (i18n clusters, orders of magnitude below page count) and folds
+    dual-path; exact union-find closure on the driver over the bounded
+    edge table — the same bounded-relation-closure seam as
+    ``resolve_redirects`` / ``alias_collapse``."""
+    import ray.data as rd
+
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "src": pd.Series(dtype=object),
+            "dst": pd.Series(dtype=object),
+            "_n": pd.Series(dtype="int8"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        srcs, dsts = [], []
+        for url, html in zip(df["url"], df["html"]):
+            for m in _HREFLANG_RE.findall(bytes(html)):
+                d = m.decode("utf-8", "surrogateescape")
+                if d != url:
+                    srcs.append(url)
+                    dsts.append(d)
+        out = pd.DataFrame({"src": srcs, "dst": dsts}).drop_duplicates()
+        return out.assign(_n=np.ones(len(out), dtype=np.int8))
+
+    parts = pages_ds.map_batches(edges, batch_format="pandas")
+    folded, parts = fold_or_reduce(parts, ["src", "dst"], {"_n": "max"})
+    if folded is None:
+        from ray.data.aggregate import Max
+
+        folded = (
+            parts.groupby(["src", "dst"]).aggregate(Max("_n", alias_name="_n")).to_pandas()
+        )
+    if folded.empty:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "cluster": pa.array([], pa.string())})
+        )
+    nodes = sorted(set(folded["src"]) | set(folded["dst"]))
+    idx = {u: i for i, u in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(folded["src"], folded["dst"]):
+        a, b = find(idx[s]), find(idx[d])
+        if a != b:
+            parent[max(a, b)] = min(a, b)  # nodes sorted: min index = min url
+    roots = [find(i) for i in range(len(nodes))]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(nodes, pa.string()),
+                "cluster": pa.array([nodes[r] for r in roots], pa.string()),
+            }
+        )
+    )

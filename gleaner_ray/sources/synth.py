@@ -217,7 +217,7 @@ def generate_corpus(
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "source"])
     if n_pages is None:
         n_pages = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
-    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 10}
+    stamp = {"sf_dir": os.path.abspath(sf_dir), "n_docs": docs.num_rows, "n_pages": n_pages, "version": 11}
     if not force and os.path.exists(manifest_path):
         try:
             if json.load(open(manifest_path)) == stamp:
@@ -390,6 +390,44 @@ def generate_corpus(
             langs.append("en")
         if len(urls) >= rows_per_file:
             flush()
+    flush()
+
+    # hreflang alternate clusters (v11): /alt/{j}/{lang} language
+    # variants tied together with <link rel="alternate" hreflang=...>
+    # annotations — the i18n duplicate-cluster signal for
+    # ``pipelines/recrawl.hreflang_clusters``. Every fourth cluster
+    # annotates ONLY on the en page (one-way annotations, the common
+    # real-web misconfiguration) so the closure — not mere tag
+    # symmetry — is what groups them. Like /mirror/ and /redir/,
+    # never listed in a sitemap (crawl-admission oracles exclude
+    # the /alt/ prefix).
+    _ALT_LANGS = ["en", "de", "fr", "ja"]
+    n_alt = max(3, n_pages // 384)
+    for j in range(n_alt):
+        langs_j = _ALT_LANGS[: 2 + j % 3]
+        ahost = HOSTS[_assign_source(j * 5 + 2)]
+        cluster_urls = {L: "https://%s/alt/%d/%s" % (ahost, j, L) for L in langs_j}
+        partial = j % 4 == 0  # only the en page carries the tags
+        for L in langs_j:
+            if partial and L != "en":
+                tags = ""
+            else:
+                tags = "".join(
+                    '<link rel="alternate" hreflang="%s" href="%s">' % (M, cluster_urls[M])
+                    for M in langs_j
+                )
+            abody = (
+                '<!DOCTYPE html><html><head><title>Alt %d %s</title>%s</head>'
+                "<body><p>Variant %s of cluster %d.</p></body></html>" % (j, L, tags, L, j)
+            )
+            urls.append(cluster_urls[L])
+            tss.append(base_ts + extra_ts * 1000)
+            extra_ts += 1
+            htmls.append(abody.encode())
+            texts.append("Variant %s of cluster %d." % (L, j))
+            langs.append(L)
+            if len(urls) >= rows_per_file:
+                flush()
     flush()
 
     # every ~97th frontier URL additionally exists only in the sitemap

@@ -901,3 +901,37 @@ class TestReciprocityRate:
         # edges: a->b, a->c, b->a = 3; one mutual pair {a,b}
         assert (r.n_edges, r.n_reciprocal_pairs) == (3, 1)
         assert r.reciprocity == 2.0 / 3.0
+
+
+class TestHreflang:
+    def test_one_way_annotation_closure(self, ray_session):
+        """Only the en page annotates; the closure still groups all
+        variants, and an unrelated page stays out."""
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import hreflang_clusters
+
+        def alt(url, variants):
+            tags = "".join(
+                '<link rel="alternate" hreflang="%s" href="%s">' % (l, u)
+                for l, u in variants
+            )
+            return {"url": url, "html": ("<html><head>%s</head><body></body></html>" % tags).encode()}
+
+        en = "https://h.org/alt/0/en"
+        de = "https://h.org/alt/0/de"
+        fr = "https://h.org/alt/0/fr"
+        rows = [
+            alt(en, [("en", en), ("de", de), ("fr", fr)]),
+            alt(de, []),  # no tags: one-way annotation
+            alt(fr, []),
+            alt("https://h.org/other", []),
+        ]
+        df = hreflang_clusters(rd.from_items(rows)).to_pandas().set_index("url")["cluster"]
+        assert df[en] == df[de] == df[fr] == de  # 'de' sorts first
+        assert "https://h.org/other" not in df.index
+
+    def test_empty_when_no_annotations(self, tiny_graph):
+        from gleaner_ray.pipelines.recrawl import hreflang_clusters
+
+        assert hreflang_clusters(tiny_graph).count() == 0

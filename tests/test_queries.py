@@ -275,6 +275,7 @@ def test_oracle_checked_small(contract, name):
         "graph_reciprocity_rate",
         "graph_assortativity",
         "crawl_url_depth",
+        "crawl_hreflang",
         "graph_label_prop",
         "crawl_title_dups",
         "crawl_url_templates",
