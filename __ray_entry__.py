@@ -465,6 +465,16 @@ def _q_crawl_url_depth(sf_dir: str):
     return url_depth_hist(rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"]))
 
 
+def _q_graph_lang_links(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.ops import linkgraph as lg
+
+    corpus = synth.generate_corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html", "lang"])
+    return lg.lang_link_matrix(pages)
+
+
 def _q_graph_host_jaccard(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1116,6 +1126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mesh): the reciprocal_links presence-bit fold reduced to int64
         # partial sums, big-int driver finish, one division
         "graph_reciprocity_rate": _q_graph_reciprocity_rate,
+        # cross-language link matrix (multilingual frontier drift):
+        # url->lang column broadcasts once (uint16 dict codes), op is
+        # row-local under the node bound; links joined to the lang
+        # table both sides beyond; bounded lang x lang fold
+        "graph_lang_links": _q_graph_lang_links,
         # deterministic round-robin interleave across sources (mixture
         # scheduling): per-source md5 rank via (source, bucket)
         # prefix sums, rr_pos arithmetic — positions move, never payload
@@ -1311,6 +1326,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "content_md5"]
         ),
         "text_langid": lambda sf: tx.add_text_ops(docs(sf), "langid"),
+        # classifier eval at corpus scale: (true, pred) confusion
+        # matrix over the labeled lang column — one actor pass, counts
+        # fold dual-path over the bounded lang x lang table, zero joins
+        "text_langid_confusion": lambda sf: tx.langid_confusion(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+        ),
         "text_repetition": lambda sf: tx.add_text_ops(docs(sf), "repetition"),
         # full Gopher rule gate (word-count/word-length bounds, symbol
         # ratio, bullet/ellipsis line fractions, alpha-word fraction,
@@ -2118,6 +2139,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
                    CAST(COUNT(*) AS BIGINT) AS n_urls
             FROM {pages} GROUP BY 1, 2
+        """,
+        # internal edges, multiplicity counted, pages carry the lang
+        "graph_lang_links": f"""
+            WITH nodes AS (SELECT url, lang FROM {pages}),
+            links AS (
+              SELECT src, dst FROM (
+                SELECT url AS src,
+                       UNNEST(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM {pages})
+              WHERE dst IN (SELECT url FROM nodes)),
+            e AS (SELECT a.lang AS lang_src, b.lang AS lang_dst
+                  FROM links l JOIN nodes a ON a.url = l.src JOIN nodes b ON b.url = l.dst)
+            SELECT lang_src, lang_dst, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM e GROUP BY 1, 2
         """,
         # weighted host graph (n>=500 prunes stray anchors), recursive
         # closure, SCC = min mutually-reachable host; singleton nodes
@@ -3482,6 +3517,14 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
+        # same generated classifier SQL joined back to the labeled lang
+        "text_langid_confusion": """
+            WITH pred AS (__LANGID__)
+            SELECT d.lang AS lang_true, p.lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """.replace("__LANGID__", _langid_sql()),
         # the engine pins Unicode SIMPLE lowercase + ASCII-\s collapse to
         # this exact expression (ops/text._SIMPLE_LOWER_OVERRIDES)
         "text_normalize": r"""

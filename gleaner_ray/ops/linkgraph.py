@@ -79,6 +79,7 @@ __all__ = [
     "outlink_locality",
     "assortativity",
     "reciprocity_rate",
+    "lang_link_matrix",
 ]
 
 # anchors only: the synthetic corpus (and real pages) carry other
@@ -2756,4 +2757,140 @@ def reciprocity_rate(pages: rd.Dataset) -> rd.Dataset:
             sum(int(v) for v in sums["r"]),
             sum(int(v) for v in sums["p"]),
         )
+    )
+
+
+def lang_link_matrix(
+    pages: rd.Dataset, broadcast_nodes: int = _BROADCAST_NODES
+) -> rd.Dataset:
+    """Cross-language link matrix: (lang_src, lang_dst, n_links) over
+    internal directed edges, multiplicity counted — the web-science
+    table behind multilingual crawl planning (which languages cite
+    which decides where a frontier seeded in one language will drift;
+    cf. the Common-Crawl language-graph reports). ``pages`` must carry
+    ``url, html, lang``.
+
+    Dual path: under the node bound the url→lang column broadcasts
+    once (langs dictionary-encoded to uint16) and the op is ROW-LOCAL —
+    the source language rides the page row, target languages resolve
+    against the broadcast array; per-batch (src, dst) count partials
+    fold over the bounded lang×lang table. Beyond, links ⨝ lang-table
+    with map-side combine and one small Sum groupby."""
+    from .fold import fold_or_reduce
+
+    n_nodes = pages.count()
+    empty = pa.table(
+        {
+            "lang_src": pa.array([], pa.string()),
+            "lang_dst": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    node_ds = pages.select_columns(["url"])
+    nodes = _sorted_node_hashes(node_ds, n_nodes) if n_nodes <= broadcast_nodes else None
+    if nodes is None:
+        return _lang_links_join(pages, node_ds)
+    hashes, urls = nodes
+    # url -> lang, dictionary-encoded, aligned to hash order (the lang
+    # column is node-bounded: same driver pull as the node table)
+    lt = pages.select_columns(["url", "lang"]).to_pandas()
+    vocab = sorted(lt["lang"].astype(str).unique().tolist())
+    code = {l: i for i, l in enumerate(vocab)}
+    lang_arr = np.zeros(len(hashes), dtype=np.uint16)
+    pos0 = np.searchsorted(hashes, _hash64(np.asarray(lt["url"], dtype=object)))
+    lang_arr[pos0] = lt["lang"].astype(str).map(code).to_numpy(np.uint16)
+    h_ref = ray.put(hashes)
+    l_ref = ray.put(lang_arr)
+    v_ref = ray.put(vocab)
+
+    def partial(t: pa.Table, _h=h_ref, _l=l_ref, _v=v_ref) -> pd.DataFrame:
+        cols = {
+            "lang_src": pd.Series(dtype=object),
+            "lang_dst": pd.Series(dtype=object),
+            "n_links": pd.Series(dtype="int64"),
+        }
+        if t.num_rows == 0:
+            return pd.DataFrame(cols)
+        hs = ray.get(_h)
+        la = ray.get(_l)
+        vocab = ray.get(_v)
+        html = t.column("html")
+        own = t.column("lang").to_pylist()
+        srcs, dsts = [], []
+        for i in range(t.num_rows):
+            tgts = HREF_RE.findall(memoryview(html[i].as_buffer()))
+            if not tgts:
+                continue
+            th = _hash64([b.decode("utf-8", "surrogateescape") for b in tgts])
+            pos = np.searchsorted(hs, th)
+            pos[pos >= len(hs)] = len(hs) - 1
+            found = hs[pos] == th
+            if not found.any():
+                continue
+            k = int(found.sum())
+            srcs.extend([own[i]] * k)
+            dsts.extend(vocab[c] for c in la[pos[found]])
+        if not srcs:
+            return pd.DataFrame(cols)
+        g = (
+            pd.DataFrame(
+                {"lang_src": srcs, "lang_dst": dsts, "n_links": np.ones(len(srcs), dtype=np.int64)}
+            )
+            .groupby(["lang_src", "lang_dst"], as_index=False)
+            .sum()
+        )
+        return g.astype({"n_links": "int64"})
+
+    parts = pages.map_batches(partial, batch_format="pyarrow")
+    folded, parts = fold_or_reduce(parts, ["lang_src", "lang_dst"], {"n_links": "sum"})
+    if folded is not None:
+        return rd.from_pandas(
+            folded.sort_values(["lang_src", "lang_dst"], ignore_index=True).astype(
+                {"n_links": "int64"}
+            )
+        )
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(["lang_src", "lang_dst"]).aggregate(Sum("n_links", alias_name="n_links"))
+
+
+def _lang_links_join(pages, node_ds):
+    from ray.data.aggregate import Sum
+
+    from ..cluster import cluster_cpus
+
+    width = max(2, cluster_cpus(8))
+    lt = pages.map_batches(
+        lambda t: pa.table({"l_url": t.column("url"), "l_lang": t.column("lang")}),
+        batch_format="pyarrow",
+    )
+    edges = (
+        outlinks(pages)
+        .join(lt, join_type="inner", num_partitions=width, on=("src",), right_on=("l_url",))
+        .map_batches(
+            lambda t: pa.table({"lang_src": t.column("l_lang"), "dst": t.column("dst")}),
+            batch_format="pyarrow",
+        )
+        .join(
+            lt.map_batches(
+                lambda t: pa.table({"d_url": t.column("l_url"), "lang_dst": t.column("l_lang")}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=width,
+            on=("dst",),
+            right_on=("d_url",),
+        )
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang_src", "lang_dst"], as_index=False).agg(n_links=("lang_src", "size"))
+        return g.astype({"n_links": "int64"})
+
+    return (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby(["lang_src", "lang_dst"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
     )

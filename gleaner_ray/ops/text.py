@@ -52,6 +52,7 @@ __all__ = [
     "training_data_prep",
     "corpus_report",
     "source_league",
+    "langid_confusion",
     "html_visible_text",
     "blocklist_filter",
     "sentence_split",
@@ -2413,3 +2414,48 @@ def source_league(ds):
             {c: "int64" for c in ("n_docs", "n_tokens", "n_chars", "n_punct", "n_en", "n_distinct")}
         )
     )
+
+
+def langid_confusion(ds, concurrency: int = 2):
+    """Language-ID evaluation at corpus scale: the (lang_true,
+    lang_pred, n_docs) confusion matrix of the n-gram/script classifier
+    against the table's labeled ``lang`` column — the quality gate a
+    filtering run reads before trusting the classifier on an unlabeled
+    crawl (which off-diagonal cells are hot decides the per-language
+    confidence thresholds).
+
+    One streaming actor pass (profiles compiled once per actor, the
+    LangId contract) emits per-batch (true, pred) count partials; the
+    lang×lang table is bounded, so the reduce is a dual-path fold.
+    Zero joins — truth and text ride the same row."""
+    import ray.data as rd
+
+    from gleaner_ray.ops.fold import fold_or_reduce
+
+    class _Conf(LangId):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pred = [self._score(t or "") for t in batch["text"]]
+            g = (
+                pd.DataFrame(
+                    {
+                        "lang_true": batch["lang"],
+                        "lang_pred": pred,
+                        "n_docs": np.ones(len(batch), dtype=np.int64),
+                    }
+                )
+                .groupby(["lang_true", "lang_pred"], as_index=False)
+                .sum()
+            )
+            return g.astype({"n_docs": "int64"})
+
+    parts = ds.map_batches(_Conf, batch_format="pandas", concurrency=concurrency)
+    folded, parts = fold_or_reduce(parts, ["lang_true", "lang_pred"], {"n_docs": "sum"})
+    if folded is not None:
+        return rd.from_pandas(
+            folded.sort_values(["lang_true", "lang_pred"], ignore_index=True).astype(
+                {"n_docs": "int64"}
+            )
+        )
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(["lang_true", "lang_pred"]).aggregate(Sum("n_docs", alias_name="n_docs"))

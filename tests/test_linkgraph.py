@@ -935,3 +935,32 @@ class TestHreflang:
         from gleaner_ray.pipelines.recrawl import hreflang_clusters
 
         assert hreflang_clusters(tiny_graph).count() == 0
+
+
+class TestLangLinks:
+    def test_matrix_and_path_parity(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.linkgraph import lang_link_matrix
+
+        def p(url, lang, hrefs):
+            d = _page(url, hrefs)
+            d["lang"] = lang
+            return d
+
+        rows = [
+            p("https://a.org/en", "en", ["https://a.org/de", "https://a.org/en2", "https://x.net/gone"]),
+            p("https://a.org/de", "de", ["https://a.org/en"]),
+            p("https://a.org/en2", "en", []),
+        ]
+        ds = rd.from_items(rows)
+        a = lang_link_matrix(ds).to_pandas().sort_values(["lang_src", "lang_dst"], ignore_index=True)
+        m = {(r.lang_src, r.lang_dst): r.n_links for r in a.itertuples()}
+        # external target dropped; en->de 1, en->en 1, de->en 1
+        assert m == {("de", "en"): 1, ("en", "de"): 1, ("en", "en"): 1}
+        b = (
+            lang_link_matrix(ds, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values(["lang_src", "lang_dst"], ignore_index=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -159,6 +159,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_quality",
         "text_fingerprint_md5",
         "text_langid",
+        "text_langid_confusion",
         "text_repetition",
         "text_gopher",
         "text_phrases",
@@ -273,6 +274,7 @@ def test_oracle_checked_small(contract, name):
         "graph_avg_nbr_degree",
         "graph_outlink_locality",
         "graph_reciprocity_rate",
+        "graph_lang_links",
         "graph_assortativity",
         "crawl_url_depth",
         "crawl_hreflang",
