@@ -1329,6 +1329,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classifier eval at corpus scale: (true, pred) confusion
         # matrix over the labeled lang column — one actor pass, counts
         # fold dual-path over the bounded lang x lang table, zero joins
+        # code-switching / language-mix profile: chunk_windows
+        # arithmetic + per-chunk LangId fused in one actor pass (a
+        # doc's chunks never leave its batch), per-doc mode with min
+        # tie-break, one division — zero exchange
+        "text_lang_mix": lambda sf: tx.lang_mix_profile(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
         "text_langid_confusion": lambda sf: tx.langid_confusion(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
         ),
@@ -3517,6 +3524,36 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN w ON md5(d.j) = w.h
         """,
         "text_langid": _langid_sql(),
+        # chunk CTE composed with the generated classifier SQL over a
+        # synthetic chunk key; per-doc mode via ROW_NUMBER min tie-break
+        "text_lang_mix": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(
+                             0, GREATEST(0, CAST(CEIL((n - 64) / 32.0) AS BIGINT)))) AS chunk_id
+                  FROM n),
+            sents AS (
+              SELECT doc_id AS orig_doc, doc_id * 100000 + chunk_id AS doc_id,
+                     array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ')
+                         AS text
+              FROM c),
+            pred AS (__LANGID__),
+            j AS (SELECT s.orig_doc, p.lang_pred FROM sents s JOIN pred p USING (doc_id)),
+            cnt AS (SELECT orig_doc, lang_pred, COUNT(*) AS c FROM j GROUP BY 1, 2),
+            top AS (SELECT orig_doc, lang_pred AS top_lang, c FROM (
+                      SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY orig_doc ORDER BY c DESC, lang_pred) AS rn
+                      FROM cnt) WHERE rn = 1),
+            agg AS (SELECT orig_doc, SUM(c) AS n_chunks, COUNT(*) AS n_langs
+                    FROM cnt GROUP BY 1)
+            SELECT agg.orig_doc AS doc_id, CAST(agg.n_chunks AS BIGINT) AS n_chunks,
+                   CAST(agg.n_langs AS BIGINT) AS n_langs, top.top_lang,
+                   CAST(top.c AS DOUBLE) / agg.n_chunks AS top_frac
+            FROM agg JOIN top USING (orig_doc)
+        """.replace("__LANGID__", _langid_sql().replace("FROM documents", "FROM sents")),
         # same generated classifier SQL joined back to the labeled lang
         "text_langid_confusion": """
             WITH pred AS (__LANGID__)

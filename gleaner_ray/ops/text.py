@@ -53,6 +53,7 @@ __all__ = [
     "corpus_report",
     "source_league",
     "langid_confusion",
+    "lang_mix_profile",
     "html_visible_text",
     "blocklist_filter",
     "sentence_split",
@@ -2459,3 +2460,52 @@ def langid_confusion(ds, concurrency: int = 2):
     from ray.data.aggregate import Sum
 
     return parts.groupby(["lang_true", "lang_pred"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+def lang_mix_profile(ds, size: int = 64, stride: int = 32, concurrency: int = 2):
+    """Code-switching / language-mix profile per document: window the
+    doc into ``chunk_windows``-style token chunks, language-ID each
+    chunk, and report (n_chunks, n_langs, top_lang, top_frac) — the
+    within-document mixing signal (a doc whose chunks disagree about
+    language is boilerplate-sandwiched, machine-mixed, or genuinely
+    code-switched; monolingual filters misroute all three; cf. CCNet's
+    paragraph-level LID).
+
+    ONE fused actor pass (a doc's chunks never leave its batch):
+    chunking arithmetic is byte-identical to :func:`chunk_windows`,
+    scoring is the shared LangId contract, the per-doc mode breaks
+    ties to the smallest language code, and ``top_frac`` is one double
+    division. Zero exchange — output is one row per non-empty doc."""
+
+    class _Mix(LangId):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_id, out_nc, out_nl, out_top, out_frac = [], [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                toks = _WS_RE.split((text or "").strip())
+                if toks == [""]:
+                    continue
+                n = len(toks)
+                last = max(0, -(-(n - size) // stride))  # integer ceil
+                cnt: dict[str, int] = {}
+                for i in range(last + 1):
+                    seg = " ".join(toks[i * stride : i * stride + size])
+                    lang = self._score(seg)
+                    cnt[lang] = cnt.get(lang, 0) + 1
+                n_chunks = sum(cnt.values())
+                top_lang, top_c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                out_id.append(doc_id)
+                out_nc.append(n_chunks)
+                out_nl.append(len(cnt))
+                out_top.append(top_lang)
+                out_frac.append(top_c / n_chunks)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "n_chunks": pd.Series(out_nc, dtype="int64"),
+                    "n_langs": pd.Series(out_nl, dtype="int64"),
+                    "top_lang": pd.Series(out_top, dtype="object"),
+                    "top_frac": pd.Series(out_frac, dtype="float64"),
+                }
+            )
+
+    return ds.map_batches(_Mix, batch_format="pandas", concurrency=concurrency)

@@ -2259,3 +2259,23 @@ class TestInterleave:
         for s, g in out.groupby("source"):
             d = np.diff(np.sort(g["rr_pos"].to_numpy()))
             assert (d == 3).all()
+
+
+class TestLangMix:
+    def test_code_switched_doc_detected(self, ray_session):
+        import ray.data as rd
+
+        from gleaner_ray.ops.text import lang_mix_profile
+
+        en = "the and for with that this have from they which " * 13   # 130 tokens
+        de = "der die und nicht das ist ich sie mit sich " * 13
+        rows = [
+            {"doc_id": 1, "text": en},
+            {"doc_id": 2, "text": en.split(" ", 1)[1].rsplit(" ", 1)[0] + " " + de},  # switch mid-doc
+            {"doc_id": 3, "text": ""},  # empty: no row
+        ]
+        out = lang_mix_profile(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        assert 3 not in out.index
+        assert out.loc[1, "n_langs"] == 1 and out.loc[1, "top_lang"] == "en"
+        assert out.loc[2, "n_langs"] >= 2  # chunks disagree across the switch
+        assert out.loc[2, "top_frac"] < 1.0

@@ -160,6 +160,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_fingerprint_md5",
         "text_langid",
         "text_langid_confusion",
+        "text_lang_mix",
         "text_repetition",
         "text_gopher",
         "text_phrases",
