@@ -873,6 +873,16 @@ def _q_emb_pca(sf_dir: str) -> pd.DataFrame:
     return power_iteration(ds).sort_values("i").reset_index(drop=True)
 
 
+def _q_emb_quant_error(sf_dir: str):
+    import ray.data as rd
+
+    from gleaner_ray.ops.embutil import quantization_error
+
+    return quantization_error(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    )
+
+
 def _q_emb_quantize(sf_dir: str) -> pd.DataFrame:
     """uint8 scalar quantization of the embedding column (two streaming
     passes: map-side min/max partials -> broadcast bounds -> per-batch
@@ -1667,6 +1677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca_power": _q_emb_pca,
         # uint8 scalar quantization (vector compression for ANN)
         "emb_quantize_uint8": _q_emb_quantize,
+        # per-vector worst-case quantization distortion (|scaled -
+        # round(scaled)| max over dims — MAX is order-independent, so
+        # exact at any parallelism; no float sums anywhere)
+        "emb_quant_error": _q_emb_quant_error,
         # exact-integer top-k over the quantized corpus (compressed-ANN
         # scale path; ties break deterministically on the int score)
         "sim_knn_quantized": lambda sf: sim.knn_quantized(
@@ -4682,6 +4696,22 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS q
             FROM u JOIN b USING (dim)
             ORDER BY vec_id, dim
+        """,
+        # the same scaled expression; MAX over dims per vector
+        "emb_quant_error": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 u AS (SELECT vec_id,
+                              CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                              unnest(v) AS x
+                       FROM e),
+                 b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY dim),
+                 s AS (SELECT u.vec_id,
+                              CASE WHEN b.hi = b.lo THEN 0.0
+                                   ELSE ABS((u.x - b.lo) / (b.hi - b.lo) * 255
+                                            - FLOOR((u.x - b.lo) / (b.hi - b.lo) * 255 + 0.5))
+                              END AS err
+                       FROM u JOIN b USING (dim))
+            SELECT vec_id, MAX(err) AS max_err FROM s GROUP BY vec_id
         """,
         # same quantize CTE as emb_quantize_uint8; centered-int dot is
         # exact BIGINT arithmetic, so top-k ties are deterministic

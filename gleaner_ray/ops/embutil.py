@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["embedding_matrix", "covariance", "dim_bounds", "quantize_uint8"]
+__all__ = ["embedding_matrix", "covariance", "dim_bounds", "quantize_uint8", "quantization_error", "power_iteration"]
 
 
 def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
@@ -195,3 +195,52 @@ def power_iteration(ds, vec_col: str = "embedding", iters: int = 3):
     if not (as_i64.astype(object) == v).all():
         raise OverflowError("power_iteration iterate exceeds int64; reduce iters")
     return pd.DataFrame({"i": np.arange(dim, dtype=np.int64), "pc": as_i64})
+
+
+def quantization_error(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-vector uint8-quantization distortion audit: for each vector,
+    the MAX over dimensions of |scaled − round(scaled)| where scaled =
+    (x − lo_d)/(hi_d − lo_d)·255 — the worst-case per-dimension error
+    in quantization steps (∈ [0, 0.5]; constant dimensions contribute
+    0). The report a compression rollout reads before trusting
+    ``sim_knn_quantized`` rankings: a corpus whose max errors crowd 0.5
+    has dimensions straddling rounding boundaries and needs per-block
+    scales.
+
+    Exactness: every |scaled − q| is ONE float64 expression and MAX is
+    order-independent, so the result is bit-identical to the SQL
+    oracle at any parallelism (no error sums anywhere — a sum of
+    floats would be accumulation-order-dependent). Same two-pass shape
+    as :func:`quantize_uint8`: bounds fold once, broadcast, then one
+    row-local streaming pass."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    lo, hi = dim_bounds(ds, vec_col)
+    bounds_ref = ray.put((lo, hi))
+
+    class MaxErr:
+        def __init__(self):
+            self.lo, self.hi = ray.get(bounds_ref)
+            rng = self.hi - self.lo
+            self.const = rng == 0.0
+            self.rng = np.where(self.const, 1.0, rng)
+
+        def __call__(self, t: "pa.Table") -> "pd.DataFrame":
+            if t.num_rows == 0:
+                return pd.DataFrame(
+                    {id_col: pd.Series(dtype="int64"), "max_err": pd.Series(dtype="float64")}
+                )
+            m = embedding_matrix(t.column(vec_col))
+            s = (m - self.lo) / self.rng * 255.0
+            err = np.abs(s - np.floor(s + 0.5))
+            err[:, self.const] = 0.0
+            return pd.DataFrame(
+                {
+                    id_col: t.column(id_col).to_pandas().astype("int64"),
+                    "max_err": err.max(axis=1),
+                }
+            )
+
+    return ds.map_batches(MaxErr, batch_format="pyarrow", concurrency=2)

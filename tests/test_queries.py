@@ -223,6 +223,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "emb_covariance",
         "emb_pca_power",
         "emb_quantize_uint8",
+        "emb_quant_error",
         "sim_knn_quantized",
         "sim_knn_pq",
         "text_char_entropy",
