@@ -450,6 +450,12 @@ def _q_graph_assortativity(sf_dir: str):
     return lg.assortativity(_graph_pages(sf_dir))
 
 
+def _q_pipe_web_training(sf_dir: str):
+    from gleaner_ray.pipelines.recrawl import web_training_prep
+
+    return web_training_prep(_graph_pages(sf_dir))
+
+
 def _q_crawl_hreflang(sf_dir: str):
     from gleaner_ray.pipelines.recrawl import hreflang_clusters
 
@@ -1160,6 +1166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extract, bounded distinct-edge fold, exact union-find
         # closure — the frontier's language-variant dedup key
         "crawl_hreflang": _q_crawl_hreflang,
+        # FLAGSHIP crawl-plane training pipeline: visible text ->
+        # length gate -> exact content dedup (Min-url keep-first) ->
+        # md5-coin split; only the digest groupby + winner join-back
+        # touch a corpus-keyed exchange
+        "pipe_web_training": _q_pipe_web_training,
         # synchronous label propagation (2 rounds, mode vote, tie ->
         # min label): community detection for link-farm / site-family
         # discovery; np.unique argmax rounds under the node bound,
@@ -1765,6 +1776,9 @@ def oracle_sql() -> dict[str, str]:
     # models what the crawl admits. Graph/host-profile oracles read
     # the full table.
     pages = "read_parquet('%s')" % _ORACLE_PAGES
+    from gleaner_ray.ops.sampling import split_threshold_hex
+
+    web_split_thresh = split_threshold_hex(0.9)
     sqls = {
         "crawl_extract_canon": f"""
             SELECT url,
@@ -2131,6 +2145,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
             FROM m
+        """,
+        # visible-text chain (crawl_visible_text's expression) -> gate
+        # -> md5 keep-first -> split coin; the threshold literal is
+        # shared with the engine via sampling.split_threshold_hex
+        "pipe_web_training": f"""
+            WITH v AS (
+              SELECT url,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(decode(html), '<script[^>]*>.*?</script>', ' ', 'gs'),
+                        '<style[^>]*>.*?</style>', ' ', 'gs'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&amp;','&'), '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+                  '\\s+', ' ', 'g')) AS text_clean
+              FROM {pages}),
+            k AS (SELECT url, md5(text_clean) AS h,
+                         CAST(length(text_clean) AS BIGINT) AS n_chars
+                  FROM v WHERE length(text_clean) >= 80),
+            m AS (SELECT h, MIN(url) AS keeper FROM k GROUP BY h)
+            SELECT k.url, k.h, k.n_chars,
+                   CASE WHEN md5(k.url) < '{web_split_thresh}' THEN 'train'
+                        ELSE 'holdout' END AS split
+            FROM k JOIN m ON k.h = m.h AND k.url = m.keeper
         """,
         # undirected closure over the annotation edges (one-way tags
         # included), cluster = lexicographic min member; unions wrapped

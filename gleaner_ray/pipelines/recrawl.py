@@ -52,6 +52,7 @@ __all__ = [
     "priority_update",
     "url_depth_hist",
     "hreflang_clusters",
+    "web_training_prep",
     "host_stats",
     "mirror_hosts",
     "duplicate_titles",
@@ -1321,4 +1322,78 @@ def hreflang_clusters(pages_ds) -> "rd.Dataset":
                 "cluster": pa.array([nodes[r] for r in roots], pa.string()),
             }
         )
+    )
+
+
+def web_training_prep(pages_ds, min_chars: int = 80, frac: float = 0.9):
+    """Flagship crawl-plane training-data pipeline — raw page bytes to
+    a split-labeled training corpus in one composition (the
+    RefinedWeb/C4 shape, starting from the pages table instead of a
+    pre-extracted documents plane; ``tx.training_data_prep`` is the
+    docs-plane sibling):
+
+    visible-text extraction (row-local regex chain) → length gate
+    (``n_chars >= min_chars``) → exact content dedup (md5 identity,
+    ``MIN(url)`` keep-first — the reference's per-object digest rule,
+    jsonutils.go:334-356, applied corpus-wide) → deterministic
+    md5-coin train/holdout split (the ``hash_split`` contract, same
+    threshold literal both engines).
+
+    Scale shape: extraction and gating stream row-local; the ONLY
+    corpus-keyed exchange is the digest groupby-Min (distinct-content
+    sized) plus the winner join-back at cluster width; the split flag
+    is a row-local hex compare. Output (url, h, n_chars, split), one
+    row per distinct surviving content."""
+    from ray.data.aggregate import Min
+
+    from gleaner_ray.cluster import cluster_cpus
+    from gleaner_ray.ops.sampling import split_threshold_hex
+    from gleaner_ray.ops.text import html_visible_text
+
+    width = max(2, cluster_cpus(8))
+    thresh = split_threshold_hex(frac)
+    v = html_visible_text(pages_ds)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_chars"] >= min_chars]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=object),
+                    "h": pd.Series(dtype=object),
+                    "n_chars": pd.Series(dtype="int64"),
+                }
+            )
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df["text_clean"]]
+        return pd.DataFrame(
+            {"url": df["url"], "h": h, "n_chars": df["n_chars"].astype("int64")}
+        )
+
+    k = v.map_batches(gate, batch_format="pandas")
+    winners = k.groupby("h").aggregate(Min("url", alias_name="keeper"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["url"] == df["keeper"]]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=object),
+                    "h": pd.Series(dtype=object),
+                    "n_chars": pd.Series(dtype="int64"),
+                    "split": pd.Series(dtype=object),
+                }
+            )
+        coin = [hashlib.md5(u.encode()).hexdigest() for u in df["url"]]
+        split = np.where(np.asarray(coin, dtype=object) < thresh, "train", "holdout")
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "h": df["h"],
+                "n_chars": df["n_chars"].astype("int64"),
+                "split": split,
+            }
+        )
+
+    return k.join(winners, join_type="inner", num_partitions=width, on=("h",)).map_batches(
+        finish, batch_format="pandas"
     )

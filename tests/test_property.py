@@ -265,3 +265,52 @@ def test_warc_roundtrip_adversarial(rows, compress):
     assert [r["url"] for r in recs] == [u.strip(" \t") for u in urls]
     assert [r["warc_ts_ms"] for r in recs] == ts
     assert [r["payload"] for r in recs] == payloads
+
+
+class TestKosarajuProperty:
+    """_kosaraju vs brute-force reachability SCC on random digraphs."""
+
+    @staticmethod
+    def _brute_scc(n, edges):
+        import numpy as np
+
+        reach = np.eye(n, dtype=bool)
+        for a, b in edges:
+            reach[a, b] = True
+        for k in range(n):
+            reach |= reach[:, k : k + 1] & reach[k : k + 1, :]
+        ids = []
+        for v in range(n):
+            members = [u for u in range(n) if reach[u, v] and reach[v, u]]
+            ids.append(min(members))
+        return ids
+
+    @given(
+        st.integers(min_value=1, max_value=7).flatmap(
+            lambda n: st.tuples(
+                st.just(n),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=n - 1),
+                        st.integers(min_value=0, max_value=n - 1),
+                    ),
+                    max_size=14,
+                ),
+            )
+        )
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_matches_bruteforce(self, case):
+        import pandas as pd
+
+        from gleaner_ray.ops.linkgraph import _kosaraju
+
+        n, edges = case
+        edges = [(a, b) for a, b in edges if a != b]
+        hosts = ["h%d" % i for i in range(n)]  # sorted order == index order
+        df = pd.DataFrame(
+            {"src_host": [hosts[a] for a, _ in edges], "dst_host": [hosts[b] for _, b in edges]}
+        )
+        comp = _kosaraju(hosts, df)
+        want = self._brute_scc(n, edges)
+        assert list(comp) == want

@@ -280,6 +280,7 @@ def test_oracle_checked_small(contract, name):
         "graph_assortativity",
         "crawl_url_depth",
         "crawl_hreflang",
+        "pipe_web_training",
         "graph_label_prop",
         "crawl_title_dups",
         "crawl_url_templates",
