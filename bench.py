@@ -241,6 +241,24 @@ def run_bench() -> dict:
             rd.read_parquet(pages_dir, columns=["url", "html"]), iters=2
         ).count(),
     )
+    # flagship crawl-plane training pipeline: visible text -> gate ->
+    # exact content dedup -> split, over the full pages corpus
+    from gleaner_ray.pipelines.recrawl import web_training_prep
+
+    timed(
+        "web_training",
+        lambda: web_training_prep(
+            rd.read_parquet(pages_dir, columns=["url", "html"])
+        ).count(),
+    )
+    # LPA communities over the full link graph (2 mode-vote rounds,
+    # zero shuffles/round under the node bound)
+    timed(
+        "graph_label_prop",
+        lambda: lg.label_prop(
+            rd.read_parquet(pages_dir, columns=["url", "html"]), iters=2
+        ).count(),
+    )
     # visible-text extraction over the full pages corpus: row-local
     # regex chain, the upstream step of every documents-table op
     timed(

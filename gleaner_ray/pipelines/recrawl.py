@@ -1339,18 +1339,24 @@ def web_training_prep(pages_ds, min_chars: int = 80, frac: float = 0.9):
     md5-coin train/holdout split (the ``hash_split`` contract, same
     threshold literal both engines).
 
-    Scale shape: extraction and gating stream row-local; the ONLY
-    corpus-keyed exchange is the digest groupby-Min (distinct-content
-    sized) plus the winner join-back at cluster width; the split flag
-    is a row-local hex compare. Output (url, h, n_chars, split), one
-    row per distinct surviving content."""
-    from ray.data.aggregate import Min
+    Scale shape: extraction and gating stream row-local; the keep-first
+    arbitration reduces per-batch (h, min url) partials dual-path —
+    under the ``ops.fold`` cap the distinct-content winner table folds
+    on the driver and broadcasts once (``ray.put``), so the corpus is
+    NEVER shuffled (measured 65s -> ~8s at sf0.01/8cpus vs the
+    string-keyed groupby-Min + join-back, which pays Ray's hash-
+    shuffle aggregator-pool fixed cost twice); beyond the cap the same
+    plan runs as the digest groupby-Min + winner join-back at cluster
+    width. The split flag is a row-local hex compare. Output
+    (url, h, n_chars, split), one row per distinct surviving
+    content."""
+    import ray
 
     from gleaner_ray.cluster import cluster_cpus
+    from gleaner_ray.ops.fold import fold_or_reduce
     from gleaner_ray.ops.sampling import split_threshold_hex
     from gleaner_ray.ops.text import html_visible_text
 
-    width = max(2, cluster_cpus(8))
     thresh = split_threshold_hex(frac)
     v = html_visible_text(pages_ds)
 
@@ -1369,28 +1375,64 @@ def web_training_prep(pages_ds, min_chars: int = 80, frac: float = 0.9):
             {"url": df["url"], "h": h, "n_chars": df["n_chars"].astype("int64")}
         )
 
-    k = v.map_batches(gate, batch_format="pandas")
+    k = v.map_batches(gate, batch_format="pandas").materialize()
+
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).agg(keeper=("url", "min"))
+        return g
+
+    folded, parts = fold_or_reduce(
+        k.map_batches(win_partial, batch_format="pandas"), ["h"], {"keeper": "min"}
+    )
+
+    def split_col(urls: pd.Series) -> np.ndarray:
+        coin = [hashlib.md5(u.encode()).hexdigest() for u in urls]
+        return np.where(np.asarray(coin, dtype=object) < thresh, "train", "holdout")
+
+    empty = pd.DataFrame(
+        {
+            "url": pd.Series(dtype=object),
+            "h": pd.Series(dtype=object),
+            "n_chars": pd.Series(dtype="int64"),
+            "split": pd.Series(dtype=object),
+        }
+    )
+    if folded is not None:
+        win_ref = ray.put(dict(zip(folded["h"], folded["keeper"])))
+
+        def keep_bcast(df: pd.DataFrame, _w=win_ref) -> pd.DataFrame:
+            w = ray.get(_w)
+            m = df["url"].to_numpy(object) == df["h"].map(w).to_numpy(object)
+            df = df[m]
+            if df.empty:
+                return empty
+            return pd.DataFrame(
+                {
+                    "url": df["url"],
+                    "h": df["h"],
+                    "n_chars": df["n_chars"].astype("int64"),
+                    "split": split_col(df["url"]),
+                }
+            )
+
+        return k.map_batches(keep_bcast, batch_format="pandas")
+
+    # beyond the fold cap: digest groupby-Min + winner join-back
+    from ray.data.aggregate import Min
+
+    width = max(2, cluster_cpus(8))
     winners = k.groupby("h").aggregate(Min("url", alias_name="keeper"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["url"] == df["keeper"]]
         if df.empty:
-            return pd.DataFrame(
-                {
-                    "url": pd.Series(dtype=object),
-                    "h": pd.Series(dtype=object),
-                    "n_chars": pd.Series(dtype="int64"),
-                    "split": pd.Series(dtype=object),
-                }
-            )
-        coin = [hashlib.md5(u.encode()).hexdigest() for u in df["url"]]
-        split = np.where(np.asarray(coin, dtype=object) < thresh, "train", "holdout")
+            return empty
         return pd.DataFrame(
             {
                 "url": df["url"],
                 "h": df["h"],
                 "n_chars": df["n_chars"].astype("int64"),
-                "split": split,
+                "split": split_col(df["url"]),
             }
         )
 
