@@ -2191,10 +2191,11 @@ def _kosaraju(hosts: list[str], edges: pd.DataFrame) -> np.ndarray:
                     comp[w] = s0
                     dfs.append(w)
     # canonical id: lexicographic min member per component (hosts is
-    # sorted, so min index IS the min host string)
-    roots = np.unique(comp)
-    min_member = {int(r): int(np.min(np.where(comp == r)[0])) for r in roots}
-    return np.array([min_member[int(r)] for r in comp], dtype=np.int64)
+    # sorted, so min index IS the min host string). comp is in node-
+    # index order, so each root's FIRST occurrence is its min member —
+    # one np.unique, no per-root scan.
+    roots, first_idx, inv = np.unique(comp, return_index=True, return_inverse=True)
+    return first_idx[inv].astype(np.int64)
 
 
 def host_scc(pages: rd.Dataset, min_links: int = 500) -> rd.Dataset:
