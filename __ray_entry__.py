@@ -1150,6 +1150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic round-robin interleave across sources (mixture
         # scheduling): per-source md5 rank via (source, bucket)
         # prefix sums, rr_pos arithmetic — positions move, never payload
+        # deterministic k-fold CV assignment: first md5 hex digit mod
+        # k (uniform for k | 16), row-local, zero exchange
+        "samp_kfold": lambda sf: smp.kfold_assign(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+        ),
         "samp_interleave": lambda sf: smp.interleave_order(
             rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
         ),
@@ -4369,6 +4374,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
                    CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
             FROM agg
+        """,
+        # hex-digit fold coin, same md5 literal as the engine
+        "samp_kfold": """
+            SELECT doc_id,
+                   CAST((strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+                        AS BIGINT) AS fold
+            FROM documents
         """,
         # round-robin interleave key: per-source md5 rank + arithmetic
         "samp_interleave": """

@@ -46,6 +46,7 @@ __all__ = [
     "source_tv_distance",
     "shuffle_positions",
     "interleave_order",
+    "kfold_assign",
     "group_sample_n",
     "rank_by_key",
 ]
@@ -1115,3 +1116,23 @@ def interleave_order(ds, group: str = "source", key: str = "doc_id"):
         )
 
     return hashed.groupby([group, "bucket"]).map_groups(rank_bucket, batch_format="pandas")
+
+
+def kfold_assign(ds, k: int = 4, key: str = "doc_id"):
+    """Deterministic k-fold cross-validation assignment: fold =
+    (first md5 hex digit of the key) mod k — uniform when 16 % k == 0
+    (use 2/4/8/16), content-free (the ``hash_split`` coin contract), and
+    reproducible from the key alone on any engine. Row-local, zero
+    exchange; the held-out fold i is ``fold == i``, train is the rest."""
+    if 16 % k != 0:
+        raise ValueError("k must divide 16 for an exactly uniform hex-digit fold")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        folds = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[0], 16) % k for v in df[key]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame({key: df[key], "fold": folds})
+
+    return ds.map_batches(fn, batch_format="pandas")

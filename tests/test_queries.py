@@ -195,6 +195,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_uniform_n",
         "samp_shuffle_pos",
         "samp_interleave",
+        "samp_kfold",
         "samp_group_sample",
         "text_model_score",
         "text_ppl_buckets",
