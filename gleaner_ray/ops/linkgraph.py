@@ -46,6 +46,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -737,6 +738,21 @@ def _edge_id_stage(hashes: np.ndarray):
     return edge_ids
 
 
+def _edge_ids_driver(pages, hashes, driver_edges=_DRIVER_EDGES):
+    """Driver-local (si, di) edge-id arrays — or None when the edge
+    count exceeds ``driver_edges`` (caller falls back to its
+    distributed join path). The node-count gate alone does NOT bound
+    this pull: 5M nodes at avg degree 100 is ~8 GB of id pairs, so the
+    materialized edge table is counted (metadata, free) before
+    ``to_pandas`` — the same gate :func:`_prepare_rounds` applies for
+    the PageRank family."""
+    ids = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").materialize()
+    if ids.count() > driver_edges:
+        return None
+    idp = ids.to_pandas()
+    return idp["si"].to_numpy(np.int64), idp["di"].to_numpy(np.int64)
+
+
 def _prepare_rounds(edge_ids, n_nodes, driver_edges=_DRIVER_EDGES):
     """One-time setup for fixed-point walks over a materialized int-pair
     edge table; returns ``run(tele_term, init, iters) -> ranks`` so
@@ -1233,6 +1249,7 @@ def components_min_label(
     pages: rd.Dataset,
     iters: int = 4,
     broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
 ) -> rd.Dataset:
     """k rounds of undirected min-label propagation; the label is the
     smallest URL string seen, so the result is exact and
@@ -1244,25 +1261,23 @@ def components_min_label(
     if n_nodes == 0:
         return rd.from_arrow(pa.table({"url": pa.array([], pa.string()), "component": pa.array([], pa.string())}))
     if n_nodes <= broadcast_nodes:
-        out = _components_broadcast(pages, node_ds, n_nodes, iters)
+        out = _components_broadcast(pages, node_ds, n_nodes, iters, driver_edges)
         if out is not None:
             return out
     return _components_join(node_ds, outlinks(pages), iters)
 
 
-def _components_broadcast(pages, node_ds, n_nodes, iters):
+def _components_broadcast(pages, node_ds, n_nodes, iters, driver_edges=_DRIVER_EDGES):
     nodes = _sorted_node_hashes(node_ds, n_nodes)
     if nodes is None:
         return None
     hashes, urls = nodes
-    # undirected edge list as int id pairs: one fused streaming pass
-    idp = (
-        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
-        .rename_columns({"si": "a", "di": "b"})
-        .to_pandas()
-    )
-    a = idp["a"].to_numpy(np.int64)
-    b = idp["b"].to_numpy(np.int64)
+    # undirected edge list as int id pairs: one fused streaming pass,
+    # pulled only under the edge-count gate (see _edge_ids_driver)
+    ids = _edge_ids_driver(pages, hashes, driver_edges)
+    if ids is None:
+        return None
+    a, b = ids
     # hashes are sorted, urls aligned to hash order — NOT string order,
     # so the label must be the min *url string*, resolved via an
     # argsort of the url strings (index -> string rank) once
@@ -1330,6 +1345,7 @@ def seed_depth(
     n_seeds: int = 10,
     iters: int = 4,
     broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
 ) -> rd.Dataset:
     """BFS crawl depth from the ``n_seeds`` lexicographically-smallest
     URLs along DIRECTED outlinks — the depth-limited-crawl scheduling
@@ -1352,24 +1368,21 @@ def seed_depth(
         )
     node_ds = pages.select_columns(["url"])
     if n_nodes <= broadcast_nodes:
-        out = _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters)
+        out = _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters, driver_edges)
         if out is not None:
             return out
     return _seed_depth_join(node_ds, outlinks(pages), n_seeds, iters)
 
 
-def _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters):
+def _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters, driver_edges=_DRIVER_EDGES):
     nodes = _sorted_node_hashes(node_ds, n_nodes)
     if nodes is None:
         return None
     hashes, urls = nodes
-    idp = (
-        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
-        .rename_columns({"si": "a", "di": "b"})
-        .to_pandas()
-    )
-    a = idp["a"].to_numpy(np.int64)
-    b = idp["b"].to_numpy(np.int64)
+    ids = _edge_ids_driver(pages, hashes, driver_edges)
+    if ids is None:
+        return None
+    a, b = ids
     big = np.int64(iters + 1)  # sentinel: strictly beyond any reachable depth
     depth = np.full(n_nodes, big, dtype=np.int64)
     seed_idx = np.argsort(urls, kind="stable")[: min(n_seeds, n_nodes)]
@@ -1692,6 +1705,7 @@ def kcore(
     rounds: int = 4,
     broadcast_nodes: int = _BROADCAST_NODES,
     force_join: bool = False,
+    driver_edges: int = _DRIVER_EDGES,
 ) -> rd.Dataset:
     """Fixed-round k-core peeling over the undirected page graph — the
     density filter that separates a genuinely interlinked cluster from
@@ -1720,11 +1734,10 @@ def kcore(
         return rd.from_arrow(empty)
     if not force_join and n_nodes <= broadcast_nodes:
         nodes = _sorted_node_hashes(node_ds, n_nodes)
-        if nodes is not None:
-            hashes, urls = nodes
-            idp = pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow").to_pandas()
-            a = idp["si"].to_numpy(np.int64)
-            b = idp["di"].to_numpy(np.int64)
+        ids = _edge_ids_driver(pages, nodes[0], driver_edges) if nodes is not None else None
+        if ids is not None:
+            _, urls = nodes
+            a, b = ids
             m = a != b
             lo = np.minimum(a[m], b[m]).astype(np.uint64)
             hi = np.maximum(a[m], b[m]).astype(np.uint64)
@@ -1944,7 +1957,10 @@ def host_jaccard(pages: rd.Dataset, num_partitions: int | None = None) -> rd.Dat
 
 
 def label_prop(
-    pages: rd.Dataset, iters: int = 2, broadcast_nodes: int = _BROADCAST_NODES
+    pages: rd.Dataset,
+    iters: int = 2,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
 ) -> rd.Dataset:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     deterministic tie-break — community detection for link-farm /
@@ -1972,24 +1988,21 @@ def label_prop(
             pa.table({"url": pa.array([], pa.string()), "community": pa.array([], pa.string())})
         )
     if n_nodes <= broadcast_nodes:
-        out = _label_prop_broadcast(pages, node_ds, n_nodes, iters)
+        out = _label_prop_broadcast(pages, node_ds, n_nodes, iters, driver_edges)
         if out is not None:
             return out
     return _label_prop_join(node_ds, outlinks(pages), iters)
 
 
-def _label_prop_broadcast(pages, node_ds, n_nodes, iters):
+def _label_prop_broadcast(pages, node_ds, n_nodes, iters, driver_edges=_DRIVER_EDGES):
     nodes = _sorted_node_hashes(node_ds, n_nodes)
     if nodes is None:
         return None
     hashes, urls = nodes
-    idp = (
-        pages.map_batches(_edge_id_stage(hashes), batch_format="pyarrow")
-        .rename_columns({"si": "a", "di": "b"})
-        .to_pandas()
-    )
-    a = idp["a"].to_numpy(np.int64)
-    b = idp["b"].to_numpy(np.int64)
+    ids = _edge_ids_driver(pages, hashes, driver_edges)
+    if ids is None:
+        return None
+    a, b = ids
     keep = a != b  # self-loops do not vote
     a, b = a[keep], b[keep]
     # labels live in string-rank space so "min label" = min rank (same
@@ -2031,7 +2044,12 @@ def _label_prop_join(node_ds, edges, iters):
     from ..cluster import cluster_cpus
 
     width = max(2, cluster_cpus(8))
-    edges = edges.filter(lambda r: r["src"] != r["dst"])
+    # vectorized self-loop drop (a per-row Python predicate over 10^10
+    # edges would dominate the round; Arrow mask is one kernel/batch)
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst")))),
+        batch_format="pyarrow",
+    )
     edges = edges.join(
         node_ds.map_batches(
             lambda t: pa.table({"nd_url": t.column("url")}), batch_format="pyarrow"

@@ -696,7 +696,13 @@ def type_profile(results_dir: str) -> "rd.Dataset":
     from ..cluster import cluster_cpus
 
     ds = rd.read_parquet(results_dir, columns=["source", "jsonld", "doc_index"])
-    ds = ds.filter(lambda row: row["doc_index"] >= 0)
+
+    def _docs_only(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("doc_index"), 0))
+
+    ds = ds.map_batches(_docs_only, batch_format="pyarrow")
     partials = ds.map_batches(
         _TypeProfile,
         batch_format="pyarrow",

@@ -2426,12 +2426,19 @@ def ntile_events(sf_dir: str, n: int = 4, tie_cap: int = 5_000_000):
         df["r"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["event_id", "event_type", "value_cents", "r"]]
 
+    # vectorized is_tie split (Arrow mask per batch, not a per-row
+    # Python predicate over the full event table)
     tied = (
-        keyed.filter(lambda row: row["is_tie"])
+        keyed.map_batches(
+            lambda t: t.filter(t.column("is_tie").combine_chunks()), batch_format="pyarrow"
+        )
         .groupby(["event_type", "value_cents"])
         .map_groups(order_group, batch_format="pandas")
     )
-    single = keyed.filter(lambda row: not row["is_tie"]).map_batches(
+    single = keyed.map_batches(
+        lambda t: t.filter(pc.invert(t.column("is_tie").combine_chunks())),
+        batch_format="pyarrow",
+    ).map_batches(
         lambda df: df.drop(columns=["is_tie"]).assign(r=np.ones(len(df), dtype=np.int64)),
         batch_format="pandas",
     )

@@ -964,3 +964,47 @@ class TestLangLinks:
             .sort_values(["lang_src", "lang_dst"], ignore_index=True)[a.columns]
         )
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestDriverEdgeGate:
+    """The four ops whose driver-local fast path used to gate on NODE
+    count only must now also gate on EDGE count (VERDICT r3 item 1):
+    with ``driver_edges=0`` the tiny graph's 5 edges exceed the cap at
+    a node count far under ``broadcast_nodes``, so the broadcast helper
+    must decline (return None) and the distributed join path must run —
+    and stay equality-green vs the broadcast result."""
+
+    def test_edge_ids_driver_declines_over_cap(self, tiny_graph):
+        import gleaner_ray.ops.linkgraph as lg
+
+        node_ds = tiny_graph.select_columns(["url"])
+        hashes, _ = lg._sorted_node_hashes(node_ds, tiny_graph.count())
+        assert lg._edge_ids_driver(tiny_graph, hashes, driver_edges=0) is None
+        ids = lg._edge_ids_driver(tiny_graph, hashes, driver_edges=50)
+        assert ids is not None and len(ids[0]) == 5
+
+    @pytest.mark.parametrize(
+        "op,kwargs,join_name,val_col",
+        [
+            ("components_min_label", {"iters": 3}, "_components_join", "component"),
+            ("seed_depth", {"n_seeds": 2, "iters": 3}, "_seed_depth_join", "depth"),
+            ("kcore", {"k": 2, "rounds": 3}, "_kcore_join", "core_deg"),
+            ("label_prop", {"iters": 2}, "_label_prop_join", "community"),
+        ],
+    )
+    def test_join_path_runs_and_matches(self, tiny_graph, monkeypatch, op, kwargs, join_name, val_col):
+        import gleaner_ray.ops.linkgraph as lg
+
+        fn = getattr(lg, op)
+        a = fn(tiny_graph, **kwargs).to_pandas().sort_values("url").reset_index(drop=True)
+        calls = []
+        real_join = getattr(lg, join_name)
+        monkeypatch.setattr(lg, join_name, lambda *x, **k: calls.append(1) or real_join(*x, **k))
+        b = (
+            fn(tiny_graph, driver_edges=0, **kwargs)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", val_col]]
+        )
+        assert calls, "%s must take the join path when edges exceed driver_edges" % op
+        pd.testing.assert_frame_equal(a[["url", val_col]], b, check_dtype=False)
