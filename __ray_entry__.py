@@ -967,6 +967,38 @@ def _augment_pii(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# Round-4 driver-sample rotation: the driver checks the FIRST 50
+# registry keys; these are the never-driver-checked entries (VERDICT
+# r3 item 2), 50 priority keys first (disjoint from CORRECTNESS_r03),
+# then the rest of the never-checked tail.
+_ROUND4_FIRST = [
+    "emb_covariance", "emb_pca_power", "emb_quantize_uint8", "emb_quant_error", "sim_knn_quantized",
+    "sim_knn_pq", "dedup_chunk", "dedup_semdedup", "dedup_containment", "dedup_substring",
+    "crawl_hreflang", "crawl_redirects", "crawl_soft404", "crawl_alias_collapse", "crawl_url_templates",
+    "crawl_type_profile", "pipe_web_training", "graph_label_prop", "dedup_span_clean", "dedup_fuzzy_keep",
+    "dedup_keep_best", "dedup_cross_corpus", "cluster_kmeans", "pipe_training_data", "pipe_corpus_report",
+    "pipe_source_gate", "pipe_source_league", "pipe_len_quantile_filter", "graph_lang_links", "graph_assortativity",
+    "crawl_url_depth", "crawl_title_dups", "rel_ntile", "rel_rollup", "rel_cube",
+    "rel_pivot", "rel_range_join", "rel_join_skew", "rel_grouping_sets", "rel_mode",
+    "rel_heavy_hitters", "text_gopher", "text_bpe_train", "text_inverted_index", "text_ngram_topk",
+    "text_decontaminate", "text_bm25", "samp_kfold", "samp_interleave", "samp_temperature",
+    # remaining never-driver-checked entries, original order
+    "rel_sliding_window", "rel_distinct_users", "rel_quantiles_price", "rel_outliers", "rel_dense_rank",
+    "rel_stream_window", "rel_percent_rank", "rel_rank", "rel_cume_dist", "rel_mad_outliers",
+    "rel_quantiles_cont", "rel_multi_regr", "rel_lag_delta", "rel_running_total", "rel_string_agg",
+    "rel_join_left_outer", "rel_join_full_outer", "rel_union_distinct", "rel_moving_sum", "rel_global_rank",
+    "rel_corr", "rel_intersect", "rel_except", "rel_json_extract", "rel_lead_delta",
+    "rel_first_last", "rel_time_range_sum", "rel_q3_shipping", "rel_above_avg", "rel_regr",
+    "text_lang_mix", "text_langid_confusion", "text_phrases", "text_bpe_encode", "text_char_entropy",
+    "text_chunk_windows", "text_normalize", "text_histogram", "text_explode_tokens", "text_sentences",
+    "text_lexical_diversity", "text_pii_redact", "text_blocklist", "text_decontaminate_bloom", "text_novelty",
+    "text_decontaminate_fuzzy", "samp_stratified", "samp_vocab_overlap", "samp_df_rarity", "samp_source_tv",
+    "samp_epoch_plan", "samp_source_mix", "samp_domain_cap", "text_tfidf_topk", "text_lm_perplexity",
+    "text_bigram_lm", "text_model_score", "text_ppl_buckets", "samp_dsir_weights", "text_bpe_pairs",
+    "samp_uniform_n", "samp_shuffle_pos", "samp_group_sample", "samp_dup_weights", "samp_bernoulli_weighted",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -983,7 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embs(sf_dir):
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
-    return {
+    q = {
         # -- crawl pipeline (SURVEY §2/§3) ----------------------------------
         "crawl_extract_canon": _q_crawl_extract_canon,
         "crawl_jsonext_wholebody": _q_crawl_jsonext_wholebody,
@@ -1719,6 +1751,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_fake": _q_media_resize,
         "media_frames_fake": _q_media_frames,
     }
+    # The driver's per-round CORRECTNESS check samples the FIRST 50
+    # registry keys. Rounds 2/3 covered the crawl/graph head and an
+    # older 38-key slice; _ROUND4_FIRST rotates the never-driver-checked
+    # tail (emb_*, sim_knn_{quantized,pq}, the newer dedup_*/crawl_*
+    # entries, pipe_web_training, graph_label_prop, and slices of
+    # rel_*/text_*/samp_*) to the front — 50 keys fully disjoint from
+    # the round-3 set. After those come the remaining never-checked
+    # entries, then the previously-green head, so any deeper sample
+    # still maximizes fresh coverage.
+    front = [k for k in _ROUND4_FIRST if k in q]
+    seen = set(front)
+    return {k: q[k] for k in front + [k for k in q if k not in seen]}
 
 
 def _media_ds(sf_dir: str):

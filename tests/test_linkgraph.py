@@ -749,12 +749,15 @@ class TestLabelProp:
         from gleaner_ray.ops.linkgraph import label_prop
 
         a = label_prop(tiny_graph, iters=2).to_pandas().sort_values("url", ignore_index=True)
-        b = (
-            label_prop(tiny_graph, iters=2, broadcast_nodes=0)
-            .to_pandas()
-            .sort_values("url", ignore_index=True)[["url", "community"]]
-        )
-        pd.testing.assert_frame_equal(a, b)
+        # join path with the driver vote fold, and with fold_cap=0
+        # forcing the distributed groupby-Sum + map_groups argmax round
+        for kw in ({"broadcast_nodes": 0}, {"broadcast_nodes": 0, "fold_cap": 0}):
+            b = (
+                label_prop(tiny_graph, iters=2, **kw)
+                .to_pandas()
+                .sort_values("url", ignore_index=True)[["url", "community"]]
+            )
+            pd.testing.assert_frame_equal(a, b)
 
 
 class TestHostMacroStructure:

@@ -476,12 +476,29 @@ class TestCheckpointResume:
         ckpts = [json.loads(l) for l in open(os.path.join(out, "checkpoints.jsonl"))]
         assert len(ckpts) == 1  # exactly the committed group
 
+        # the committed group's output files before the resume: the
+        # resume must not rewrite a single byte of them (skipped WHOLE,
+        # not recomputed-and-overwritten — manifest accounting alone
+        # could lie about that)
+        import glob as _glob
+
+        committed_dir = ckpts[0]["dir"]
+        pre = {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in _glob.glob(os.path.join(committed_dir, "**", "*.parquet"), recursive=True)
+        } if committed_dir else {}
+
         # resume: committed group skipped, the rest re-run
         m2 = summon_mod.summon(
             cfg, pages, out, fetch=corpus_fetch(corpus),
             n_seen_shards=2, concurrency=1, checkpoint_groups=3, resume=True,
         )
         assert m2["groups_skipped"] == 1
+        post = {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in _glob.glob(os.path.join(committed_dir, "**", "*.parquet"), recursive=True)
+        } if committed_dir else {}
+        assert pre == post, "resume rewrote files of an already-committed group"
         # a group whose rows are all dropped by the frontier (the corpus
         # v6 mirror tail is sitemap-less) checkpoints with no output dir
         assert m2["checkpoint_groups"] >= 3

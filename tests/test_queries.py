@@ -305,7 +305,10 @@ def test_oracle_checked_small(contract, name):
         "pipe_warc_extract",
     ],
 )
+@pytest.mark.slow
 def test_oracle_checked_crawl(contract, name):
+    # sf0.01 sweep: the bulk of full-suite wall time. `-m "not slow"`
+    # skips it for the <5-min inner loop; CI runs the full suite.
     _run_and_compare(contract, name, CRAWL_SF)
 
 
