@@ -76,6 +76,7 @@ class TestPageRank:
         # symmetric start -> equal ranks
         assert df["https://h1.org/a"] == df["https://h1.org/b"] == df["https://h2.org/c"]
 
+    @pytest.mark.slow
     def test_broadcast_equals_join_path(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import pagerank_int
 
@@ -89,6 +90,7 @@ class TestPageRank:
         assert a["rank_fp"].dtype == np.int64
         pd.testing.assert_frame_equal(a, b.astype({"rank_fp": np.int64}))
 
+    @pytest.mark.slow
     def test_trustrank_seed_mass_and_path_parity(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import trustrank_int
 
@@ -114,6 +116,7 @@ class TestPageRank:
             )
             pd.testing.assert_frame_equal(a, b.astype({"trust_fp": np.int64}))
 
+    @pytest.mark.slow
     def test_spam_mass_bounds_and_path_parity(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import spam_mass
 
@@ -193,6 +196,7 @@ class TestHits:
         assert df.hub_fp.idxmax() == "https://h2.org/c"
         assert df.auth_fp.idxmax() == "https://h1.org/a"
 
+    @pytest.mark.slow
     def test_broadcast_equals_join_path(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import hits_int
 
@@ -237,6 +241,7 @@ class TestComponents:
         assert df["https://h2.org/d"] == df["https://h2.org/e"] == "https://h2.org/d"
         assert df["https://h3.org/f"] == "https://h3.org/f"
 
+    @pytest.mark.slow
     def test_broadcast_equals_join_path(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import components_min_label
 
@@ -309,6 +314,7 @@ class TestFoldReduce:
         agg = mat.groupby("k").sum("n").to_pandas()
         assert dict(zip(agg["k"], agg["sum(n)"])) == {"a": 4, "b": 2}
 
+    @pytest.mark.slow
     def test_folded_ops_distributed_fallback_parity(self, tiny_graph, monkeypatch):
         """Every fold_reduce consumer must produce the identical table on
         its distributed-groupby fallback (the 100-TB path the fold
@@ -370,6 +376,7 @@ class TestDiscovered:
         )
         pd.testing.assert_frame_equal(a, b.astype({"n_refs": np.int64}))
 
+    @pytest.mark.slow
     def test_external_links_dont_leak_into_rank_or_components(self, graph_with_external):
         from gleaner_ray.ops.linkgraph import components_min_label, pagerank_int
 
@@ -488,6 +495,7 @@ class TestTriangles:
         assert df["h5.org"] == 0 and df["h6.org"] == 0 and df["h7.org"] == 0
         assert list(df.index) == sorted(df.index)
 
+    @pytest.mark.slow
     def test_driver_equals_join_path(self, triangle_graph):
         from gleaner_ray.ops import linkgraph as lg
 
@@ -595,6 +603,7 @@ class TestRedirectsAndSoft404:
         assert int(df.loc["https://h/p", "hops"]) == 8
         assert df.loc["https://h/p", "final_url"] in ("https://h/p", "https://h/q")
 
+    @pytest.mark.slow
     def test_distributed_fallback_parity(self, ray_session):
         from gleaner_ray.pipelines.recrawl import resolve_redirects
 
@@ -647,6 +656,7 @@ class TestKcore:
         assert set(df.index) == {"https://h/a", "https://h/b", "https://h/c"}
         assert (df["core_deg"] == 2).all()
 
+    @pytest.mark.slow
     def test_join_path_parity(self, ray_session):
         import ray.data as rd
 
@@ -745,6 +755,7 @@ class TestLabelProp:
         df = label_prop(tiny_graph, iters=2).to_pandas().set_index("url")["community"]
         assert df["https://h3.org/f"] == "https://h3.org/f"
 
+    @pytest.mark.slow
     def test_broadcast_equals_join_path(self, tiny_graph):
         from gleaner_ray.ops.linkgraph import label_prop
 
@@ -995,6 +1006,7 @@ class TestDriverEdgeGate:
             ("label_prop", {"iters": 2}, "_label_prop_join", "community"),
         ],
     )
+    @pytest.mark.slow
     def test_join_path_runs_and_matches(self, tiny_graph, monkeypatch, op, kwargs, join_name, val_col):
         import gleaner_ray.ops.linkgraph as lg
 

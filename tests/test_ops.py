@@ -26,6 +26,7 @@ def docs_with_dups(ray_session):
 
 
 class TestNearDup:
+    @pytest.mark.slow
     def test_minhash_lsh_finds_planted_pairs(self, docs_with_dups):
         from gleaner_ray.ops.dedup import minhash_lsh
 
@@ -34,6 +35,7 @@ class TestNearDup:
         assert (1, 2) in pairs or (2, 3) in pairs  # near-dup found
         assert not any(4 in p or 5 in p for p in pairs)
 
+    @pytest.mark.slow
     def test_jaccard_verification(self, docs_with_dups):
         from gleaner_ray.ops.dedup import minhash_lsh, ngram_jaccard_pairs
 
@@ -44,6 +46,7 @@ class TestNearDup:
         # near-dup (one word changed) is below 0.99
         assert (1, 2) not in pairs
 
+    @pytest.mark.slow
     def test_ngram_jaccard_dedup_exact(self, docs_with_dups):
         from gleaner_ray.ops.dedup import ngram_jaccard_dedup
 
@@ -56,6 +59,7 @@ class TestNearDup:
         lo_pairs = set(map(tuple, lo[["a", "b"]].values))
         assert (1, 2) in lo_pairs  # one-word change is well above 0.5
 
+    @pytest.mark.slow
     def test_simhash_finds_planted_pairs(self, docs_with_dups):
         from gleaner_ray.ops.dedup import simhash_dedup
 
@@ -88,6 +92,7 @@ class TestNearDup:
         assert (df.loc[3] == 0.0).all()
         assert df.loc[4, "dup_line_frac"] == 0.0
 
+    @pytest.mark.slow
     def test_minhash_jaccard_dedup_composed(self, docs_with_dups):
         from gleaner_ray.ops.dedup import minhash_jaccard_dedup, ngram_jaccard_dedup
 
@@ -98,6 +103,7 @@ class TestNearDup:
         # recall-1 sketch params: composed output equals the exact answer
         assert gp == wp and (1, 2) in gp and (1, 3) in gp
 
+    @pytest.mark.slow
     def test_simhash_jaccard_dedup_composed(self, docs_with_dups):
         from gleaner_ray.ops.dedup import ngram_jaccard_dedup, simhash_jaccard_dedup
 
@@ -105,6 +111,7 @@ class TestNearDup:
         want = ngram_jaccard_dedup(docs_with_dups, threshold=0.5).to_pandas()
         assert set(map(tuple, got[["a", "b"]].values)) == set(map(tuple, want[["a", "b"]].values))
 
+    @pytest.mark.slow
     def test_embedding_near_dup_planted(self, ray_session):
         import ray.data as rd
 
@@ -117,6 +124,7 @@ class TestNearDup:
         pairs = set(map(tuple, embedding_near_dup(ds, threshold=0.99).to_pandas()[["a", "b"]].values))
         assert (3, 7) in pairs
 
+    @pytest.mark.slow
     def test_ngram_max_df_bounds_stopword_joins(self, ray_session):
         # stopword-heavy corpus: every doc shares the same filler
         # shingles; with max_df the filler is dropped from the inverted
@@ -143,6 +151,7 @@ class TestNearDup:
         assert NGRAM_SCALE_MAX_DF == 512  # documented bound: <=512^2 rows/shingle
         assert (100, 101) in set(map(tuple, auto[["a", "b"]].values))
 
+    @pytest.mark.slow
     def test_lsh_candidate_recall_precondition(self, ray_session):
         # The driver oracles for dedup_minhash_lsh / dedup_simhash reuse
         # the exact all-pairs SQL, which is valid ONLY while candidate
@@ -176,6 +185,7 @@ class TestNearDup:
             "all-pairs oracle for dedup_simhash is no longer valid: %s" % missing
         )
 
+    @pytest.mark.slow
     def test_embedding_lsh_recall_precondition(self, ray_session):
         # same precondition for dedup_embedding_lsh: the bucketed path's
         # candidates must cover every exact cos>=0.25 pair at the
@@ -198,6 +208,7 @@ class TestNearDup:
             "oracle for dedup_embedding_lsh is no longer valid: %d missing" % len(missing)
         )
 
+    @pytest.mark.slow
     def test_ngram_top_k_counts(self, ray_session):
         import ray.data as rd
 
@@ -220,6 +231,7 @@ class TestNearDup:
         df_dist = ngram_top_k(rd.from_items(rows), n=2, k=3, driver_grams=0)
         assert df.equals(df_dist)
 
+    @pytest.mark.slow
     def test_phrase_detect_tier_parity(self, ray_session):
         import ray.data as rd
 
@@ -491,6 +503,7 @@ class TestNearDup:
         assert got[2] == ""
         assert got[3] == "p q r"
 
+    @pytest.mark.slow
     def test_embedding_exact_mode_matches_lsh_superset(self, ray_session):
         import ray.data as rd
 
@@ -509,6 +522,7 @@ class TestNearDup:
 
 
 class TestSampling:
+    @pytest.mark.slow
     def test_temperature_mix_exact_witness(self, ray_session):
         import hashlib
 
@@ -533,6 +547,7 @@ class TestSampling:
         kept_big = int(out.loc[out["source"] == "big", "keep"].sum())
         assert 150 <= kept_big <= 250
 
+    @pytest.mark.slow
     def test_source_mix_balance_planted(self, ray_session):
         import hashlib
 
@@ -558,6 +573,7 @@ class TestSampling:
         # and the budgets are roughly balanced after the downsample
         assert abs(len(expect) - 400) < 80
 
+    @pytest.mark.slow
     def test_hash_split_deterministic_and_proportional(self, ray_session):
         import ray.data as rd
 
@@ -587,6 +603,7 @@ class TestSampling:
 
 
 class TestSimilarity:
+    @pytest.mark.slow
     def test_ivf_recall_vs_bruteforce(self, ray_session):
         import ray.data as rd
 
@@ -652,6 +669,7 @@ class TestSimilarity:
         out = covariance(ds)
         assert len(out) == 0 and list(out.columns) == ["i", "j", "cov"]
 
+    @pytest.mark.slow
     def test_knn_quantized_recall_vs_float(self, ray_session):
         import ray.data as rd
 
@@ -1007,6 +1025,7 @@ class TestFuzzyDedupGraph:
         got = dict(zip(df["node"], df["component"]))
         assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 9: 5}
 
+    @pytest.mark.slow
     def test_cc_distributed_path(self, ray_session, monkeypatch):
         # force the min-label-propagation branch on a tiny graph
         import gleaner_ray.ops.dedup as dd
@@ -1016,6 +1035,7 @@ class TestFuzzyDedupGraph:
         got = dict(zip(df["node"], df["component"]))
         assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 9: 5}
 
+    @pytest.mark.slow
     def test_cc_long_chain_pointer_doubling(self, ray_session, monkeypatch):
         # a 40-node path graph needs ~log2(40) doubling rounds, far fewer
         # than 40 plain-propagation rounds; max_iters=8 proves doubling
@@ -2179,6 +2199,7 @@ class TestEpochPlan:
 
 
 class TestRankByKey:
+    @pytest.mark.slow
     def test_matches_rownumber_and_survives_prefix_skew(self, ray_session):
         import ray.data as rd
 
@@ -2210,6 +2231,7 @@ class TestRankByKey:
 
 
 class TestContainment:
+    @pytest.mark.slow
     def test_quote_inclusion_caught(self, ray_session):
         """A short doc fully embedded in a 6x larger page: Jaccard
         stays far below 0.8 while containment hits 1.0."""
@@ -2245,6 +2267,7 @@ class TestContainment:
 
 
 class TestInterleave:
+    @pytest.mark.slow
     def test_round_robin_property(self, ray_session):
         import ray.data as rd
 

@@ -411,6 +411,7 @@ class TestObjectStoreIntegration:
             FakeS3.put_metadata.clear()
 
 
+@pytest.mark.slow
 class TestCheckpointResume:
     """Per-partition checkpoints (north rule): a crash between input-file
     groups must be resumable — committed groups are skipped whole, the

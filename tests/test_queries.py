@@ -146,8 +146,8 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "rel_time_range_sum",
         "rel_join_skew",
         "rel_mode",
-        "rel_q3_shipping",
-        "rel_above_avg",
+        pytest.param("rel_q3_shipping", marks=pytest.mark.slow),
+        pytest.param("rel_above_avg", marks=pytest.mark.slow),
         "rel_regr",
         "samp_bernoulli_weighted",
         "text_token_stats",
@@ -160,10 +160,10 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "text_fingerprint_md5",
         "text_langid",
         "text_langid_confusion",
-        "text_lang_mix",
+        pytest.param("text_lang_mix", marks=pytest.mark.slow),
         "text_repetition",
         "text_gopher",
-        "text_phrases",
+        pytest.param("text_phrases", marks=pytest.mark.slow),
         "text_bpe_train",
         "text_bpe_encode",
         "text_ngram_topk",
@@ -176,20 +176,20 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "dedup_cross_corpus",
         "samp_temperature",
         "rel_heavy_hitters",
-        "dedup_span_clean",
-        "dedup_substring",
-        "pipe_corpus_prep",
+        pytest.param("dedup_span_clean", marks=pytest.mark.slow),
+        pytest.param("dedup_substring", marks=pytest.mark.slow),
+        pytest.param("pipe_corpus_prep", marks=pytest.mark.slow),
         "samp_hash_split",
         "samp_stratified",
         "samp_pack_sequences",
         "samp_vocab_overlap",
         "samp_df_rarity",
         "samp_source_tv",
-        "text_tfidf_topk",
+        pytest.param("text_tfidf_topk", marks=pytest.mark.slow),
         "text_bm25",
         "text_lm_perplexity",
-        "text_bigram_lm",
-        "samp_dsir_weights",
+        pytest.param("text_bigram_lm", marks=pytest.mark.slow),
+        pytest.param("samp_dsir_weights", marks=pytest.mark.slow),
         "text_bpe_pairs",
         "samp_domain_cap",
         "samp_uniform_n",
@@ -204,29 +204,29 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "samp_dup_weights",
         "pipe_len_quantile_filter",
         "pipe_source_gate",
-        "pipe_training_data",
-        "pipe_corpus_report",
+        pytest.param("pipe_training_data", marks=pytest.mark.slow),
+        pytest.param("pipe_corpus_report", marks=pytest.mark.slow),
         "pipe_source_league",
         "dedup_exact",
-        "dedup_chunk",
-        "dedup_fuzzy_keep",
-        "dedup_keep_best",
+        pytest.param("dedup_chunk", marks=pytest.mark.slow),
+        pytest.param("dedup_fuzzy_keep", marks=pytest.mark.slow),
+        pytest.param("dedup_keep_best", marks=pytest.mark.slow),
         "cluster_kmeans",
-        "dedup_semdedup",
-        "dedup_ngram_jaccard",
-        "dedup_containment",
-        "dedup_embedding_cosine",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_lsh",
+        pytest.param("dedup_semdedup", marks=pytest.mark.slow),
+        pytest.param("dedup_ngram_jaccard", marks=pytest.mark.slow),
+        pytest.param("dedup_containment", marks=pytest.mark.slow),
+        pytest.param("dedup_embedding_cosine", marks=pytest.mark.slow),
+        pytest.param("dedup_minhash_lsh", marks=pytest.mark.slow),
+        pytest.param("dedup_simhash", marks=pytest.mark.slow),
+        pytest.param("dedup_embedding_lsh", marks=pytest.mark.slow),
         "sim_knn_bruteforce",
-        "sim_ivf_knn",
+        pytest.param("sim_ivf_knn", marks=pytest.mark.slow),
         "emb_covariance",
         "emb_pca_power",
         "emb_quantize_uint8",
         "emb_quant_error",
-        "sim_knn_quantized",
-        "sim_knn_pq",
+        pytest.param("sim_knn_quantized", marks=pytest.mark.slow),
+        pytest.param("sim_knn_pq", marks=pytest.mark.slow),
         "text_char_entropy",
         "text_chunk_windows",
         "text_normalize",
