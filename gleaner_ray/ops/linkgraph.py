@@ -1386,7 +1386,16 @@ def _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters, driver_edges=
     a, b = ids
     big = np.int64(iters + 1)  # sentinel: strictly beyond any reachable depth
     depth = np.full(n_nodes, big, dtype=np.int64)
-    seed_idx = np.argsort(urls, kind="stable")[: min(n_seeds, n_nodes)]
+    # k smallest url strings via Arrow's C partial sort (urls are
+    # distinct, so stability is moot; the old np.argsort paid a Python
+    # compare per probe over the whole node set)
+    seed_idx = (
+        pc.select_k_unstable(
+            pa.array(urls, pa.string()), k=min(n_seeds, n_nodes), sort_keys=[("", "ascending")]
+        )
+        .to_numpy()
+        .astype(np.int64)
+    )
     depth[seed_idx] = 0
     for _ in range(iters):
         nxt = depth.copy()
