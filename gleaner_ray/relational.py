@@ -2354,16 +2354,18 @@ def ntile_events(sf_dir: str, n: int = 4, tie_cap: int = 5_000_000):
     if tie_volume <= tie_cap:
         tie_keys = set(zip(ties["event_type"], ties["value_cents"]))
 
-        def tie_rows(df: pd.DataFrame) -> pd.DataFrame:
+        def tie_rows(df: pd.DataFrame) -> pa.Table:
+            # arrow out: Ray's block-size estimator chokes on 0-row
+            # pandas blocks with object columns (np.vectorize warning)
             c = (df["value"] * 100).round().astype("int64")
             keys = list(zip(df["event_type"], c))
             mask = np.fromiter((k in tie_keys for k in keys), dtype=bool, count=len(df))
             out = df[mask]
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "event_type": out["event_type"],
-                    "value_cents": c[mask],
-                    "event_id": out["event_id"].astype("int64"),
+                    "event_type": pa.array(out["event_type"], pa.string()),
+                    "value_cents": pa.array(c[mask].to_numpy(np.int64)),
+                    "event_id": pa.array(out["event_id"].to_numpy(np.int64)),
                 }
             )
 
