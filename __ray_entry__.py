@@ -1750,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_fake": _q_media_decode,
         "media_resize_fake": _q_media_resize,
         "media_frames_fake": _q_media_frames,
+        "media_dedup_exact": _q_media_dedup,
     }
     # The driver's per-round CORRECTNESS check samples the FIRST 50
     # registry keys. Rounds 2/3 covered the crawl/graph head and an
@@ -1785,6 +1786,13 @@ def _media_ds(sf_dir: str):
         }
     )
     return rd.from_arrow(media)
+
+
+def _q_media_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over the opaque binary payload column (codec-free)."""
+    from gleaner_ray.ops.multimodal import media_dedup_exact
+
+    return media_dedup_exact(_media_ds(sf_dir)).to_pandas()
 
 
 def _q_media_decode(sf_dir: str) -> pd.DataFrame:
@@ -4909,6 +4917,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'video' AS kind, '4x64x64x3' AS shape,
                    CAST(4 AS BIGINT) AS n_frames
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
+        """,
+        # codec-free exact media dedup: duplicates iff payload BYTES equal
+        "media_dedup_exact": """
+            SELECT CAST(min(media_id) AS BIGINT) AS keeper,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM (SELECT doc_id AS media_id, encode(coalesce(text, '')) AS payload
+                  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256))
+            GROUP BY payload
         """,
     }
     from gleaner_ray.ops.sampling import split_threshold_hex

@@ -33,7 +33,61 @@ __all__ = [
     "decode_stage",
     "resize_stage",
     "frame_sample_stage",
+    "media_dedup_exact",
 ]
+
+
+def media_dedup_exact(ds, id_col: str = "media_id", payload_col: str = "payload"):
+    """Exact dedup over an opaque binary media column — no codec
+    needed: two payloads are duplicates iff their BYTES are equal, so
+    this works on any media kind (image/audio/video) even where the
+    decode stage is stubbed. The multimodal sibling of
+    :func:`gleaner_ray.ops.dedup.exact_dedup` (reference analogue: the
+    summoner's sha-identity dedup, internal/summoner/acquire/
+    jsonutils.go:384-388, applied to payload bytes instead of JSON-LD
+    text).
+
+    Output: one row per distinct payload, ``(keeper, n_copies)`` with
+    ``keeper`` the smallest id in the group — SQL-equivalent to
+    ``SELECT min(id), count(*) GROUP BY payload``.
+
+    Scale shape: payload bytes are hashed batch-locally (sha1 via
+    zero-copy Arrow buffers — the payloads themselves never leave the
+    map stage or shuffle) and pre-combined per batch, so the exchange
+    carries one 40-byte digest row per distinct payload per batch; the
+    reduce is a digest-keyed groupby with C-side Min/Sum combiners.
+    Beyond ~10^8 distinct payloads, bucket the exchange by digest
+    first byte first (the web_training_prep device) — documented seam,
+    same as the text exact-dedup family."""
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series(dtype=str),
+                    "keeper": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        pay = t.column(payload_col)
+        hs = [
+            hashlib.sha1(pay[i].as_buffer()).hexdigest() if pay[i].is_valid else ""
+            for i in range(t.num_rows)
+        ]
+        df = pd.DataFrame(
+            {"h": hs, "keeper": t.column(id_col).to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("h", as_index=False).agg(keeper=("keeper", "min"), n=("keeper", "size"))
+        return g.astype({"keeper": "int64", "n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("keeper", alias_name="keeper"), Sum("n", alias_name="n_copies"))
+        .select_columns(["keeper", "n_copies"])
+    )
 
 
 class MediaDecode:

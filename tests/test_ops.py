@@ -2302,3 +2302,41 @@ class TestLangMix:
         assert out.loc[1, "n_langs"] == 1 and out.loc[1, "top_lang"] == "en"
         assert out.loc[2, "n_langs"] >= 2  # chunks disagree across the switch
         assert out.loc[2, "top_frac"] < 1.0
+
+
+class TestMediaDedup:
+    def test_exact_payload_dedup_planted(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.ops.multimodal import media_dedup_exact
+
+        # ids 1..5: payloads A,B,A,C,B -> groups {1,3},{2,5},{4}
+        t = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "payload": pa.array([b"A", b"B", b"A", b"C", b"B"], pa.binary()),
+            }
+        )
+        out = (
+            media_dedup_exact(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("keeper", ignore_index=True)
+        )
+        assert out["keeper"].tolist() == [1, 2, 4]
+        assert out["n_copies"].tolist() == [2, 2, 1]
+
+    def test_byte_sensitivity(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.ops.multimodal import media_dedup_exact
+
+        # one-bit difference -> distinct groups (no codec normalization)
+        t = pa.table(
+            {
+                "media_id": pa.array([10, 11], pa.int64()),
+                "payload": pa.array([b"\x00\x01", b"\x00\x02"], pa.binary()),
+            }
+        )
+        assert media_dedup_exact(rd.from_arrow(t)).count() == 2

@@ -233,6 +233,7 @@ def _run_and_compare(contract, name: str, sf_dir: str):
         "media_decode_fake",
         "media_resize_fake",
         "media_frames_fake",
+        "media_dedup_exact",
     ],
 )
 def test_oracle_checked_small(contract, name):
