@@ -1403,10 +1403,11 @@ def _seed_depth_broadcast(pages, node_ds, n_nodes, n_seeds, iters, driver_edges=
             np.minimum.at(nxt, b, depth[a] + 1)
         depth = nxt
     mask = depth <= iters
+    # arrow filter over the node strings (no Python list round-trip)
     return rd.from_arrow(
         pa.table(
             {
-                "url": pa.array(list(urls[mask]), pa.string()),
+                "url": pa.array(urls, pa.string()).filter(pa.array(mask)),
                 "depth": pa.array(depth[mask], pa.int64()),
             }
         )
