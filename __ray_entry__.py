@@ -569,6 +569,12 @@ def _q_graph_components(sf_dir: str):
     return lg.components_min_label(_graph_pages(sf_dir), iters=4)
 
 
+def _q_graph_component_sizes(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.component_sizes(_graph_pages(sf_dir), iters=4)
+
+
 def _q_graph_seed_depth(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1131,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_discovered": _q_graph_discovered,
         # undirected min-label propagation (k=4): component = min URL string
         "graph_components": _q_graph_components,
+        "graph_component_sizes": _q_graph_component_sizes,
         # BFS depth from the 10 smallest-url seeds (depth-limited-crawl
         # scheduling signal; 4 relaxation rounds, exact)
         "graph_seed_depth": _q_graph_seed_depth,
@@ -5075,4 +5082,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
         FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
     """
+    # component size distribution: wrap the components oracle so both
+    # stay pinned to the identical k-hop contraction
+    sqls["graph_component_sizes"] = (
+        "SELECT component, CAST(count(*) AS BIGINT) AS n_urls FROM ("
+        + sqls["graph_components"]
+        + ") GROUP BY component"
+    )
     return sqls

@@ -70,6 +70,7 @@ __all__ = [
     "rank_priority",
     "discovered_urls",
     "components_min_label",
+    "component_sizes",
     "seed_depth",
     "host_jaccard",
     "label_prop",
@@ -1339,6 +1340,39 @@ def _components_join(node_ds, edges, iters):
             .aggregate(Min("lbl", alias_name="lbl"))
         ).materialize()
     return labels.map_batches(lambda df: df.rename(columns={"lbl": "component"}), batch_format="pandas")
+
+
+def component_sizes(
+    pages: rd.Dataset,
+    iters: int = 4,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
+) -> rd.Dataset:
+    """Component size distribution — the classic web-graph macro report
+    (mirror clusters and link farms surface as outsized components;
+    Broder et al. 2000's bow-tie analysis starts here). Output:
+    ``(component, n_urls)``, one row per component of
+    :func:`components_min_label`'s k-hop contraction.
+
+    Scale shape: per-batch partial counts pre-combine before the
+    component-keyed Sum groupby, so the exchange carries one row per
+    (component, batch). Component labels approach node cardinality on
+    a sparse graph — past ~10^8 distinct labels, bucket the exchange
+    by a label-hash byte first (the web_training_prep device,
+    documented seam)."""
+    from ray.data.aggregate import Sum
+
+    comp = components_min_label(pages, iters=iters, broadcast_nodes=broadcast_nodes, driver_edges=driver_edges)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("component", as_index=False).agg(n=("component", "size"))
+        return g.astype({"n": "int64"})
+
+    return (
+        comp.map_batches(partial, batch_format="pandas")
+        .groupby("component")
+        .aggregate(Sum("n", alias_name="n_urls"))
+    )
 
 
 def seed_depth(

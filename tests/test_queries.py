@@ -266,6 +266,7 @@ def test_oracle_checked_small(contract, name):
         "graph_rank_priority",
         "graph_discovered",
         "graph_components",
+        "graph_component_sizes",
         "graph_seed_depth",
         "graph_anchor_text",
         "graph_reciprocal",
