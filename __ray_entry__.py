@@ -575,6 +575,18 @@ def _q_graph_component_sizes(sf_dir: str):
     return lg.component_sizes(_graph_pages(sf_dir), iters=4)
 
 
+def _q_graph_indegree_topk(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.indegree_topk(_graph_pages(sf_dir), k=25)
+
+
+def _q_crawl_depth_histogram(sf_dir: str):
+    from gleaner_ray.ops import linkgraph as lg
+
+    return lg.depth_histogram(_graph_pages(sf_dir), n_seeds=10, iters=4)
+
+
 def _q_graph_seed_depth(sf_dir: str):
     from gleaner_ray.ops import linkgraph as lg
 
@@ -1138,6 +1150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # undirected min-label propagation (k=4): component = min URL string
         "graph_components": _q_graph_components,
         "graph_component_sizes": _q_graph_component_sizes,
+        "graph_indegree_topk": _q_graph_indegree_topk,
+        "crawl_depth_histogram": _q_crawl_depth_histogram,
         # BFS depth from the 10 smallest-url seeds (depth-limited-crawl
         # scheduling signal; 4 relaxation rounds, exact)
         "graph_seed_depth": _q_graph_seed_depth,
@@ -5088,5 +5102,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT component, CAST(count(*) AS BIGINT) AS n_urls FROM ("
         + sqls["graph_components"]
         + ") GROUP BY component"
+    )
+    # hub report: top-k by in-degree, ties to the smaller url
+    sqls["graph_indegree_topk"] = (
+        "SELECT url, in_degree FROM ("
+        + sqls["graph_indegree"]
+        + ") ORDER BY in_degree DESC, url LIMIT 25"
+    )
+    # reachability histogram over the seed-depth relaxation
+    sqls["crawl_depth_histogram"] = (
+        "SELECT depth, CAST(count(*) AS BIGINT) AS n_urls FROM ("
+        + sqls["graph_seed_depth"]
+        + ") GROUP BY depth"
     )
     return sqls

@@ -71,6 +71,8 @@ __all__ = [
     "discovered_urls",
     "components_min_label",
     "component_sizes",
+    "indegree_topk",
+    "depth_histogram",
     "seed_depth",
     "host_jaccard",
     "label_prop",
@@ -1340,6 +1342,61 @@ def _components_join(node_ds, edges, iters):
             .aggregate(Min("lbl", alias_name="lbl"))
         ).materialize()
     return labels.map_batches(lambda df: df.rename(columns={"lbl": "component"}), batch_format="pandas")
+
+
+def indegree_topk(pages: rd.Dataset, k: int = 25) -> rd.Dataset:
+    """The k most-linked URLs — the hub report every crawl operator
+    reads first (and the seed list a recrawl prioritizes). Ties break
+    to the smaller URL string so the result is exact and engine/SQL
+    identical. Output: ``(url, in_degree)``, k rows.
+
+    Scale shape: rides :func:`indegree`'s pre-combined reduce, then a
+    per-batch local top-k partial and ONE bounded driver merge of
+    k rows per block — no global sort."""
+    ind = indegree(pages)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        # top-k by (-in_degree, url): select_k on two sort keys
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows), sort_keys=[("in_degree", "descending"), ("url", "ascending")]
+        )
+        return t.take(idx)
+
+    parts = ind.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["in_degree", "url"], ascending=[False, True], kind="stable", ignore_index=True
+    ).head(k)
+    return rd.from_pandas(out.astype({"in_degree": "int64"}))
+
+
+def depth_histogram(
+    pages: rd.Dataset,
+    n_seeds: int = 10,
+    iters: int = 4,
+    broadcast_nodes: int = _BROADCAST_NODES,
+    driver_edges: int = _DRIVER_EDGES,
+) -> rd.Dataset:
+    """Crawl-reachability histogram: how many URLs sit at each hop
+    depth from the seed list (the coverage curve a depth-limited crawl
+    budget is planned against). Output: ``(depth, n_urls)``, one row
+    per reached depth in [0, iters] — tiny (<= iters+1 rows)."""
+    from ray.data.aggregate import Sum
+
+    sd = seed_depth(
+        pages, n_seeds=n_seeds, iters=iters, broadcast_nodes=broadcast_nodes, driver_edges=driver_edges
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("depth", as_index=False).agg(n=("depth", "size"))
+        return g.astype({"depth": "int64", "n": "int64"})
+
+    return (
+        sd.map_batches(partial, batch_format="pandas")
+        .groupby("depth")
+        .aggregate(Sum("n", alias_name="n_urls"))
+    )
 
 
 def component_sizes(

@@ -267,6 +267,8 @@ def test_oracle_checked_small(contract, name):
         "graph_discovered",
         "graph_components",
         "graph_component_sizes",
+        "graph_indegree_topk",
+        "crawl_depth_histogram",
         "graph_seed_depth",
         "graph_anchor_text",
         "graph_reciprocal",
