@@ -989,6 +989,11 @@ def _augment_pii(df: pd.DataFrame) -> pd.DataFrame:
 # registry keys; these are the never-driver-checked entries (VERDICT
 # r3 item 2), 50 priority keys first (disjoint from CORRECTNESS_r03),
 # then the rest of the never-checked tail.
+# ROUND-5 NOTE: after CORRECTNESS_r04 lands, rotate again — front the
+# entries at positions 51+ of this list (the 65 not sampled in r4)
+# plus the four added late in r4 (media_dedup_exact,
+# graph_component_sizes, graph_indegree_topk, crawl_depth_histogram);
+# that covers every remaining never-driver-checked entry.
 _ROUND4_FIRST = [
     "emb_covariance", "emb_pca_power", "emb_quantize_uint8", "emb_quant_error", "sim_knn_quantized",
     "sim_knn_pq", "dedup_chunk", "dedup_semdedup", "dedup_containment", "dedup_substring",
