@@ -1023,3 +1023,57 @@ class TestDriverEdgeGate:
         )
         assert calls, "%s must take the join path when edges exceed driver_edges" % op
         pd.testing.assert_frame_equal(a[["url", val_col]], b, check_dtype=False)
+
+
+@pytest.mark.slow
+class TestRandomGraphPathParity:
+    """Hypothesis-style randomized parity over the three execution
+    regimes of the round-sensitive graph kernels: the driver broadcast
+    path (np kernels, segment-argmax), the distributed join path with
+    the driver vote fold, and the join path with fold_cap=0 (full
+    groupby + map_groups argmax). Random digraphs include self-loops,
+    duplicate edges and isolated nodes — the corner cases a fixed
+    fixture can miss. Seeded rng (not hypothesis strategies): each case
+    costs ~2-6 s of Ray execution, so a fixed small seed set keeps the
+    runtime bounded while still varying structure."""
+
+    def _random_pages(self, seed: int):
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 12))
+        urls = ["https://h%d.org/p%02d" % (i % 3, i) for i in range(n)]
+        rows = []
+        for i, u in enumerate(urls):
+            deg = int(rng.integers(0, 4))
+            hrefs = [urls[int(rng.integers(0, n))] for _ in range(deg)]  # may self-loop/dup
+            rows.append(_page(u, hrefs))
+        return rd.from_items(rows)
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_label_prop_three_paths_agree(self, ray_session, seed):
+        from gleaner_ray.ops.linkgraph import label_prop
+
+        pages = self._random_pages(seed)
+        a = label_prop(pages, iters=2).to_pandas().sort_values("url", ignore_index=True)
+        for kw in ({"broadcast_nodes": 0}, {"broadcast_nodes": 0, "fold_cap": 0}):
+            b = (
+                label_prop(pages, iters=2, **kw)
+                .to_pandas()
+                .sort_values("url", ignore_index=True)[["url", "community"]]
+            )
+            pd.testing.assert_frame_equal(a[["url", "community"]], b)
+
+    @pytest.mark.parametrize("seed", [13, 29])
+    def test_components_both_paths_agree(self, ray_session, seed):
+        from gleaner_ray.ops.linkgraph import components_min_label
+
+        pages = self._random_pages(seed)
+        a = components_min_label(pages, iters=4).to_pandas().sort_values("url", ignore_index=True)
+        b = (
+            components_min_label(pages, iters=4, broadcast_nodes=0)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)[["url", "component"]]
+        )
+        pd.testing.assert_frame_equal(a[["url", "component"]], b)
