@@ -737,14 +737,17 @@ def pivot_events(sf_dir: str, categories: tuple[str, ...] = ("click", "view", "p
 
 def lag_delta_events(sf_dir: str, num_partitions: int | None = None):
     """LAG window function: per event, the gap to the same user's
-    previous event in exact integer microseconds (NULL for a user's
-    first event) — ``date_diff('microsecond', lag(ts) OVER (PARTITION BY
-    user_id ORDER BY ts, event_id), ts)`` parity, with the deterministic
-    (ts, event_id) tie order sessionize uses.
+    previous event in exact integer microseconds (-1 sentinel for a
+    user's first event) — ``coalesce(date_diff('microsecond', lag(ts)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1)``
+    parity, with the deterministic (ts, event_id) tie order sessionize
+    uses. The sentinel (gaps are >= 0) keeps the column non-null
+    int64 on both engines: a NULL here turns DuckDB's fetchdf into
+    float64 and breaks the driver's exact value hash.
 
     One hash exchange co-partitions users; within a partition the lag
     and diff are a vectorized sort + shift + subtract, with user
-    boundaries masked to NULL. Integer microseconds avoid the
+    boundaries masked to the sentinel. Integer microseconds avoid the
     float-seconds epoch division, so values hash bit-identical."""
     if num_partitions is None:
         num_partitions = max(8, cluster_cpus(8))
@@ -756,9 +759,9 @@ def lag_delta_events(sf_dir: str, num_partitions: int | None = None):
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
         ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        gap = pd.array(ts_us - np.roll(ts_us, 1), dtype="Int64")
+        gap = ts_us - np.roll(ts_us, 1)
         new_user = df["user_id"].ne(df["user_id"].shift()).to_numpy()
-        gap[new_user] = pd.NA
+        gap[new_user] = -1
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
@@ -1203,10 +1206,11 @@ def json_extract_events(sf_dir: str, field: str = "k"):
 
 def lead_delta_events(sf_dir: str, num_partitions: int | None = None):
     """LEAD window function: per event, the gap to the same user's NEXT
-    event in exact integer microseconds (NULL for a user's last event)
-    — the forward complement of ``lag_delta_events``, same
+    event in exact integer microseconds (-1 sentinel for a user's last
+    event) — the forward complement of ``lag_delta_events``, same
     co-partitioned vectorized shape (sort + reverse shift + subtract,
-    user boundaries masked to NULL)."""
+    user boundaries masked to the sentinel; see lag_delta_events for
+    why the sentinel beats NULL for driver-hash parity)."""
     if num_partitions is None:
         num_partitions = max(8, cluster_cpus(8))
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
@@ -1217,9 +1221,9 @@ def lead_delta_events(sf_dir: str, num_partitions: int | None = None):
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
         ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        gap = pd.array(np.roll(ts_us, -1) - ts_us, dtype="Int64")
+        gap = np.roll(ts_us, -1) - ts_us
         last_of_user = df["user_id"].ne(df["user_id"].shift(-1)).to_numpy()
-        gap[last_of_user] = pd.NA
+        gap[last_of_user] = -1
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),

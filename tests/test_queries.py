@@ -61,6 +61,17 @@ def assert_frames_match(rdf: pd.DataFrame, odf: pd.DataFrame, name: str):
         sorted(rdf.columns),
         sorted(odf.columns),
     )
+    # Driver-hash typing guard (VERDICT r4 item 1): the external driver
+    # hashes values EXACTLY, so an integer engine column vs a float
+    # oracle column (e.g. DuckDB HUGEINT -> fetchdf float64) red-flags
+    # there even when every value matches. Catch it here first.
+    for c in rdf.columns:
+        if pd.api.types.is_integer_dtype(rdf[c]) and pd.api.types.is_float_dtype(odf[c]):
+            raise AssertionError(
+                "%s: engine column %r is integer (%s) but oracle returns float (%s) — "
+                "wrap the oracle aggregate in CAST(... AS BIGINT) or the driver hash breaks"
+                % (name, c, rdf[c].dtype, odf[c].dtype)
+            )
     r, o = normalize(rdf), normalize(odf)
     for c in r.columns:
         rv, ov = r[c], o[c]
