@@ -39,28 +39,38 @@ __all__ = [
 
 def media_dedup_exact(ds, id_col: str = "media_id", payload_col: str = "payload"):
     """Exact dedup over an opaque binary media column — no codec
-    needed: two payloads are duplicates iff their BYTES are equal, so
-    this works on any media kind (image/audio/video) even where the
-    decode stage is stubbed. The multimodal sibling of
+    needed: two payloads are duplicates iff their sha256 digests are
+    equal (hash-equality, not literal byte comparison — a deliberate
+    trade so payload bytes never shuffle; sha256 keeps publicly known
+    collision constructions, e.g. SHAttered-style sha1 pairs, out of
+    reach), so this works on any media kind (image/audio/video) even
+    where the decode stage is stubbed. The multimodal sibling of
     :func:`gleaner_ray.ops.dedup.exact_dedup` (reference analogue: the
     summoner's sha-identity dedup, internal/summoner/acquire/
     jsonutils.go:384-388, applied to payload bytes instead of JSON-LD
     text).
 
+    NULL payloads hash as empty bytes — ``coalesce(payload, '')``
+    semantics, matching the documented SQL equivalent — so NULL and
+    b"" fall in one group. NULL ids are rejected with a ValueError
+    naming the column (a silent NaN would corrupt the int64 min).
+
     Output: one row per distinct payload, ``(keeper, n_copies)`` with
     ``keeper`` the smallest id in the group — SQL-equivalent to
-    ``SELECT min(id), count(*) GROUP BY payload``.
+    ``SELECT min(id), count(*) GROUP BY coalesce(payload, '')``.
 
-    Scale shape: payload bytes are hashed batch-locally (sha1 via
+    Scale shape: payload bytes are hashed batch-locally (sha256 via
     zero-copy Arrow buffers — the payloads themselves never leave the
     map stage or shuffle) and pre-combined per batch, so the exchange
-    carries one 40-byte digest row per distinct payload per batch; the
+    carries one 64-byte digest row per distinct payload per batch; the
     reduce is a digest-keyed groupby with C-side Min/Sum combiners.
     Beyond ~10^8 distinct payloads, bucket the exchange by digest
     first byte first (the web_training_prep device) — documented seam,
     same as the text exact-dedup family."""
     import pyarrow as pa
     from ray.data.aggregate import Min, Sum
+
+    _EMPTY_H = hashlib.sha256(b"").hexdigest()
 
     def partial(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
@@ -71,13 +81,19 @@ def media_dedup_exact(ds, id_col: str = "media_id", payload_col: str = "payload"
                     "n": pd.Series(dtype="int64"),
                 }
             )
+        ids = t.column(id_col)
+        if ids.null_count:
+            raise ValueError(
+                "media_dedup_exact: %d null value(s) in id column %r — "
+                "ids must be non-null int64" % (ids.null_count, id_col)
+            )
         pay = t.column(payload_col)
         hs = [
-            hashlib.sha1(pay[i].as_buffer()).hexdigest() if pay[i].is_valid else ""
+            hashlib.sha256(pay[i].as_buffer()).hexdigest() if pay[i].is_valid else _EMPTY_H
             for i in range(t.num_rows)
         ]
         df = pd.DataFrame(
-            {"h": hs, "keeper": t.column(id_col).to_numpy(zero_copy_only=False)}
+            {"h": hs, "keeper": ids.to_numpy(zero_copy_only=False)}
         )
         g = df.groupby("h", as_index=False).agg(keeper=("keeper", "min"), n=("keeper", "size"))
         return g.astype({"keeper": "int64", "n": "int64"})

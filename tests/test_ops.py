@@ -2340,3 +2340,41 @@ class TestMediaDedup:
             }
         )
         assert media_dedup_exact(rd.from_arrow(t)).count() == 2
+
+    def test_null_payload_merges_with_empty_bytes(self, ray_session):
+        # coalesce(payload, '') semantics: NULL and b"" share one group
+        # (matches the documented SQL equivalent / the oracle's coalesce)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gleaner_ray.ops.multimodal import media_dedup_exact
+
+        t = pa.table(
+            {
+                "media_id": pa.array([3, 1, 2], pa.int64()),
+                "payload": pa.array([b"", None, b"x"], pa.binary()),
+            }
+        )
+        out = (
+            media_dedup_exact(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("keeper", ignore_index=True)
+        )
+        assert out["keeper"].tolist() == [1, 2]
+        assert out["n_copies"].tolist() == [2, 1]
+
+    def test_null_id_rejected_with_clear_error(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from gleaner_ray.ops.multimodal import media_dedup_exact
+
+        t = pa.table(
+            {
+                "media_id": pa.array([1, None], pa.int64()),
+                "payload": pa.array([b"a", b"b"], pa.binary()),
+            }
+        )
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError), match="media_id"):
+            media_dedup_exact(rd.from_arrow(t)).materialize()
