@@ -29,7 +29,7 @@ def test_no_row_lambda_dataset_filter():
     assert not hits, "row-lambda Dataset.filter in hot path:\n" + "\n".join(hits)
 
 
-def test_filter_lambda_lint_catches_wrapped_call(tmp_path):
+def test_filter_lambda_lint_catches_wrapped_call():
     # the lint must flag the black-wrapped form it previously missed
     sample = "ds = ds.filter(\n    lambda r: r['x'] > 0\n)\n"
     pat = re.compile(r"\.filter\(\s*lambda")

@@ -3,6 +3,7 @@ must agree with the C json module on valid documents, and the fixup
 fast path must always agree with the exact splice path."""
 
 import json
+import re
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -198,6 +199,32 @@ class TestVectorizedKernelProperties:
         arr = np.array(vals, dtype=np.uint64)
         got = _popcount64(arr)
         assert list(got) == [bin(v).count("1") for v in vals]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_word_signals_matches_findall_reference(self, texts):
+        # the round-5 joined-buffer quality kernel must agree with the
+        # per-row findall/map reference it replaced, on arbitrary
+        # unicode (incl. multi-byte chars, embedded \n and \x00, and
+        # rows that lowercase to combining sequences)
+        import numpy as np
+        import pandas as pd
+
+        from gleaner_ray.ops.text import _STOPWORDS, _word_signals
+
+        low = pd.Series(texts, dtype=object).str.lower()
+        letters, words, nstop = _word_signals(low)
+        for i, s in enumerate(low):
+            toks = re.findall(r"[a-z]+", s)
+            assert words[i] == len(toks), (s, toks)
+            assert letters[i] == sum(len(t) for t in toks), (s, toks)
+            assert nstop[i] == sum(t in _STOPWORDS for t in toks), (s, toks)
 
 
 class TestCanonicalUrlProperties:
