@@ -1439,8 +1439,10 @@ class TestPivotLag:
         )
         pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
         out = lag_delta_events(str(tmp_path)).to_pandas().set_index("event_id")
-        # first event per user is NULL, gaps are exact microseconds
-        assert pd.isna(out.loc[1, "gap_us"]) and pd.isna(out.loc[3, "gap_us"])
+        # first event per user is the -1 sentinel (non-null int64 on
+        # both engines — driver-hash parity), gaps exact microseconds
+        assert int(out.loc[1, "gap_us"]) == -1 and int(out.loc[3, "gap_us"]) == -1
+        assert str(out["gap_us"].dtype) == "int64"
         assert int(out.loc[2, "gap_us"]) == 1500
         assert int(out.loc[4, "gap_us"]) == 2_000_000
 
