@@ -829,3 +829,28 @@ class TestCorpusFromCrawl:
         assert (keepers["count"] == 1).all()
         first = fast.groupby("h")["url"].min()
         assert (keepers["min"] == first.loc[keepers.index]).all()
+
+    def test_bucket_exchange_edge_cases(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.summon import corpus_from_crawl
+
+        # empty input through the fallback path (winner_cap=0 with zero
+        # dups still broadcasts; cap=-1 forces the exchange outright)
+        empty = pd.DataFrame(
+            {"url": pd.Series(dtype=object), "jsonld": pd.Series(dtype=object)}
+        )
+        out = corpus_from_crawl(rd.from_pandas(empty), winner_cap=-1).to_pandas()
+        assert len(out) == 0 and set(out.columns) == {"url", "n_tokens", "keep"}
+        # all-unique input: every row is its own keeper on the exchange path
+        uniq = pd.DataFrame(
+            {
+                "url": [f"https://u/{i}" for i in range(10)],
+                "jsonld": ['{"i": %d}' % i for i in range(10)],
+            }
+        )
+        out2 = corpus_from_crawl(
+            rd.from_pandas(uniq), winner_cap=-1, num_buckets=4
+        ).to_pandas()
+        assert len(out2) == 10 and bool(out2["keep"].all())
