@@ -1126,7 +1126,7 @@ def soft404_pages(pages_ds):
     return pages_ds.map_batches(flag, batch_format="pandas")
 
 
-def alias_collapse(pages_ds):
+def alias_collapse(pages_ds, fold_cap: int | None = None):
     """URL alias collapse — the composition of the two alias relations
     a crawler must close over before frontier dedup: redirect hops
     (:func:`resolve_redirects`) and declared ``rel=canonical`` targets
@@ -1138,23 +1138,28 @@ def alias_collapse(pages_ds):
     Output: ``(url, alias)`` for EVERY page (self-aliased pages
     included) — group by ``alias`` downstream to dedup the frontier.
 
-    Scale shape: both relations are bounded side tables (redirect pages
-    and canonical-declaring pages are small corpus fractions); each
-    folds map-side and broadcasts as sorted arrays, then ONE streaming
-    pass probes both with searchsorted — the corpus never shuffles.
-    Past the fold cap the same composition runs as two left joins
-    (the resolve_redirects fallback seam)."""
+    Scale shape — dual path, gated on BOTH side tables: redirect pages
+    and canonical-declaring pages are small corpus fractions, so while
+    each stays under ``fold_cap`` it folds map-side and broadcasts as
+    sorted arrays, then ONE streaming pass probes both with
+    searchsorted — the corpus never shuffles. When EITHER side exceeds
+    the cap the whole composition runs distributed as two left-outer
+    hash joins of the narrow url column against the (materialized)
+    side tables — no driver pull, no silent degradation; both paths
+    are equality-tested by forcing the cap in the unit test."""
     import ray
     import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Min
 
     from gleaner_ray.ops.fold import DRIVER_KEYS, fold_or_reduce
 
-    # redirect closure (bounded table)
-    redir = resolve_redirects(pages_ds).to_pandas()
-    r_src = np.sort(redir["url"].to_numpy(dtype=object))
-    r_fin = redir["final_url"].to_numpy(dtype=object)[
-        np.argsort(redir["url"].to_numpy(dtype=object))
-    ]
+    if fold_cap is None:
+        fold_cap = DRIVER_KEYS
+
+    # redirect closure (bounded by redirect-page volume; resolve has
+    # its own capped dual path internally)
+    redir_ds = resolve_redirects(pages_ds, fold_cap=fold_cap).materialize()
+    n_redir = redir_ds.count()
 
     # canonical declarations (bounded: declaring pages only)
     def canon_extract(df: pd.DataFrame) -> pd.DataFrame:
@@ -1165,37 +1170,99 @@ def alias_collapse(pages_ds):
         sel = c.notna()
         return pd.DataFrame({"curl": df["url"].astype(str)[sel], "c": c[sel], "one": np.ones(int(sel.sum()), dtype=np.int64)})
 
-    folded, _ = fold_or_reduce(
+    folded, canon_parts = fold_or_reduce(
         pages_ds.map_batches(canon_extract, batch_format="pandas"),
         ["curl"],
         {"c": "min", "one": "min"},
-        DRIVER_KEYS,
+        fold_cap,
     )
-    if folded is None or folded.empty:
-        c_url = np.array([], dtype=object)
-        c_tgt = np.array([], dtype=object)
+
+    if folded is not None and n_redir <= fold_cap:
+        # broadcast path: both side tables under the cap
+        redir = redir_ds.to_pandas()
+        r_src = np.sort(redir["url"].to_numpy(dtype=object))
+        r_fin = redir["final_url"].to_numpy(dtype=object)[
+            np.argsort(redir["url"].to_numpy(dtype=object))
+        ]
+        if folded.empty:
+            c_url = np.array([], dtype=object)
+            c_tgt = np.array([], dtype=object)
+        else:
+            order = np.argsort(folded["curl"].to_numpy(dtype=object))
+            c_url = folded["curl"].to_numpy(dtype=object)[order]
+            c_tgt = folded["c"].to_numpy(dtype=object)[order]
+
+        ref = ray.put((r_src, r_fin, c_url, c_tgt))
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            rs, rf, cu, ct = ray.get(ref)
+            u = df["url"].to_numpy(dtype=object)
+            alias = u.copy()
+            if len(rs):
+                pos = np.minimum(np.searchsorted(rs, u), len(rs) - 1)
+                hit = rs[pos] == u
+                alias[hit] = rf[pos[hit]]
+            if len(cu):
+                pos = np.minimum(np.searchsorted(cu, alias), len(cu) - 1)
+                hit = cu[pos] == alias
+                alias[hit] = ct[pos[hit]]
+            return pd.DataFrame({"url": df["url"].astype(str), "alias": alias})
+
+        return pages_ds.map_batches(probe, batch_format="pandas")
+
+    # beyond-cap path: the documented two-left-join composition. The
+    # canonical side reduces distributed (groupby-Min over the
+    # materialized partials — same arbitration as the fold) and only
+    # narrow (url, alias) rows ever move.
+    canon_tbl = (
+        rd.from_pandas(folded[["curl", "c"]].reset_index(drop=True))
+        if folded is not None and not folded.empty
+        else canon_parts.groupby("curl").aggregate(Min("c", alias_name="c"))
+    ).materialize()
+    n_canon = canon_tbl.count()
+    width = max(8, n_redir // 500_000 + 1)
+
+    urls = pages_ds.map_batches(
+        lambda df: pd.DataFrame({"url": df["url"].astype(str)}), batch_format="pandas"
+    )
+    step1 = urls
+    if n_redir:
+        j1 = urls.join(
+            redir_ds.map_batches(
+                lambda df: pd.DataFrame({"r_url": df["url"], "final_url": df["final_url"]}),
+                batch_format="pandas",
+            ),
+            join_type="left_outer",
+            num_partitions=width,
+            on=("url",),
+            right_on=("r_url",),
+        )
+        step1 = j1.map_batches(
+            lambda df: pd.DataFrame(
+                {"url": df["url"], "alias": df["final_url"].where(df["final_url"].notna(), df["url"])}
+            ),
+            batch_format="pandas",
+        )
     else:
-        order = np.argsort(folded["curl"].to_numpy(dtype=object))
-        c_url = folded["curl"].to_numpy(dtype=object)[order]
-        c_tgt = folded["c"].to_numpy(dtype=object)[order]
-
-    ref = ray.put((r_src, r_fin, c_url, c_tgt))
-
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        rs, rf, cu, ct = ray.get(ref)
-        u = df["url"].to_numpy(dtype=object)
-        alias = u.copy()
-        if len(rs):
-            pos = np.minimum(np.searchsorted(rs, u), len(rs) - 1)
-            hit = rs[pos] == u
-            alias[hit] = rf[pos[hit]]
-        if len(cu):
-            pos = np.minimum(np.searchsorted(cu, alias), len(cu) - 1)
-            hit = cu[pos] == alias
-            alias[hit] = ct[pos[hit]]
-        return pd.DataFrame({"url": df["url"].astype(str), "alias": alias})
-
-    return pages_ds.map_batches(probe, batch_format="pandas")
+        step1 = urls.map_batches(
+            lambda df: pd.DataFrame({"url": df["url"], "alias": df["url"]}),
+            batch_format="pandas",
+        )
+    if not n_canon:
+        return step1
+    j2 = step1.join(
+        canon_tbl,
+        join_type="left_outer",
+        num_partitions=width,
+        on=("alias",),
+        right_on=("curl",),
+    )
+    return j2.map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["url"], "alias": df["c"].where(df["c"].notna(), df["alias"])}
+        ),
+        batch_format="pandas",
+    )
 
 
 def url_depth_hist(pages_ds) -> "rd.Dataset":

@@ -550,6 +550,48 @@ class TestCheckpointResume:
         )
 
 
+class TestAliasCollapse:
+    def test_two_join_fallback_matches_broadcast(self, ray_session):
+        # fold_cap=0 forces the beyond-cap path for BOTH side tables
+        # (canonical falls through fold_or_reduce to the distributed
+        # groupby-Min; the redirect table is joined instead of pulled).
+        # Before round 5 the beyond-cap canonical side silently became
+        # empty — this pins the documented two-left-join composition.
+        import pandas as pd
+        import ray.data as rd
+
+        from gleaner_ray.pipelines.recrawl import alias_collapse
+
+        canon = '<html><head><link rel="canonical" href="https://h.example/canon"></head></html>'
+        redir = '<meta http-equiv="refresh" content="0; url=https://h.example/mid">'
+        mid = '<meta http-equiv="refresh" content="0; url=https://h.example/plain">'
+        pages = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://h.example/start",  # 2-hop redirect -> /plain
+                        "https://h.example/mid",  # 1-hop redirect -> /plain
+                        "https://h.example/decl",  # declares canonical
+                        "https://h.example/plain",  # plain page
+                    ],
+                    "html": [redir.encode(), mid.encode(), canon.encode(), b"<html>x</html>"],
+                }
+            )
+        ).repartition(2)
+        fast = alias_collapse(pages).to_pandas().sort_values("url", ignore_index=True)
+        slow = (
+            alias_collapse(pages, fold_cap=0)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow[fast.columns], check_dtype=False)
+        got = fast.set_index("url")["alias"]
+        assert got["https://h.example/start"] == "https://h.example/plain"
+        assert got["https://h.example/mid"] == "https://h.example/plain"
+        assert got["https://h.example/decl"] == "https://h.example/canon"
+        assert got["https://h.example/plain"] == "https://h.example/plain"
+
+
 class TestChangeDetect:
     def test_classification_and_rate(self, ray_session):
         import pandas as pd
